@@ -1,0 +1,116 @@
+"""Pairwise evaluation — weighted confusion matrix, F1, group-level splits.
+
+Reference formulas (nama/scoring.py — these define the F1 the north rule
+targets). With per-string count c, after an inner join of predicted and gold
+partitions on string (scoring.py:25-33):
+
+    TP = (Σ_{same pred∧gold group} c' − c)·c                (scoring.py:38-40)
+    FP = (Σ_{same pred group}      c' − c)·c − TP           (scoring.py:41-42)
+    FN = (Σ_{same gold group}      c' − c)·c − TP           (scoring.py:43-44)
+    TN = (Σ_all c' − c)·c − TP − FP − FN                    (scoring.py:45-46)
+
+summed over strings and halved (each unordered pair counted twice,
+scoring.py:72). Self-pairs are excluded by the −c terms.
+
+Spark realization: the three transform-sums are window partial sums over
+(group_pred, group_gold), (group_pred), (group_gold); the global Σc is a
+1-row aggregate broadcast via crossJoin (never an empty-partition window —
+that would funnel all rows through one task at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from nama_spark.operators.matchdata import MatchData
+
+
+def confusion_df(predicted: MatchData, gold: MatchData, use_counts: bool = True) -> DataFrame:
+    """Per-string confusion contributions (scoring.py:5-47). Columns:
+    string, count, group_pred, group_gold, TP, FP, FN, TN."""
+    pred = predicted.df.select(
+        "string", "count", F.col("group").alias("group_pred")
+    )
+    gld = gold.df.select("string", F.col("group").alias("group_gold"))
+    j = pred.join(gld, "string", "inner")
+    if not use_counts:
+        j = j.withColumn("count", F.lit(1).cast("long"))
+
+    w_pg = Window.partitionBy("group_pred", "group_gold")
+    w_p = Window.partitionBy("group_pred")
+    w_g = Window.partitionBy("group_gold")
+    c = F.col("count")
+    j = j.withColumn("TP", (F.sum(c).over(w_pg) - c) * c)
+    j = j.withColumn("FP", (F.sum(c).over(w_p) - c) * c - F.col("TP"))
+    j = j.withColumn("FN", (F.sum(c).over(w_g) - c) * c - F.col("TP"))
+    total = j.agg(F.sum("count").alias("__total"))
+    j = j.crossJoin(F.broadcast(total))
+    j = j.withColumn(
+        "TN", (F.col("__total") - c) * c - F.col("TP") - F.col("FP") - F.col("FN")
+    ).drop("__total")
+    return j
+
+
+def confusion_matrix(predicted: MatchData, gold: MatchData, use_counts: bool = True) -> dict:
+    """Summed + halved cells (scoring.py:50-72). Integer-exact: each cell sum
+    is even, // 2 like the reference."""
+    df = confusion_df(predicted, gold, use_counts=use_counts)
+    row = df.agg(
+        *[(F.sum(cell) / 2).cast("long").alias(cell) for cell in ["TP", "FP", "FN", "TN"]]
+    ).collect()[0]
+    return {cell: int(row[cell] or 0) for cell in ["TP", "FP", "FN", "TN"]}
+
+
+def score_predicted(predicted: MatchData, gold: MatchData, use_counts: bool = True) -> dict:
+    """accuracy / precision / recall / F1 / coverage (scoring.py:75-126)."""
+    scores = dict(confusion_matrix(predicted, gold, use_counts=use_counts))
+    n_scored = scores["TP"] + scores["TN"] + scores["FP"] + scores["FN"]
+
+    if use_counts:
+        agg = predicted.df.agg(
+            F.sum("count").alias("s"), F.sum(F.pow("count", 2)).alias("s2")
+        ).collect()[0]
+        n_predicted = (float(agg["s"]) ** 2 - float(agg["s2"])) / 2
+    else:
+        n = predicted.df.count()
+        n_predicted = (n**2 - n) / 2
+
+    scores["coverage"] = n_scored / n_predicted if n_predicted else 0.0
+    if scores["TP"]:
+        scores["accuracy"] = (scores["TP"] + scores["TN"]) / n_scored
+        scores["precision"] = scores["TP"] / (scores["TP"] + scores["FP"])
+        scores["recall"] = scores["TP"] / (scores["TP"] + scores["FN"])
+        scores["F1"] = (
+            2 * scores["precision"] * scores["recall"]
+            / (scores["precision"] + scores["recall"])
+        )
+    else:
+        scores["accuracy"] = scores["precision"] = scores["recall"] = scores["F1"] = 0
+    return scores
+
+
+def split_on_groups(md: MatchData, frac: float = 0.5, seed: int = 0) -> tuple[MatchData, MatchData]:
+    """Group-level train/test split — no string of a group leaks across the
+    boundary (scoring.py:129-156). Reproducible hash split instead of the
+    reference's in-memory shuffle: same distributional semantics, cluster-safe."""
+    tagged = md.df.withColumn(
+        "__u", (F.pmod(F.xxhash64(F.col("group"), F.lit(seed)), F.lit(1_000_000)))
+        / F.lit(1_000_000.0)
+    )
+    part1 = MatchData(tagged.where(F.col("__u") < frac).drop("__u"), _relabel=False)
+    part2 = MatchData(tagged.where(F.col("__u") >= frac).drop("__u"), _relabel=False)
+    return part1, part2
+
+
+def kfold_on_groups(md: MatchData, k: int = 4, seed: int = 0):
+    """K-fold over groups (scoring.py:159-194). Yields (train, test) per fold."""
+    tagged = md.df.withColumn(
+        "__fold", F.pmod(F.xxhash64(F.col("group"), F.lit(seed)), F.lit(k))
+    )
+    for fold in range(k):
+        train = MatchData(tagged.where(F.col("__fold") != fold).drop("__fold"),
+                          _relabel=False)
+        test = MatchData(tagged.where(F.col("__fold") == fold).drop("__fold"),
+                         _relabel=False)
+        yield train, test

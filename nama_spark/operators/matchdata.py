@@ -1,0 +1,341 @@
+"""MatchData — a partition of a string universe, as a DataFrame.
+
+The reference's core abstraction (nama/match_data.py:9-34) holds three mutable
+dicts (counts, labels, groups). Ours is a single immutable DataFrame with the
+fixed schema ``(string, count, group)`` — exactly the reference's CSV
+serialization (match_data.py:580-611, demo/matcher.csv:1). Invariants:
+
+- every string appears exactly once (partition semantics);
+- the group label is the member with the highest count, ties broken by the
+  lexicographically smallest string (match_data.py:163, :229, :355) —
+  re-elected by a window after every mutation;
+- uniting is transitive by construction (match_data.py:244-315) — implemented
+  as distributed connected components, not sequential dict rewrites.
+
+All "mutations" return new MatchData objects (DataFrames are immutable, which
+gives us the reference's ``copy`` for free — match_data.py:76-83).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, Mapping
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from nama_spark.operators.cluster import labels_for_nodes
+
+def _label_window():
+    return (
+        Window.partitionBy("group")
+        .orderBy(F.col("count").desc(), F.col("string").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+
+
+def elect_labels(df: DataFrame) -> DataFrame:
+    """Re-elect canonical group labels: max count, ties → min string
+    (match_data.py:163). One window over the group key."""
+    return df.withColumn("group", F.first("string").over(_label_window()))
+
+
+class MatchData:
+    """Immutable wrapper over a (string, count, group) DataFrame."""
+
+    def __init__(self, df: DataFrame, _relabel: bool = True):
+        cols = {"string", "count", "group"}
+        if not cols.issubset(set(df.columns)):
+            raise ValueError(f"MatchData df must have columns {cols}, got {df.columns}")
+        df = df.select(
+            F.col("string").cast("string"),
+            F.col("count").cast("long"),
+            F.col("group").cast("string"),
+        ).where(F.col("string").isNotNull())
+        self.df = elect_labels(df) if _relabel else df
+
+    # ---------- constructors (match_data.py:701-822 from_df) ----------
+
+    @staticmethod
+    def from_unmatched(df: DataFrame, string_col: str = "string",
+                       count_col: str | None = None) -> "MatchData":
+        """'unmatched' layout: every string a singleton; counts accumulated
+        (match_data.py:781-787)."""
+        count = F.col(count_col) if count_col and count_col in df.columns else F.lit(1)
+        base = (
+            df.select(F.col(string_col).alias("string"), count.cast("long").alias("count"))
+            .groupBy("string")
+            .agg(F.sum("count").alias("count"))
+        )
+        return MatchData(base.withColumn("group", F.col("string")), _relabel=False)
+
+    @staticmethod
+    def from_groups(df: DataFrame, string_col: str = "string",
+                    group_col: str = "group", count_col: str | None = None) -> "MatchData":
+        """'groups' layout: trust the given partition, re-elect labels
+        (match_data.py:789-809; labels are cosmetic — §1.1 of SURVEY.md)."""
+        count = F.col(count_col) if count_col and count_col in df.columns else F.lit(1)
+        base = (
+            df.select(
+                F.col(string_col).alias("string"),
+                count.cast("long").alias("count"),
+                F.col(group_col).alias("group"),
+            )
+            .groupBy("string")
+            .agg(F.sum("count").alias("count"), F.min("group").alias("group"))
+        )
+        return MatchData(base)
+
+    @staticmethod
+    def from_pairs(df: DataFrame, col0: str = "string0", col1: str = "string1",
+                   **cc_kwargs) -> "MatchData":
+        """'pairs' layout: each row unites two strings; the partition is the
+        transitive closure (match_data.py:811-820) = connected components."""
+        nodes = (
+            df.select(F.col(col0).alias("string"))
+            .union(df.select(F.col(col1).alias("string")))
+            .groupBy("string")
+            .agg(F.count(F.lit(1)).alias("count"))
+        )
+        labels = labels_for_nodes(nodes, df, node_col="string", src=col0, dst=col1,
+                                  **cc_kwargs)
+        base = nodes.join(labels, nodes["string"] == labels["node"]).select(
+            nodes["string"], "count", F.col("component").alias("group")
+        )
+        return MatchData(base)
+
+    @staticmethod
+    def detect(df: DataFrame, **kwargs) -> "MatchData":
+        """Schema-dispatch mirroring from_df(match_format='detect')
+        (match_data.py:757-774): pairs ⇐ {string0,string1}; groups ⇐
+        {string,group}; unmatched ⇐ {string}."""
+        cols = set(df.columns)
+        if {"string0", "string1"}.issubset(cols):
+            return MatchData.from_pairs(df, **kwargs)
+        if {"string", "group"}.issubset(cols):
+            return MatchData.from_groups(
+                df, count_col="count" if "count" in cols else None
+            )
+        if "string" in cols:
+            return MatchData.from_unmatched(
+                df, count_col="count" if "count" in cols else None
+            )
+        raise ValueError(f"cannot detect match format from columns {sorted(cols)}")
+
+    # ---------- inspection ----------
+
+    def strings(self) -> DataFrame:
+        return self.df.select("string")
+
+    def groups_df(self) -> DataFrame:
+        """(group, size, count_sum) per group."""
+        return self.df.groupBy("group").agg(
+            F.count(F.lit(1)).alias("size"), F.sum("count").alias("count_sum")
+        )
+
+    def matched_to(self, strings: Iterable[str]) -> DataFrame:
+        """All members of the groups containing the given strings
+        (match_data.py:53-91 __getitem__/groups fetch) — a semi-join on group."""
+        target_groups = self.df.where(F.col("string").isin(list(strings))).select("group")
+        return self.df.join(target_groups.distinct(), "group", "left_semi")
+
+    # ---------- row ops (match_data.py:93-201, 558-578) ----------
+
+    def add_strings(self, other: DataFrame, string_col: str = "string",
+                    count_col: str | None = None) -> "MatchData":
+        """Insert strings as singletons, accumulating counts
+        (match_data.py:93-130). Existing group assignments are preserved."""
+        count = (
+            F.col(count_col) if count_col and count_col in other.columns else F.lit(1)
+        )
+        incoming = (
+            other.select(F.col(string_col).alias("string"), count.cast("long").alias("count"))
+            .groupBy("string")
+            .agg(F.sum("count").alias("count"))
+        )
+        merged = (
+            self.df.select("string", F.col("count").alias("c0"), "group")
+            .join(incoming.select("string", F.col("count").alias("c1")), "string", "full")
+            .select(
+                "string",
+                (F.coalesce("c0", F.lit(0)) + F.coalesce("c1", F.lit(0))).alias("count"),
+                F.coalesce("group", F.col("string")).alias("group"),
+            )
+        )
+        return MatchData(merged)
+
+    def drop(self, strings: Iterable[str] | DataFrame) -> "MatchData":
+        """Remove strings; remnant groups re-elect labels (match_data.py:132-180)."""
+        out = self.df.join(_strings_df(self.df, strings), "string", "left_anti")
+        return MatchData(out)
+
+    def keep(self, strings: Iterable[str] | DataFrame) -> "MatchData":
+        """Restrict to the given strings (match_data.py:182-201) — a semi-join."""
+        out = self.df.join(_strings_df(self.df, strings), "string", "left_semi")
+        return MatchData(out)
+
+    def reset_counts(self, to: int = 1) -> "MatchData":
+        """Set all counts (match_data.py:558-578)."""
+        return MatchData(self.df.withColumn("count", F.lit(to).cast("long")))
+
+    # ---------- partition ops ----------
+
+    def unite(self, arg, **cc_kwargs) -> "MatchData":
+        """Polymorphic merge (match_data.py:244-315): accepts
+
+        - a Column expression / callable(Column)→Column — the hash-collision
+          pass: strings with equal key are united (match_data.py:284-287);
+        - a list of strings (one new group) or nested lists;
+        - a mapping string→label;
+        - a DataFrame of (string0, string1) pair edges;
+        - another MatchData (union of both partitions' closures).
+
+        Implementation: build edge rows, add the current partition's own
+        string↔group edges, run one connected-components pass, re-elect labels.
+        Transitivity is inherent (match_data.py:244-315).
+        """
+        df = self.df
+        if callable(arg) and not isinstance(arg, Column):
+            arg = arg(F.col("string"))
+        if isinstance(arg, Column):
+            keyed = df.select("string", arg.alias("__key")).where(
+                F.col("__key").isNotNull()
+            )
+            w = Window.partitionBy("__key").orderBy("string")
+            edges = (
+                keyed.withColumn("__anchor", F.first("string").over(w))
+                .where(F.col("string") != F.col("__anchor"))
+                .select(F.col("string").alias("src"), F.col("__anchor").alias("dst"))
+            )
+        elif isinstance(arg, MatchData):
+            edges = arg.df.select(
+                F.col("string").alias("src"), F.col("group").alias("dst")
+            )
+        elif isinstance(arg, DataFrame):
+            c0, c1 = arg.columns[:2]
+            edges = arg.select(F.col(c0).alias("src"), F.col(c1).alias("dst"))
+        elif isinstance(arg, Mapping):
+            spark = df.sparkSession
+            edges = spark.createDataFrame(
+                [(s, f"\0label:{v}") for s, v in arg.items()], ["src", "dst"]
+            )
+        elif isinstance(arg, Iterable):
+            items = list(arg)
+            rows = []
+            if items and isinstance(items[0], (list, tuple, set)):
+                for grp in items:
+                    grp = sorted(grp)
+                    rows += [(s, grp[0]) for s in grp[1:]]
+            else:
+                items = sorted(items)
+                rows = [(s, items[0]) for s in items[1:]]
+            spark = df.sparkSession
+            edges = spark.createDataFrame(rows or [("", "")], ["src", "dst"]).where(
+                F.col("src") != ""
+            )
+        else:
+            raise TypeError(f"cannot unite with {type(arg)}")
+
+        own = df.select(F.col("string").alias("src"), F.col("group").alias("dst"))
+        all_edges = own.union(edges)
+        labels = labels_for_nodes(
+            df.select("string"), all_edges, node_col="string", **cc_kwargs
+        )
+        out = df.drop("group").join(labels, df["string"] == labels["node"]).select(
+            "string", "count", F.col("component").alias("group")
+        )
+        # Synthetic label nodes (mapping case) can win the min — strip them by
+        # re-electing real labels from member strings (labels are cosmetic).
+        return MatchData(out)
+
+    def split(self, strings: Iterable[str]) -> "MatchData":
+        """Break the given strings out into singletons; remnants re-elect labels
+        (match_data.py:320-370)."""
+        s = [str(x) for x in strings]
+        out = self.df.withColumn(
+            "group",
+            F.when(F.col("string").isin(s), F.col("string")).otherwise(F.col("group")),
+        )
+        return MatchData(out)
+
+    def split_all(self) -> "MatchData":
+        """Everything a singleton (match_data.py:372-393)."""
+        return MatchData(
+            self.df.withColumn("group", F.col("string")), _relabel=False
+        )
+
+    def __add__(self, other: "MatchData") -> "MatchData":
+        """Union of two MatchDatas: add strings then unite by the other's
+        groups (match_data.py:64-69)."""
+        combined = (
+            self.df.select("string", "count")
+            .unionByName(other.df.select("string", "count"))
+            .groupBy("string")
+            .agg(F.sum("count").alias("count"))
+        )
+        edges = (
+            self.df.select(F.col("string").alias("src"), F.col("group").alias("dst"))
+            .union(
+                other.df.select(F.col("string").alias("src"), F.col("group").alias("dst"))
+            )
+        )
+        labels = labels_for_nodes(combined, edges, node_col="string")
+        out = combined.join(labels, combined["string"] == labels["node"]).select(
+            "string", "count", F.col("component").alias("group")
+        )
+        return MatchData(out)
+
+    # ---------- output (match_data.py:580-627) ----------
+
+    def to_df(self, singletons: bool = True, sort_groups: bool = True) -> DataFrame:
+        """(string, count, group), optionally group-size sorted
+        (match_data.py:604-609: group_count desc, group, count desc, string)."""
+        df = self.df
+        gw = Window.partitionBy("group")
+        df = df.withColumn("__gc", F.sum("count").over(gw)).withColumn(
+            "__gs", F.count(F.lit(1)).over(gw)
+        )
+        if not singletons:
+            df = df.where(F.col("__gs") > 1)
+        if sort_groups:
+            df = df.orderBy(
+                F.col("__gc").desc(), F.col("group"), F.col("count").desc(), F.col("string")
+            )
+        return df.drop("__gc", "__gs")
+
+    # ---------- relational join through the partition ----------
+
+    def merge_dfs(
+        self,
+        left: DataFrame,
+        right: DataFrame,
+        left_on: str,
+        right_on: str,
+        how: str = "inner",
+        suffixes: tuple[str, str] = ("_x", "_y"),
+    ) -> DataFrame:
+        """Equi-join two DataFrames on *match group* instead of raw strings
+        (match_data.py:629-698): both sides map their key through the
+        partition, then join on the group. The group map is typically small →
+        Catalyst broadcasts it; the big-big join stays a plain equi-join."""
+        gmap = self.df.select("string", F.col("group").alias("match_group"))
+        lcols = set(left.columns)
+        rcols = set(right.columns)
+        for c in lcols & rcols:
+            left = left.withColumnRenamed(c, c + suffixes[0])
+            right = right.withColumnRenamed(c, c + suffixes[1])
+            if left_on == c:
+                left_on = c + suffixes[0]
+            if right_on == c:
+                right_on = c + suffixes[1]
+        lk = left.join(gmap, left[left_on] == gmap["string"], "left").drop("string")
+        rk = right.join(gmap, right[right_on] == gmap["string"], "left").drop("string")
+        return lk.join(rk, "match_group", how)
+
+
+def _strings_df(like: DataFrame, strings) -> DataFrame:
+    if isinstance(strings, DataFrame):
+        c = strings.columns[0]
+        return strings.select(F.col(c).alias("string"))
+    return like.sparkSession.createDataFrame(
+        [(str(s),) for s in strings], ["string"]
+    )

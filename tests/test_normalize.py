@@ -1,0 +1,106 @@
+"""Unit tests for normalization column expressions.
+
+Cases ported from the reference's own suite (tests/test_utils.py:8-69) plus
+edge cases; each asserts input→output equality of the Spark expression
+against the reference-documented behavior (nama/utils.py:6-57).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from nama_spark.functions.normalize import (
+    remove_stopwords,
+    simplify,
+    simplify_corp,
+)
+
+SIMPLIFY_CASES = [
+    ("ABC", "abc"),
+    ("A.B.C.", "abc"),           # inner periods stripped, trailing collapsed
+    ("  white   space  ", "white space"),
+    ("Dog & Cat", "dog and cat"),
+    ("O'Brien", "obrien"),
+    ("O’Brien", "obrien"),       # unicode apostrophe
+    ("semi;colon", "semi colon"),  # ';' is in the punct-run class (utils.py:23)
+    ("under_score-dash", "under score dash"),
+    ("(parens)", "parens"),
+    ('"quoted"', "quoted"),
+    # inner '.' removed by the apostrophe-class pass first, then ',!@#' runs
+    # collapse to spaces: 'a,bc!d@e#f' → 'a bc d e f'
+    ("a,b.c!d@e#f", "a bc d e f"),
+    ("slash/slash", "slash slash"),
+    ("em—dash", "em dash"),
+    # ' & ' needs both spaces to become 'and'; bare '&' collapses to space
+    ("Dog &Cat", "dog cat"),
+]
+
+SIMPLIFY_CORP_CASES = [
+    ("The Walt Disney Company", "walt disney"),
+    ("XYZ Holding Co LLC", "xyz"),
+    ("Acme Inc", "acme"),
+    ("Acme Incorporated", "acme"),
+    ("Acme, Ltd.", "acme"),
+    ("Acme L.L.C.", "acme"),
+    ("Acme LLP", "acme"),
+    ("Acme Corp", "acme"),
+    ("Acme Corporation", "acme"),
+    ("Acme Company", "acme"),
+    ("Acme Co", "acme"),
+    ("Acme Group", "acme"),
+    ("Acme PLC", "acme"),
+    ("Acme SA", "acme"),
+    ("Acme SE", "acme"),
+    ("The The Co", "the"),          # only one leading 'the ' stripped
+    ("Theodore Inc", "theodore"),   # 'the ' prefix requires the space
+    ("Grouper", "grouper"),         # suffix must be a whole trailing word
+]
+
+
+def _apply(spark, fn, values):
+    df = spark.createDataFrame([(v,) for v in values], ["s"])
+    return [r["out"] for r in df.select(fn(F.col("s")).alias("out")).collect()]
+
+
+def test_simplify_matches_reference_semantics(spark):
+    ins = [c[0] for c in SIMPLIFY_CASES]
+    outs = _apply(spark, simplify, ins)
+    for (i, expected), got in zip(SIMPLIFY_CASES, outs):
+        assert got == expected, f"simplify({i!r}) = {got!r}, want {expected!r}"
+
+
+def test_simplify_matches_python_reference_impl(spark):
+    """Property check: our Column expr ≡ a from-spec Python reimplementation
+    of utils.py:6-26 on a stress alphabet."""
+    import itertools
+    import re
+
+    def py_simplify(s):
+        s = s.lower()
+        s = re.sub(" & ", " and ", s)
+        s = re.sub(r"(?<=\S)['’´\.](?=\S)", "", s)
+        s = re.sub(r"[\s\.,!@#$%^&*:;/\'\"`´‘’“”\(\)_—\-]+", " ", s)
+        return s.strip()
+
+    alphabet = ["a", "B", ".", "'", "&", " ", "-", "’", "(", "#"]
+    cases = ["".join(p) for p in itertools.product(alphabet, repeat=3)]
+    got = _apply(spark, simplify, cases)
+    for s, g in zip(cases, got):
+        assert g == py_simplify(s), f"{s!r}: spark={g!r} py={py_simplify(s)!r}"
+
+
+def test_simplify_corp(spark):
+    ins = [c[0] for c in SIMPLIFY_CORP_CASES]
+    outs = _apply(spark, simplify_corp, ins)
+    for (i, expected), got in zip(SIMPLIFY_CORP_CASES, outs):
+        assert got == expected, f"simplify_corp({i!r}) = {got!r}, want {expected!r}"
+
+
+def test_remove_stopwords(spark):
+    cases = [
+        ("the cat and the hat", "cat hat"),
+        ("The Cat", "Cat"),  # lowercase match but original case kept
+        ("nothing here", "nothing"),  # 'here' is a stopword
+    ]
+    outs = _apply(spark, remove_stopwords, [c[0] for c in cases])
+    for (i, expected), got in zip(cases, outs):
+        assert got == expected, f"remove_stopwords({i!r}) = {got!r}, want {expected!r}"
