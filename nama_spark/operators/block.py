@@ -1,0 +1,126 @@
+"""Blocking passes — candidate-pair generation without the O(n²) scan.
+
+Three passes, cheap/high-precision first (the reference's own usage order,
+demo/demo.py:62-66 → token_similarity predict → embedding pass):
+
+- B1 exact-normalized-key: strings sharing a normalization key
+  (match_data.py:284-287 ``unite(callable)`` — zero pairs materialized, the
+  key IS the cluster).
+- B2 token blocking: all pairs of strings sharing an *eligible* token,
+  2 ≤ doc_count ≤ max_block_size (token_similarity[html] predict()). The cap
+  is the reference's skew handling: it drops singleton tokens (useless) and
+  stopword-like hot tokens (quadratic blowup) — we keep it as a relational
+  filter, which also bounds every block's pair count to cap·(cap−1)/2.
+- B3 LSH over embedding vectors (operators/embed.py).
+
+Scale notes:
+- pairs are canonical (s0 < s1), deduped across blocks with one distinct;
+- ``salt_pairs`` re-partitions candidate pairs by a hash of the pair key so
+  downstream per-pair work is evenly spread even when one token produced most
+  pairs (north-rule: salted repartitioning to break hot blocking keys);
+- an anti-join drops pairs already co-grouped in the current partition
+  (token_similarity[html] predict's ``predicted[s0] != predicted[s1]`` skip —
+  an optimization, not semantics, since transitive closure is order-free).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nama_spark.functions.tokenize import token_weights, tokens_table
+
+
+def exact_key_edges(strings_df: DataFrame, key_col, string_col: str = "string") -> DataFrame:
+    """B1: (src, dst) edges linking every string to the first string of its
+    normalization-key group. Linear, one shuffle on the key."""
+    from pyspark.sql import Window
+
+    keyed = strings_df.select(
+        F.col(string_col).alias("string"), key_col.alias("key")
+    ).where(F.col("key").isNotNull() & (F.col("key") != ""))
+    w = Window.partitionBy("key").orderBy("string")
+    return (
+        keyed.withColumn("anchor", F.first("string").over(w))
+        .where(F.col("string") != F.col("anchor"))
+        .select(
+            F.col("string").alias("src"),
+            F.col("anchor").alias("dst"),
+            F.col("key").alias("block_key"),
+        )
+    )
+
+
+def eligible_tokens(
+    weights: DataFrame,
+    min_block_size: int = 2,
+    max_block_size: int = 100,
+) -> DataFrame:
+    """Tokens whose doc-count d falls in [min, max] (token_similarity[html]
+    predict: ``2 <= d <= self.max_block_size``)."""
+    return weights.where(
+        (F.col("d") >= min_block_size) & (F.col("d") <= max_block_size)
+    ).select("token")
+
+
+def token_block_pairs(
+    tokens: DataFrame,
+    eligible: DataFrame,
+    max_block_size: int = 100,
+) -> DataFrame:
+    """B2: canonical candidate pairs (s0 < s1, s0/s1 share an eligible token).
+
+    The self-join is on the token key; with the block cap in place no key
+    explodes, and AQE's skew-join split handles residual imbalance. Output is
+    deduped across blocks.
+    """
+    t = tokens.join(eligible, "token", "left_semi")
+    a = t.select(F.col("token"), F.col("string").alias("s0"))
+    b = t.select(F.col("token"), F.col("string").alias("s1"))
+    pairs = (
+        a.join(b, "token")
+        .where(F.col("s0") < F.col("s1"))
+        .select("s0", "s1")
+        .distinct()
+    )
+    return pairs
+
+
+def anti_join_same_group(pairs: DataFrame, matchdata_df: DataFrame) -> DataFrame:
+    """Drop pairs already co-grouped in the current partition — between-pass
+    optimization (SURVEY.md §4 'already-same-group skip')."""
+    g = matchdata_df.select("string", "group")
+    joined = (
+        pairs.join(g.withColumnRenamed("string", "s0").withColumnRenamed("group", "g0"), "s0", "left")
+        .join(g.withColumnRenamed("string", "s1").withColumnRenamed("group", "g1"), "s1", "left")
+    )
+    return joined.where(
+        F.col("g0").isNull() | F.col("g1").isNull() | (F.col("g0") != F.col("g1"))
+    ).select("s0", "s1")
+
+
+def salt_pairs(pairs: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Salted repartition: spread candidate pairs uniformly by pair-key hash so
+    per-pair scoring never concentrates on the partition that held a hot
+    blocking key."""
+    spark = pairs.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return pairs.repartition(n, F.pmod(F.xxhash64("s0", "s1"), F.lit(n)))
+
+
+def build_token_blocking(
+    strings_df: DataFrame,
+    tokenizer: str = "nmgrams23",
+    weighting: str = "tf-idf",
+    min_block_size: int = 2,
+    max_block_size: int = 100,
+    reference_doc_counts: bool = True,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """One-stop B2 builder → (tokens, weights, candidate_pairs)."""
+    tokens = tokens_table(strings_df, tokenizer=tokenizer)
+    weights = token_weights(
+        tokens, weighting=weighting, reference_doc_counts=reference_doc_counts
+    )
+    elig = eligible_tokens(weights, min_block_size, max_block_size)
+    pairs = token_block_pairs(tokens, elig, max_block_size)
+    return tokens, weights, pairs

@@ -1,0 +1,216 @@
+"""Pairwise scoring over candidate pairs.
+
+Primary scorers are fully relational (JVM-side, whole-stage codegen):
+
+- weighted Jaccard  = Σw(∩) / Σw(∪)          (token_similarity[html]:76-107)
+- weighted set-cos  = Σw²(∩) / (‖w(s0)‖·‖w(s1)‖)  (token_similarity[html]:110-143)
+
+computed as one join-aggregate over the exploded token table — no Python in
+the hot path. Σw(∪) = Σw(s0) + Σw(s1) − Σw(∩), so only the intersection needs
+the pairwise join; per-string sums are a linear aggregate.
+
+Fallback signals (north rule: "Jaro-Winkler/Levenshtein fallbacks — no
+per-row Python"):
+
+- Levenshtein: Spark built-in ``F.levenshtein`` (JVM).
+- Jaro-Winkler: an Arrow-batched pandas UDF (vectorized numpy over each batch)
+  — the only Python in this module, and it is batch-level, never per-row
+  interpretation at the Spark layer.
+
+Embedding-score calibration (scoring_model.py:11-52): p = min(1, exp(−α(1−cos)))
+as a column expression; the inverse ``score_to_cos`` is driver-side constant
+folding used for threshold pushdown (embeddings.py:147).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+# ---------- relational token-set scorers ----------
+
+def string_token_norms(tokens: DataFrame, weights: DataFrame) -> DataFrame:
+    """(string, w_sum, w2_sum): Σw and Σw² over each string's token *set*."""
+    tw = tokens.join(weights.select("token", "weight"), "token")
+    return tw.groupBy("string").agg(
+        F.sum("weight").alias("w_sum"),
+        F.sum(F.col("weight") * F.col("weight")).alias("w2_sum"),
+    )
+
+
+def pair_intersection_sums(
+    pairs: DataFrame, tokens: DataFrame, weights: DataFrame
+) -> DataFrame:
+    """(s0, s1, iw_sum, iw2_sum): Σw and Σw² over the shared-token set of each
+    candidate pair. Implemented as pairs ⋈ tokens(s0) ⋈ tokens(s1) on the token
+    — cost ∝ candidate_pairs × tokens-per-string, all JVM-side."""
+    tw = tokens.select("string", "token").join(
+        weights.select("token", "weight"), "token"
+    )
+    a = tw.select(
+        F.col("string").alias("s0"), F.col("token"), F.col("weight")
+    )
+    b = tw.select(F.col("string").alias("s1"), F.col("token"))
+    return (
+        pairs.join(a, "s0")
+        .join(b, ["s1", "token"])
+        .groupBy("s0", "s1")
+        .agg(
+            F.sum("weight").alias("iw_sum"),
+            F.sum(F.col("weight") * F.col("weight")).alias("iw2_sum"),
+        )
+    )
+
+
+def token_similarity_scores(
+    pairs: DataFrame,
+    tokens: DataFrame,
+    weights: DataFrame,
+    measure: str = "jaccard",
+) -> DataFrame:
+    """(s0, s1, score) for each candidate pair. Pairs with empty intersection
+    score 0 (token_similarity[html]:97-99, 130-132)."""
+    norms = string_token_norms(tokens, weights)
+    inter = pair_intersection_sums(pairs, tokens, weights)
+    n0 = norms.select(
+        F.col("string").alias("s0"),
+        F.col("w_sum").alias("w_sum0"),
+        F.col("w2_sum").alias("w2_sum0"),
+    )
+    n1 = norms.select(
+        F.col("string").alias("s1"),
+        F.col("w_sum").alias("w_sum1"),
+        F.col("w2_sum").alias("w2_sum1"),
+    )
+    df = (
+        pairs.join(inter, ["s0", "s1"], "left")
+        .join(n0, "s0")
+        .join(n1, "s1")
+        .na.fill({"iw_sum": 0.0, "iw2_sum": 0.0})
+    )
+    if measure == "jaccard":
+        union = F.col("w_sum0") + F.col("w_sum1") - F.col("iw_sum")
+        score = F.when(
+            (F.col("iw_sum") > 0) & (union > 0), F.col("iw_sum") / union
+        ).otherwise(F.lit(0.0))
+    elif measure == "cosine":
+        denom = F.sqrt(F.col("w2_sum0")) * F.sqrt(F.col("w2_sum1"))
+        score = F.when(
+            (F.col("iw2_sum") > 0) & (denom > 0), F.col("iw2_sum") / denom
+        ).otherwise(F.lit(0.0))
+    else:
+        raise ValueError(f"unknown measure: {measure}")
+    return df.select("s0", "s1", score.alias("score"))
+
+
+# ---------- character-level fallback signals ----------
+
+def levenshtein_score(s0: Column, s1: Column) -> Column:
+    """Normalized Levenshtein similarity in [0,1] — built-in edit distance
+    over the longer length (polyfuzz/jellyfish baseline role,
+    experiments/polyfuzz_baseline.py:17-23)."""
+    dist = F.levenshtein(s0, s1)
+    longer = F.greatest(F.length(s0), F.length(s1))
+    return F.when(longer > 0, 1.0 - dist / longer).otherwise(F.lit(1.0))
+
+
+def _jaro_winkler_np(a: str, b: str, prefix_weight: float = 0.1) -> float:
+    """Jaro-Winkler from the published definition (Winkler 1990)."""
+    if a == b:
+        return 1.0
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return 0.0
+    window = max(la, lb) // 2 - 1
+    if window < 0:
+        window = 0
+    match_a = [False] * la
+    match_b = [False] * lb
+    matches = 0
+    for i, ch in enumerate(a):
+        lo = max(0, i - window)
+        hi = min(lb, i + window + 1)
+        for j in range(lo, hi):
+            if not match_b[j] and b[j] == ch:
+                match_a[i] = True
+                match_b[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    # transpositions: matched chars in order
+    bs = [b[j] for j in range(lb) if match_b[j]]
+    t = sum(1 for ai, bi in zip((a[i] for i in range(la) if match_a[i]), bs) if ai != bi)
+    t //= 2
+    jaro = (matches / la + matches / lb + (matches - t) / matches) / 3
+    # common prefix up to 4
+    prefix = 0
+    for ca, cb in zip(a[:4], b[:4]):
+        if ca == cb:
+            prefix += 1
+        else:
+            break
+    return jaro + prefix * prefix_weight * (1 - jaro)
+
+
+def jaro_winkler_udf():
+    """Arrow-batched pandas UDF: per-batch loop in Python is acceptable here
+    (short strings, batch-level transfer); Spark-level execution stays
+    vectorized Arrow."""
+
+    @F.pandas_udf(T.DoubleType())
+    def jw(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_jaro_winkler_np(x, y) for x, y in zip(a.astype(str), b.astype(str))],
+            dtype="float64",
+        )
+
+    return jw
+
+
+def add_fallback_scores(pairs: DataFrame, s0: str = "s0", s1: str = "s1") -> DataFrame:
+    """Append levenshtein_sim and jaro_winkler columns to a pair DataFrame."""
+    jw = jaro_winkler_udf()
+    return pairs.withColumn(
+        "levenshtein_sim", levenshtein_score(F.col(s0), F.col(s1))
+    ).withColumn("jaro_winkler", jw(F.col(s0), F.col(s1)))
+
+
+# ---------- embedding-score calibration (scoring_model.py) ----------
+
+def calibrated_score(cos: Column, alpha: float) -> Column:
+    """p = clamp(exp(−α(1−cos)), 0, 1)  (scoring_model.py:20-23)."""
+    return F.least(F.lit(1.0), F.exp(-F.lit(alpha) * (F.lit(1.0) - cos)))
+
+
+def score_to_cos(p: float, alpha: float) -> float:
+    """Threshold pushdown: the raw cosine equivalent of probability p
+    (scoring_model.py:48-52); −99 if p ≤ 0. Driver-side constant folding so
+    the filter lands on the raw cosine column before any UDF."""
+    if p <= 0:
+        return -99.0
+    return 1.0 + math.log(p) / alpha
+
+
+def combine_scores(
+    token_score: Column,
+    jw: Column | None = None,
+    lev: Column | None = None,
+    weights: tuple[float, float, float] = (1.0, 0.0, 0.0),
+) -> Column:
+    """Configurable linear combination of signals (the reference's pluggable
+    ``measure``; fallbacks per the north rule)."""
+    wt, wj, wl = weights
+    total = wt + (wj if jw is not None else 0.0) + (wl if lev is not None else 0.0)
+    out = token_score * F.lit(wt)
+    if jw is not None:
+        out = out + jw * F.lit(wj)
+    if lev is not None:
+        out = out + lev * F.lit(wl)
+    return out / F.lit(total if total else 1.0)

@@ -1,0 +1,185 @@
+"""TokenSimilarity — the reference's unsupervised token-blocking matcher
+(token_similarity[html] class TokenSimilarity), Spark-first.
+
+Reference flow (predict(), token_similarity[html]:321-373): for every token
+with 2 ≤ doc_count ≤ max_block_size, score all string pairs in the token's
+block; unite pairs with score ≥ threshold. The sequential unite loop skips
+already-co-grouped pairs, but since uniting is monotone the final partition is
+exactly the connected components of the ≥-threshold edges — order-independent,
+so the distributed CC pass is semantics-preserving (SURVEY.md §2.8).
+
+Spark plan:
+    strings → tokens (explode, 1 shuffle)
+            → weights (token agg)
+            → eligible-token self-join → canonical candidate pairs
+            → relational jaccard/cosine (join-agg, no Python)
+            → filter score ≥ threshold → edges
+            → large-star/small-star CC → MatchData
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nama_spark.functions.tokenize import token_weights, tokens_table
+from nama_spark.operators.block import (
+    anti_join_same_group,
+    eligible_tokens,
+    salt_pairs,
+    token_block_pairs,
+)
+from nama_spark.operators.cluster import labels_for_nodes
+from nama_spark.operators.evaluate import score_predicted
+from nama_spark.operators.matchdata import MatchData
+from nama_spark.operators.score import token_similarity_scores
+
+
+class TokenSimilarity:
+    """Configurable token-blocking similarity matcher.
+
+    Parameters mirror the reference constructor (token_similarity[html]
+    __init__): tokenizer ∈ {nmgrams23 (default), bigrams, trigrams, words},
+    weighting ∈ {tf, idf, tf-idf, none}, measure ∈ {jaccard, cosine},
+    max_block_size (default 100 — the skew cap).
+    """
+
+    def __init__(
+        self,
+        tokenizer: str = "nmgrams23",
+        weighting: str = "tf-idf",
+        measure: str = "jaccard",
+        max_block_size: int = 100,
+        reference_doc_counts: bool = True,
+    ):
+        self.tokenizer = tokenizer
+        self.weighting = weighting
+        self.measure = measure
+        self.max_block_size = max_block_size
+        self.reference_doc_counts = reference_doc_counts
+        self.threshold: float | None = None
+        self._tokens: DataFrame | None = None
+        self._weights: DataFrame | None = None
+        self._strings: DataFrame | None = None
+
+    # ---------- fit ----------
+
+    def fit(self, strings_df: DataFrame, string_col: str = "string") -> "TokenSimilarity":
+        """Tokenize + weight the string universe; cache both (reused across
+        thresholds — the reference's embed-once/predict-many pattern,
+        baseline.py:53-57)."""
+        self._strings = strings_df.select(
+            F.col(string_col).alias("string")
+        ).distinct()
+        self._tokens = tokens_table(self._strings, tokenizer=self.tokenizer).cache()
+        self._weights = token_weights(
+            self._tokens,
+            weighting=self.weighting,
+            reference_doc_counts=self.reference_doc_counts,
+        ).cache()
+        return self
+
+    def _require_fit(self):
+        if self._tokens is None:
+            raise RuntimeError("call fit() first")
+
+    # ---------- candidate pairs + scores ----------
+
+    def candidate_pairs(self) -> DataFrame:
+        self._require_fit()
+        elig = eligible_tokens(self._weights, 2, self.max_block_size)
+        return token_block_pairs(self._tokens, elig, self.max_block_size)
+
+    def pair_scores(self, skip_same_group: MatchData | None = None) -> DataFrame:
+        """(s0, s1, score) for every candidate pair (cacheable for threshold
+        sweeps)."""
+        pairs = self.candidate_pairs()
+        if skip_same_group is not None:
+            pairs = anti_join_same_group(pairs, skip_same_group.df)
+        pairs = salt_pairs(pairs)
+        return token_similarity_scores(
+            pairs, self._tokens, self._weights, measure=self.measure
+        )
+
+    # ---------- predict ----------
+
+    def predict(
+        self,
+        matchdata: MatchData | DataFrame | None = None,
+        threshold: float | None = None,
+        scores: DataFrame | None = None,
+    ) -> MatchData:
+        """Cluster the fitted universe at the given threshold. If ``matchdata``
+        is given, its counts/partition seed the result (predictions merge into
+        the existing partition, like unite(model))."""
+        if threshold is None:
+            threshold = self.threshold
+        if threshold is None:
+            raise ValueError(
+                "set a threshold via learn_threshold() or pass one explicitly"
+            )
+        if isinstance(matchdata, DataFrame):
+            matchdata = MatchData.detect(matchdata)
+        if matchdata is None:
+            self._require_fit()
+            base = self._strings.withColumn("count", F.lit(1).cast("long")).withColumn(
+                "group", F.col("string")
+            )
+            matchdata = MatchData(base, _relabel=False)
+        if self._tokens is None:
+            self.fit(matchdata.df, string_col="string")
+
+        if scores is None:
+            scores = self.pair_scores()
+        edges = scores.where(F.col("score") >= threshold).select(
+            F.col("s0").alias("src"), F.col("s1").alias("dst")
+        )
+        own = matchdata.df.select(
+            F.col("string").alias("src"), F.col("group").alias("dst")
+        )
+        labels = labels_for_nodes(
+            matchdata.df.select("string"), edges.union(own), node_col="string"
+        )
+        out = (
+            matchdata.df.drop("group")
+            .join(labels, matchdata.df["string"] == labels["node"])
+            .select("string", "count", F.col("component").alias("group"))
+        )
+        return MatchData(out)
+
+    # ---------- threshold sweep ----------
+
+    def learn_threshold(
+        self,
+        gold: MatchData,
+        objective: str = "F1",
+        grid: list[float] | None = None,
+        use_counts: bool = False,
+    ):
+        """Fit on the gold universe, score candidates once, evaluate the
+        objective per grid threshold, keep the argmax (last max on ties —
+        token_similarity[html] learn_threshold). Returns the sweep rows."""
+        import numpy as np
+
+        if grid is None:
+            grid = [round(x, 4) for x in np.linspace(0.5, 1, 26)]
+        self.fit(gold.df, string_col="string")
+        scores = self.pair_scores().cache()
+        scores.count()  # materialize once
+        rows = []
+        for t in grid:
+            pred = self.predict(gold, threshold=t, scores=scores)
+            s = score_predicted(pred, gold, use_counts=use_counts)
+            s["threshold"] = t
+            rows.append(s)
+        best = max(rows, key=lambda r: (r[objective], grid.index(r["threshold"])))
+        self.threshold = best["threshold"]
+        scores.unpersist()
+        return rows
+
+    def test(self, gold: MatchData) -> dict:
+        """Predict on the gold universe, score against it
+        (token_similarity[html] test())."""
+        self.fit(gold.df, string_col="string")
+        pred = self.predict(gold)
+        return score_predicted(pred, gold)
