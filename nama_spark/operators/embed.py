@@ -1,0 +1,325 @@
+"""Embedding pass — deterministic string embeddings, LSH candidates,
+threshold clustering, nearest-seed assignment.
+
+The reference embeds strings with a GPU transformer (embedding_model.py:68-101:
+tokenizer → RoBERTa → pooling → optional linear projection → L2 normalize);
+the projection layer itself is initialized as *random-projection LSH*
+(embedding_model.py:40-44). This sandbox has no torch/transformers, and model
+training is out of scope (SURVEY.md §2.10), so the embedder here is the same
+trick without the transformer: hashed char-ngram counts → seeded Gaussian
+random projection → L2 normalize. It preserves the contract the rest of the
+engine relies on — unit vectors whose cosine approximates character-level name
+similarity — and is fully deterministic (seeded), so tests are reproducible.
+
+Spark realization: one ``mapInPandas`` pass (Arrow batches; the projection
+matrix is built once per python worker and cached — no per-row Python at the
+Spark layer). Everything downstream (cosine, thresholding, clustering) is
+relational or MLlib.
+
+Capabilities mapped (cites against /root/reference):
+- ``embed``                → SimilarityModel.embed, similarity_model.py:64-112
+- ``score_pairs``          → Embeddings.score_pairs, embeddings.py:517-533
+- ``unite_similar`` fast   → _fast_unite_similar, embeddings.py:144-174
+  (result = connected components of the ≥-threshold graph)
+- ``unite_nearest``        → Embeddings.unite_nearest / voronoi,
+  embeddings.py:461-514
+- ``lsh_candidates``       → replaces the O(n²) batched matmul scan
+  (embeddings.py:301-307) with MLlib BucketedRandomProjectionLSH; for unit
+  vectors cos ≥ t ⇔ euclidean ≤ sqrt(2−2t), so the threshold pushes down
+  into the LSH join distance.
+- save/load                → embeddings.py:45-68, 628-644 (parquet + JSON
+  sidecar instead of zip+npy).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DEFAULT_DIM = 64
+DEFAULT_BUCKETS = 1 << 16
+DEFAULT_ALPHA = 20.0  # calibration scale (scoring_model.py:11-15 ships alpha)
+
+_PROJ_CACHE: dict = {}
+
+
+def _projection(seed: int, n_buckets: int, dim: int) -> np.ndarray:
+    """Seeded Gaussian projection matrix, cached per python worker."""
+    key = (seed, n_buckets, dim)
+    if key not in _PROJ_CACHE:
+        rng = np.random.RandomState(seed)
+        _PROJ_CACHE[key] = rng.normal(0.0, 1.0, size=(n_buckets, dim)).astype(
+            np.float32
+        ) / math.sqrt(dim)
+    return _PROJ_CACHE[key]
+
+
+def _char_ngram_counts(s: str, n_lo: int, n_hi: int, n_buckets: int) -> dict[int, int]:
+    """Stable feature hashing of char n-grams (zlib.crc32 — deterministic
+    across processes, unlike PYTHONHASHSEED-dependent hash())."""
+    import zlib
+
+    out: dict[int, int] = {}
+    padded = f"\x02{s}\x03"  # boundary markers help short names
+    for n in range(n_lo, n_hi + 1):
+        for i in range(len(padded) - n + 1):
+            b = zlib.crc32(padded[i : i + n].encode("utf-8")) % n_buckets
+            out[b] = out.get(b, 0) + 1
+    return out
+
+
+def embed_strings(
+    strings_df: DataFrame,
+    string_col: str = "string",
+    count_col: str | None = "count",
+    dim: int = DEFAULT_DIM,
+    seed: int = 42,
+    ngram_range: tuple[int, int] = (2, 3),
+    n_buckets: int = DEFAULT_BUCKETS,
+    add_upper: bool = True,
+    prompt: str = "",
+) -> DataFrame:
+    """(string, count, vec) with L2-normalized float vectors.
+
+    ``add_upper`` mirrors the reference's case-augmentation (string + SEP +
+    upper(string) fed to the encoder, embedding_model.py:55-56); ``prompt``
+    mirrors the 'Organization: ' prefix (embedding_model.py:53-54).
+    """
+    has_count = count_col is not None and count_col in strings_df.columns
+    cols = [F.col(string_col).alias("string")] + (
+        [F.col(count_col).cast("long").alias("count")] if has_count else []
+    )
+    src = strings_df.select(*cols)
+    if not has_count:
+        src = src.groupBy("string").agg(F.count(F.lit(1)).alias("count"))
+
+    n_lo, n_hi = ngram_range
+    out_schema = T.StructType(
+        [
+            T.StructField("string", T.StringType()),
+            T.StructField("count", T.LongType()),
+            T.StructField("vec", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def embed_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        proj = _projection(seed, n_buckets, dim)
+        for pdf in batches:
+            vecs = []
+            for s in pdf["string"].astype(str):
+                text = prompt + s + ("\x1f" + s.upper() if add_upper else "")
+                counts = _char_ngram_counts(text, n_lo, n_hi, n_buckets)
+                if counts:
+                    idx = np.fromiter(counts.keys(), dtype=np.int64, count=len(counts))
+                    val = np.fromiter(
+                        counts.values(), dtype=np.float32, count=len(counts)
+                    )
+                    # sublinear tf damping keeps hot grams from dominating
+                    val = np.sqrt(val)
+                    v = val @ proj[idx]
+                    norm = float(np.linalg.norm(v))
+                    v = (v / norm if norm > 0 else v).astype(np.float32)
+                else:
+                    v = np.zeros(dim, dtype=np.float32)
+                vecs.append(v.tolist())
+            yield pd.DataFrame(
+                {"string": pdf["string"], "count": pdf["count"], "vec": vecs}
+            )
+
+    return src.mapInPandas(embed_batches, schema=out_schema)
+
+
+# ---------- cosine as a column expression (JVM-side, no Python) ----------
+
+def cosine_expr(a, b):
+    """Dot product of two array<float> columns — vectors are already unit
+    norm, so dot = cosine. Higher-order functions keep it in codegen."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def score_pairs(
+    pairs: DataFrame,
+    embeddings: DataFrame,
+    alpha: float = DEFAULT_ALPHA,
+    s0: str = "s0",
+    s1: str = "s1",
+) -> DataFrame:
+    """(s0, s1, cos, score) for an explicit pair list (embeddings.py:517-533):
+    two equi-joins to fetch vectors + a relational dot + calibration."""
+    e0 = embeddings.select(F.col("string").alias(s0), F.col("vec").alias("__v0"))
+    e1 = embeddings.select(F.col("string").alias(s1), F.col("vec").alias("__v1"))
+    out = pairs.join(e0, s0).join(e1, s1)
+    cos = cosine_expr(F.col("__v0"), F.col("__v1"))
+    score = F.least(F.lit(1.0), F.exp(-F.lit(alpha) * (F.lit(1.0) - cos)))
+    return out.withColumn("cos", cos).withColumn("score", score).drop("__v0", "__v1")
+
+
+# ---------- candidate generation ----------
+
+def bruteforce_candidates(
+    embeddings: DataFrame, cos_threshold: float
+) -> DataFrame:
+    """All pairs with cos ≥ threshold via an upper-triangular self-join —
+    correctness baseline for small universes and tests. O(n²): do not use at
+    scale (that is what the reference's batched matmul does,
+    embeddings.py:301-307; LSH replaces it)."""
+    a = embeddings.select(F.col("string").alias("s0"), F.col("vec").alias("v0"))
+    b = embeddings.select(F.col("string").alias("s1"), F.col("vec").alias("v1"))
+    pairs = a.join(b, F.col("s0") < F.col("s1"))
+    cos = cosine_expr(F.col("v0"), F.col("v1"))
+    return (
+        pairs.withColumn("cos", cos)
+        .where(F.col("cos") >= cos_threshold)
+        .select("s0", "s1", "cos")
+    )
+
+
+def lsh_candidates(
+    embeddings: DataFrame,
+    cos_threshold: float,
+    num_hash_tables: int = 8,
+    bucket_length: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate ≥-threshold pairs via MLlib BucketedRandomProjectionLSH.
+
+    Unit vectors: cos ≥ t ⇔ ‖a−b‖ ≤ sqrt(2−2t) — the cosine threshold becomes
+    the LSH join's euclidean distance threshold (threshold pushdown, same idea
+    as score_to_cos at embeddings.py:147). Exact cosine is recomputed on the
+    candidates, so false positives are filtered; recall depends on
+    num_hash_tables/bucket_length.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    dist = math.sqrt(max(0.0, 2.0 - 2.0 * cos_threshold))
+    feat = embeddings.select(
+        "string", array_to_vector(F.col("vec").cast("array<double>")).alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        numHashTables=num_hash_tables,
+        bucketLength=bucket_length,
+        seed=seed,
+    )
+    model = lsh.fit(feat)
+    joined = model.approxSimilarityJoin(feat, feat, dist, distCol="euclid")
+    pairs = joined.select(
+        F.col("datasetA.string").alias("s0"),
+        F.col("datasetB.string").alias("s1"),
+    ).where(F.col("s0") < F.col("s1"))
+    # exact re-check of cosine on candidates
+    e = embeddings.select("string", "vec")
+    return (
+        score_pairs(pairs, e)
+        .where(F.col("cos") >= cos_threshold)
+        .select("s0", "s1", "cos")
+    )
+
+
+# ---------- clustering ----------
+
+def unite_similar(
+    matchdata,
+    embeddings: DataFrame,
+    threshold: float = 0.5,
+    alpha: float = DEFAULT_ALPHA,
+    candidate_mode: str = "lsh",
+    **lsh_kwargs,
+):
+    """Fast-path unite_similar (embeddings.py:144-174): unite all pairs whose
+    calibrated score ≥ threshold; the result is the connected components of
+    that graph merged into the current partition. ``threshold`` is a
+    probability; it is pushed down to a raw cosine before candidate
+    generation (scoring_model.py:48-52)."""
+    from nama_spark.operators.cluster import labels_for_nodes
+    from nama_spark.operators.matchdata import MatchData
+
+    cos_t = 1.0 + math.log(threshold) / alpha if threshold > 0 else -99.0
+    if candidate_mode == "bruteforce":
+        cand = bruteforce_candidates(embeddings, cos_t)
+    else:
+        cand = lsh_candidates(embeddings, cos_t, **lsh_kwargs)
+    edges = cand.select(F.col("s0").alias("src"), F.col("s1").alias("dst"))
+    own = matchdata.df.select(
+        F.col("string").alias("src"), F.col("group").alias("dst")
+    )
+    labels = labels_for_nodes(
+        matchdata.df.select("string"), edges.union(own), node_col="string"
+    )
+    out = (
+        matchdata.df.drop("group")
+        .join(labels, matchdata.df["string"] == labels["node"])
+        .select("string", "count", F.col("component").alias("group"))
+    )
+    return MatchData(out)
+
+
+def unite_nearest(
+    matchdata,
+    embeddings: DataFrame,
+    seed_strings: list[str] | DataFrame,
+    threshold: float = 0.0,
+    alpha: float = DEFAULT_ALPHA,
+):
+    """Voronoi assignment (embeddings.py:461-514): each string joins the
+    group of its nearest seed string if calibrated score ≥ threshold. Seeds
+    are small → broadcast cross join + top-1 window."""
+    from nama_spark.operators.matchdata import MatchData
+
+    spark = embeddings.sparkSession
+    if not isinstance(seed_strings, DataFrame):
+        seeds = spark.createDataFrame([(s,) for s in seed_strings], ["seed"])
+    else:
+        seeds = seed_strings.select(F.col(seed_strings.columns[0]).alias("seed"))
+    seed_vecs = seeds.join(
+        embeddings.select(F.col("string").alias("seed"), F.col("vec").alias("svec")),
+        "seed",
+    )
+    cand = embeddings.select("string", "vec").crossJoin(F.broadcast(seed_vecs))
+    cos = cosine_expr(F.col("vec"), F.col("svec"))
+    score = F.least(F.lit(1.0), F.exp(-F.lit(alpha) * (F.lit(1.0) - cos)))
+    w = Window.partitionBy("string").orderBy(F.col("cos").desc(), F.col("seed").asc())
+    best = (
+        cand.withColumn("cos", cos)
+        .withColumn("score", score)
+        .withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("score") >= threshold))
+        .select("string", "seed")
+    )
+    out = (
+        matchdata.df.join(best, "string", "left")
+        .withColumn("group", F.coalesce(F.col("seed"), F.col("string")))
+        .drop("seed")
+    )
+    return MatchData(out)
+
+
+# ---------- persistence (embeddings.py:45-68, 628-644) ----------
+
+def save_embeddings(embeddings: DataFrame, path: str, alpha: float = DEFAULT_ALPHA,
+                    meta: dict | None = None) -> None:
+    embeddings.write.mode("overwrite").parquet(os.path.join(path, "vectors.parquet"))
+    sidecar = {"alpha": alpha, **(meta or {})}
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(sidecar, f)
+
+
+def load_embeddings(spark, path: str) -> tuple[DataFrame, dict]:
+    df = spark.read.parquet(os.path.join(path, "vectors.parquet"))
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    return df, meta

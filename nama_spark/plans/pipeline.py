@@ -1,0 +1,224 @@
+"""Multi-pass matching pipeline — the engine's flagship plan.
+
+Reference usage composes passes cheapest/highest-precision first
+(build_opensecrets_training_data.py:91, demo/demo.py:62-66,
+training/unsupervised.py:15): exact-normalized-key → token similarity →
+embedding similarity. Each pass only ADDS edges (uniting is monotone), so
+passes commute with transitive closure and the pipeline can resume after any
+completed pass.
+
+Scale design (the part the reference cannot do):
+- file-level records (10¹²-row table) are aggregated ONCE to the distinct
+  name universe with multiplicities — exactly nama's counts model
+  (match_data.py:21) — so every pairwise stage runs at name cardinality, not
+  file cardinality; only `sha2(content,256)` ever travels for the invariant.
+- each pass writes its partition to ``<checkpoint_dir>/<NN_pass>/`` parquet;
+  on resume, completed passes load instead of recompute (per-pass _SUCCESS
+  marker is parquet's own).
+- per-pass lineage rows (rows in/out, groups, wall, per-partition row stats)
+  land in ``<checkpoint_dir>/lineage.parquet``.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nama_spark.functions.normalize import norm_key
+from nama_spark.operators.matchdata import MatchData
+from nama_spark.operators.token_similarity import TokenSimilarity
+from nama_spark.plans.lineage import LineageLog
+
+
+@dataclass
+class ExactKeyPass:
+    """B1 — unite strings sharing a normalization key (EP-2, SURVEY.md §3)."""
+
+    key: str = "simplify_corp"
+    name: str = "exact_key"
+
+    def apply(self, md: MatchData, lineage: LineageLog) -> MatchData:
+        return md.unite(lambda c: norm_key(c, self.key))
+
+
+@dataclass
+class TokenSimPass:
+    """B2 — token-blocking similarity pass over normalized representatives.
+
+    ``normalize`` maps raw strings through a normalization key first; edges
+    found between normalized forms are pulled back to the raw strings sharing
+    that form (the exact pass has already united those, so the pullback adds
+    no spurious pairs)."""
+
+    threshold: float = 0.6
+    tokenizer: str = "nmgrams23"
+    weighting: str = "tf-idf"
+    measure: str = "jaccard"
+    max_block_size: int = 100
+    normalize: str | None = "simplify_corp"
+    name: str = "token_sim"
+
+    def apply(self, md: MatchData, lineage: LineageLog) -> MatchData:
+        if self.normalize:
+            key = norm_key(F.col("string"), self.normalize)
+            keyed = md.df.select("string", key.alias("norm")).where(
+                F.col("norm").isNotNull() & (F.col("norm") != "")
+            )
+            universe = keyed.select(F.col("norm").alias("string")).distinct()
+        else:
+            keyed = md.df.select("string", F.col("string").alias("norm"))
+            universe = md.df.select("string")
+        ts = TokenSimilarity(
+            tokenizer=self.tokenizer,
+            weighting=self.weighting,
+            measure=self.measure,
+            max_block_size=self.max_block_size,
+        ).fit(universe)
+        scores = ts.pair_scores()
+        edges = scores.where(F.col("score") >= self.threshold)
+        lineage.add(self.name, "threshold", self.threshold)
+        if self.normalize:
+            k0 = keyed.select(F.col("string").alias("r0"), F.col("norm").alias("s0"))
+            k1 = keyed.select(F.col("string").alias("r1"), F.col("norm").alias("s1"))
+            edges = (
+                edges.join(k0, "s0").join(k1, "s1").select(
+                    F.col("r0").alias("src"), F.col("r1").alias("dst")
+                )
+            )
+        else:
+            edges = edges.select(F.col("s0").alias("src"), F.col("s1").alias("dst"))
+        return md.unite(edges)
+
+
+@dataclass
+class EmbeddingPass:
+    """B3 — LSH-candidate embedding-cosine pass (embeddings.py fast path)."""
+
+    threshold: float = 0.5          # calibrated probability threshold
+    alpha: float = 20.0
+    dim: int = 64
+    seed: int = 42
+    candidate_mode: str = "lsh"     # "lsh" | "bruteforce"
+    num_hash_tables: int = 8
+    bucket_length: float = 0.5
+    normalize: str | None = "simplify_corp"
+    name: str = "embedding"
+
+    def apply(self, md: MatchData, lineage: LineageLog) -> MatchData:
+        from nama_spark.operators.embed import embed_strings, unite_similar
+
+        if self.normalize:
+            key = norm_key(F.col("string"), self.normalize)
+            keyed = md.df.select("string", key.alias("norm")).where(
+                F.col("norm").isNotNull() & (F.col("norm") != "")
+            )
+            universe = keyed.select(F.col("norm").alias("string")).distinct()
+            emb = embed_strings(universe, count_col=None, dim=self.dim, seed=self.seed)
+            shadow = MatchData.from_unmatched(universe)
+            clustered = unite_similar(
+                shadow, emb, threshold=self.threshold, alpha=self.alpha,
+                candidate_mode=self.candidate_mode,
+                **(dict(num_hash_tables=self.num_hash_tables,
+                        bucket_length=self.bucket_length)
+                   if self.candidate_mode == "lsh" else {}),
+            )
+            # pull normalized-form groups back to raw strings
+            edges = keyed.join(
+                clustered.df.select(F.col("string").alias("norm"), "group"), "norm"
+            ).select(F.col("string").alias("src"), F.col("group").alias("dst"))
+            return md.unite(edges)
+        emb = embed_strings(md.df, dim=self.dim, seed=self.seed)
+        return unite_similar(
+            md, emb, threshold=self.threshold, alpha=self.alpha,
+            candidate_mode=self.candidate_mode,
+            **(dict(num_hash_tables=self.num_hash_tables,
+                    bucket_length=self.bucket_length)
+               if self.candidate_mode == "lsh" else {}),
+        )
+
+
+@dataclass
+class MatchPipeline:
+    """Ordered multi-pass plan with checkpoint/resume and lineage."""
+
+    passes: list = field(default_factory=lambda: [ExactKeyPass(), TokenSimPass()])
+    checkpoint_dir: str | None = None
+
+    def run(
+        self,
+        records: DataFrame,
+        string_col: str = "repo",
+        resume: bool = True,
+    ) -> tuple[MatchData, LineageLog]:
+        spark = records.sparkSession
+        lineage = LineageLog(spark, self.checkpoint_dir)
+
+        # file-scale → name-scale: one aggregation, counts = multiplicities
+        names = records.groupBy(F.col(string_col).alias("string")).agg(
+            F.count(F.lit(1)).alias("count")
+        )
+        md = MatchData(
+            names.withColumn("group", F.col("string")), _relabel=False
+        )
+        lineage.add("ingest", "distinct_strings", md.df.count())
+
+        for i, p in enumerate(self.passes):
+            stage_dir = (
+                os.path.join(self.checkpoint_dir, f"{i:02d}_{p.name}")
+                if self.checkpoint_dir
+                else None
+            )
+            if resume and stage_dir and _checkpoint_exists(spark, stage_dir):
+                md = MatchData(spark.read.parquet(stage_dir), _relabel=False)
+                lineage.add(p.name, "resumed_from_checkpoint", 1.0, checkpoint=stage_dir)
+                continue
+            t0 = time.time()
+            md = p.apply(md, lineage)
+            if stage_dir:
+                md.df.write.mode("overwrite").parquet(stage_dir)
+                md = MatchData(spark.read.parquet(stage_dir), _relabel=False)
+            wall = time.time() - t0
+            n_groups = md.df.select("group").distinct().count()
+            lineage.add(p.name, "wall_sec", wall, checkpoint=stage_dir)
+            lineage.add(p.name, "groups", n_groups, checkpoint=stage_dir)
+            lineage.add_partition_stats(md.df, p.name)
+            lineage.flush()
+        return md, lineage
+
+
+def _checkpoint_exists(spark: SparkSession, path: str) -> bool:
+    # Hadoop FS check (works for local and distributed filesystems alike)
+    sc = spark.sparkContext
+    hpath = sc._jvm.org.apache.hadoop.fs.Path(path + "/_SUCCESS")
+    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
+def assign_records(records: DataFrame, md: MatchData, string_col: str = "repo") -> DataFrame:
+    """Join cluster labels back onto the file-level records (name-scale →
+    file-scale). The name→group map is small relative to records → broadcast
+    when it fits; Catalyst/AQE decides."""
+    gmap = md.df.select(
+        F.col("string").alias(string_col), F.col("group").alias("entity_group")
+    )
+    return records.join(gmap, string_col, "left")
+
+
+def sha256_invariant_violations(records: DataFrame, reference: DataFrame,
+                                keys: tuple = ("repo", "path", "commit")) -> DataFrame:
+    """Per-row content-sha256 equality vs the reference copy (north rule /
+    BASELINE.json input_hint). Pure column ops: F.sha2(content, 256) on both
+    sides, equi-join on the row key, keep mismatches. Returns the violation
+    rows (empty = invariant holds)."""
+    a = records.select(*keys, F.sha2(F.col("content"), 256).alias("sha_a"))
+    b = reference.select(*keys, F.sha2(F.col("content"), 256).alias("sha_b"))
+    return a.join(b, list(keys), "full").where(
+        F.col("sha_a").isNull()
+        | F.col("sha_b").isNull()
+        | (F.col("sha_a") != F.col("sha_b"))
+    )

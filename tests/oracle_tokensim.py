@@ -16,6 +16,31 @@ from itertools import combinations
 import networkx as nx
 
 
+def oracle_simplify(s: str) -> str:
+    import re
+
+    s = s.lower()
+    s = re.sub(" & ", " and ", s)
+    s = re.sub(r"(?<=\S)['’´\.](?=\S)", "", s)
+    s = re.sub(r"[\s\.,!@#$%^&*:;/\'\"`´‘’“”\(\)_—\-]+", " ", s)
+    return s.strip()
+
+
+def oracle_simplify_corp(s: str) -> str:
+    import re
+
+    s = oracle_simplify(s)
+    if s.startswith("the "):
+        s = s[4:]
+    return re.sub(
+        "( (group|holding(s)?( co)?|inc(orporated)?|ltd|l ?l? ?[cp]"
+        "|co(rp(oration)?|mpany)?|s[ae]|plc))+$",
+        "",
+        s,
+        count=1,
+    )
+
+
 def tok_nmgrams(s: str, n: int = 2, m: int = 3) -> list[str]:
     out = []
     for j in range(n, m + 1):
