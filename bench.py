@@ -1,0 +1,203 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "candidate_pairs_per_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1, ...}
+
+The headline metric is candidate-pairs/sec through the full blocking +
+scoring path (the north-rule throughput number). Per-query wall times cover
+the rest of the operator surface. For N-vs-4N scaling evidence run
+tools/bench_scaling.py (local[8] vs local[32]).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.0
+
+
+def bench_pipeline_er(spark, sf_dir, n_entities):
+    """Full ER pipeline over a fixture name universe sized to the SF.
+    Returns (wall_sec, extras)."""
+    from fixtures.make_fixtures import fixture_dataframes, make_fixture
+    from nama_spark.plans.pipeline import ExactKeyPass, MatchPipeline, TokenSimPass
+
+    fx = make_fixture(seed=42, n_entities=n_entities, max_files=3)
+    records, _, _ = fixture_dataframes(spark, fx)
+    records = records.cache()
+    records.count()  # exclude generation from the timed region
+    t0 = time.time()
+    pipe = MatchPipeline(passes=[ExactKeyPass(), TokenSimPass(threshold=0.7)])
+    md, _ = pipe.run(records, string_col="repo")
+    n_groups = md.df.select("group").distinct().count()
+    wall = time.time() - t0
+    records.unpersist()
+    return wall, {"er_strings": len(fx.gold), "er_groups": n_groups}
+
+
+def bench_candidate_scoring(spark, sf_dir, n_entities):
+    """Blocking + relational jaccard scoring — the candidate-pairs/sec path."""
+    from fixtures.make_fixtures import fixture_dataframes, make_fixture
+    from nama_spark.functions.normalize import simplify_corp
+    from nama_spark.operators.token_similarity import TokenSimilarity
+    from pyspark.sql import functions as F
+
+    fx = make_fixture(seed=7, n_entities=n_entities, max_files=3)
+    records, _, _ = fixture_dataframes(spark, fx)
+    names = records.select(simplify_corp(F.col("repo")).alias("string")).distinct()
+    names = names.cache()
+    names.count()
+    t0 = time.time()
+    ts = TokenSimilarity().fit(names)
+    n_pairs = ts.pair_scores().count()
+    wall = time.time() - t0
+    names.unpersist()
+    return wall, {"candidate_pairs": n_pairs}
+
+
+def bench_cc(spark, sf_dir, n_entities):
+    """Connected components over the ≥-threshold edges."""
+    from fixtures.make_fixtures import fixture_dataframes, make_fixture
+    from nama_spark.functions.normalize import simplify_corp
+    from nama_spark.operators.cluster import connected_components
+    from nama_spark.operators.token_similarity import TokenSimilarity
+    from pyspark.sql import functions as F
+
+    fx = make_fixture(seed=7, n_entities=n_entities, max_files=3)
+    records, _, _ = fixture_dataframes(spark, fx)
+    names = records.select(simplify_corp(F.col("repo")).alias("string")).distinct()
+    ts = TokenSimilarity().fit(names)
+    edges = (
+        ts.pair_scores()
+        .where(F.col("score") >= 0.5)
+        .select(F.col("s0").alias("src"), F.col("s1").alias("dst"))
+        .cache()
+    )
+    n_edges = edges.count()
+    t0 = time.time()
+    n_comp = connected_components(edges).select("component").distinct().count()
+    wall = time.time() - t0
+    edges.unpersist()
+    return wall, {"cc_edges": n_edges, "cc_components": n_comp}
+
+
+def bench_minhash_dedup(spark, sf_dir):
+    from nama_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t0 = time.time()
+    n = minhash_lsh_pairs(docs, k=3, num_hashes=16, bands=4,
+                          verify_threshold=0.5).count()
+    return time.time() - t0, {"minhash_pairs": n}
+
+
+def bench_ngram_jaccard(spark, sf_dir):
+    from nama_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t0 = time.time()
+    n = ngram_jaccard_pairs(docs, k=3, threshold=0.5, max_df=100000).count()
+    return time.time() - t0, {"jaccard_pairs": n}
+
+
+def bench_ann(spark, sf_dir):
+    from nama_spark.operators.ann import cosine_topk_bruteforce
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 64)
+    t0 = time.time()
+    n = cosine_topk_bruteforce(emb, queries, k=10).count()
+    return time.time() - t0, {"ann_rows": n}
+
+
+def bench_embed_lsh(spark, sf_dir, n_entities):
+    from fixtures.make_fixtures import fixture_dataframes, make_fixture
+    from nama_spark.operators.embed import embed_strings, lsh_candidates
+    from pyspark.sql import functions as F
+
+    fx = make_fixture(seed=7, n_entities=n_entities, max_files=3)
+    records, _, _ = fixture_dataframes(spark, fx)
+    names = records.select(F.col("repo").alias("string")).distinct()
+    t0 = time.time()
+    emb = embed_strings(names, count_col=None, dim=64, seed=42)
+    n = lsh_candidates(emb, 0.8, num_hash_tables=8, bucket_length=0.25).count()
+    return time.time() - t0, {"lsh_pairs": n}
+
+
+def bench_sql(spark, sf_dir, name):
+    import __spark_entry__ as entrymod
+
+    fn = entrymod.queries()[name]
+    t0 = time.time()
+    n = fn(spark, sf_dir).count()
+    return time.time() - t0, {f"{name}_rows": n}
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = _sf_of(sf_dir)
+    # name-universe size scales with SF: sf0.01 → ~300 entities, sf0.1 → ~3000
+    n_entities = max(100, int(30000 * sf))
+
+    from nama_spark.session import get_spark
+
+    spark = get_spark(
+        "nama_spark_bench",
+        cores=cpus,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+
+    queries: dict[str, float] = {}
+    extras: dict[str, int] = {}
+
+    def run(name, fn, *args):
+        wall, ex = fn(spark, *args)
+        queries[name] = round(wall, 3)
+        extras.update(ex)
+
+    run("pipeline_er", bench_pipeline_er, sf_dir, n_entities)
+    run("candidate_scoring", bench_candidate_scoring, sf_dir, n_entities)
+    run("cc_clustering", bench_cc, sf_dir, n_entities)
+    run("minhash_dedup", bench_minhash_dedup, sf_dir)
+    run("ngram_jaccard_dedup", bench_ngram_jaccard, sf_dir)
+    run("ann_topk", bench_ann, sf_dir)
+    run("embed_lsh", bench_embed_lsh, sf_dir, n_entities)
+    run("tpch_q1", bench_sql, sf_dir, "tpch_q1_pricing_summary")
+    run("events_hourly", bench_sql, sf_dir, "events_hourly")
+
+    pairs_per_sec = (
+        extras.get("candidate_pairs", 0) / queries["candidate_scoring"]
+        if queries.get("candidate_scoring")
+        else 0.0
+    )
+    out = {
+        "metric": "candidate_pairs_per_sec",
+        "value": round(pairs_per_sec, 1),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": cpus,
+        "extras": extras,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,110 @@
+"""Text-analysis column functions for training-data pipelines — language-ID,
+quality scoring, token counting, document fingerprinting. All pure Column
+expressions (JVM-side), DuckDB-oracle-checkable."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from nama_spark.functions.normalize import ENGLISH_STOPWORDS
+
+# tiny per-language marker sets for the n-gram/stopword heuristic
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "it", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "une", "pour", "que", "dans"],
+    "es": ["el", "la", "los", "y", "es", "no", "una", "por", "que", "con"],
+}
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def _words(c: Column) -> Column:
+    return F.filter(F.split(F.lower(F.trim(c)), r"\s+"), lambda w: w != F.lit(""))
+
+
+def token_count(c: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(_words(_col(c)))
+
+
+def word_token_count(c: Column | str) -> Column:
+    """BPE-ish sub-token estimate: words + extra tokens for long words
+    (a word of length L counts ceil(L/4) tokens) — a cheap, deterministic
+    proxy for tokenizer budgeting."""
+    return F.aggregate(
+        _words(_col(c)),
+        F.lit(0),
+        lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)).cast("int"),
+    )
+
+
+def stopword_ratio(c: Column | str, stopwords: list[str] | None = None) -> Column:
+    sw = F.array(*[F.lit(w) for w in (stopwords or ENGLISH_STOPWORDS)])
+    ws = _words(_col(c))
+    n = F.size(ws)
+    n_stop = F.size(F.filter(ws, lambda w: F.array_contains(sw, w)))
+    return F.when(n > 0, n_stop / n).otherwise(F.lit(0.0))
+
+
+def punct_ratio(c: Column | str) -> Column:
+    s = _col(c)
+    n = F.length(s)
+    n_punct = n - F.length(F.regexp_replace(s, r"[^\w\s]", ""))
+    return F.when(n > 0, n_punct / n).otherwise(F.lit(0.0))
+
+
+def mean_word_length(c: Column | str) -> Column:
+    ws = _words(_col(c))
+    return F.when(
+        F.size(ws) > 0,
+        F.aggregate(ws, F.lit(0), lambda a, w: a + F.length(w)) / F.size(ws),
+    ).otherwise(F.lit(0.0))
+
+
+def quality_score(c: Column | str) -> Column:
+    """[0,1] document-quality heuristic from length / punctuation / stopword
+    signals (Gopher/C4-style rule-of-thumb filters, expressed as one expr):
+    0.4·len_ok + 0.3·stopword_ok + 0.3·punct_ok."""
+    col = _col(c)
+    n_tok = token_count(col)
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 10000), 1.0).otherwise(
+        F.when(n_tok > 0, 0.5).otherwise(0.0)
+    )
+    sw = stopword_ratio(col)
+    sw_ok = F.when((sw >= 0.05) & (sw <= 0.7), 1.0).otherwise(0.0)
+    p = punct_ratio(col)
+    p_ok = F.when(p <= 0.2, 1.0).otherwise(F.when(p <= 0.4, 0.5).otherwise(0.0))
+    score = F.round(0.4 * len_ok + 0.3 * sw_ok + 0.3 * p_ok, 6)
+    return F.when(n_tok > 0, score).otherwise(F.lit(0.0))
+
+
+def lang_id(c: Column | str) -> Column:
+    """Marker-stopword language ID: argmax language by marker hit-count over
+    whitespace tokens; 'und' (undetermined) when nothing matches."""
+    ws = _words(_col(c))
+    scores = []
+    for lang, markers in _LANG_MARKERS.items():
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        # single-arg lambda (a second arg would be treated as the index);
+        # F.filter evaluates it eagerly, so the closure is safe in this loop
+        n = F.size(F.filter(ws, lambda w: F.array_contains(marker_arr, w)))
+        scores.append((lang, n))
+    best = F.lit("und")
+    best_n = F.lit(0)
+    for lang, n in scores:
+        cond = n > best_n
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_n = F.when(cond, n).otherwise(best_n)
+    return best
+
+
+def fingerprint(c: Column | str) -> Column:
+    """Normalized-content fingerprint: md5 of lowercase, whitespace-collapsed
+    text — stable across engines (docs with the same normalized content get
+    the same fingerprint)."""
+    norm = F.regexp_replace(F.lower(F.trim(_col(c))), r"\s+", " ")
+    return F.md5(norm)

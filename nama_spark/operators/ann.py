@@ -1,0 +1,172 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk_bruteforce``: exact top-k neighbors per query — the
+  correctness baseline. Self-join + window; broadcast the query side when it
+  is small. O(|queries|·|corpus|): for scale use the bucketed variants.
+- ``lsh_topk``: BucketedRandomProjectionLSH-bucketed approximate top-k (the
+  scale path — candidates come from an equi-join on hash buckets).
+- ``ivf_topk``: IVF-style coarse quantization: k-means centroids (MLlib),
+  probe the nprobe nearest cells per query, exact re-rank inside the cells.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from nama_spark.operators.embed import cosine_expr
+
+
+def _norm(vec_col):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(vec_col, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+
+
+def cosine_sim_expr(a, b):
+    """Cosine for not-necessarily-normalized vectors."""
+    dot = cosine_expr(a, b)
+    return dot / (_norm(a) * _norm(b))
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """(query_id, neighbor_id, cos) — exact top-k cosine neighbors, excluding
+    self-matches. Deterministic tie-break on neighbor id."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    if broadcast_queries:
+        q = F.broadcast(q)
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    joined = c.crossJoin(q).where(F.col("query_id") != F.col("neighbor_id"))
+    cos = cosine_sim_expr(F.col("qv"), F.col("cv"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        joined.withColumn("cos", cos)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos", F.col("rn").alias("rank"))
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_hash_tables: int = 8,
+    bucket_length: float = 2.0,
+    max_distance: float = 10.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via LSH candidate join + exact cosine re-rank."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    feat_c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    feat_q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes",
+        numHashTables=num_hash_tables, bucketLength=bucket_length, seed=seed,
+    )
+    model = lsh.fit(feat_c)
+    joined = model.approxSimilarityJoin(feat_q, feat_c, max_distance, distCol="euclid")
+    pairs = joined.select(
+        F.col("datasetA.query_id").alias("query_id"),
+        F.col("datasetA.qv").alias("qv"),
+        F.col("datasetB.neighbor_id").alias("neighbor_id"),
+        F.col("datasetB.cv").alias("cv"),
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    cos = cosine_sim_expr(F.col("qv"), F.col("cv"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("cos", cos)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos", F.col("rn").alias("rank"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF: cluster the corpus into n_cells (k-means), assign each vector to
+    its cell; per query probe the nprobe nearest centroids and re-rank
+    exactly inside those cells. Candidate join is equi on cell id."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feat = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
+    model = km.fit(feat)
+    assigned = model.transform(feat).select("neighbor_id", "cv", "cell")
+
+    centers = model.clusterCenters()
+    spark = corpus.sparkSession
+    centers_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        ["cell", "centroid"],
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    qc = q.crossJoin(F.broadcast(centers_df))
+    dist2 = F.aggregate(
+        F.zip_with(
+            F.col("qv").cast("array<double>"), F.col("centroid"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("cell").asc())
+    probes = (
+        qc.withColumn("d2", dist2)
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", "qv", "cell")
+    )
+    cand = probes.join(assigned, "cell").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    cos = cosine_sim_expr(F.col("qv"), F.col("cv"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("cos", cos)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos", F.col("rn").alias("rank"))
+    )

@@ -1,0 +1,281 @@
+"""Document deduplication — exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine. The large-scale training-data companion to the
+record-linkage core: same blocking→score→cluster shape, applied to documents.
+
+All SQL-expressible paths are pure DataFrame ops (cross-checked against
+DuckDB oracles in __spark_entry__.py); SimHash uses one Arrow-batched pandas
+UDF for the 64-bit bit-bucketing.
+
+Scale notes:
+- shingle/self-join passes carry a doc-frequency cap like the token-blocking
+  pass (stopword-shingles would otherwise explode the join);
+- MinHash signatures use min(md5(shingle || seed)) — engine-portable and
+  deterministic (no JVM-specific hash), banded into LSH buckets so the join
+  is equi on (band, band_signature);
+- near-dup *clusters* (not just pairs) come from the shared CC operator.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+# ---------- exact ----------
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the smallest id per identical text (hash groupBy — one shuffle)."""
+    w = Window.partitionBy(text_col).orderBy(id_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, canonical_id) for every doc, canonical = min id of identical
+    text."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.min(id_col).over(Window.partitionBy(text_col)).alias("canonical_id"),
+    )
+
+
+# ---------- shingles ----------
+
+def word_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  k: int = 3) -> DataFrame:
+    """(doc_id, shingle): distinct k-word shingles, lowercase, whitespace
+    tokenized. Array exprs only."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n = F.size(toks)
+    shingles = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - F.lit(k)),
+            lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+        ),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+
+
+# ---------- n-gram jaccard near-dup ----------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+    max_df: int = 1000,
+) -> DataFrame:
+    """(id0, id1, jaccard) for pairs with shingle-set Jaccard ≥ threshold.
+
+    Candidate pairs share ≥1 shingle with doc-frequency in [2, max_df]
+    (the skew cap); the exact Jaccard |∩|/|∪| is then computed from
+    intersection counts + per-doc set sizes, all relationally.
+    """
+    sh = word_shingles(df, text_col, id_col, k).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    elig = dfreq.where((F.col("df") >= 2) & (F.col("df") <= max_df)).select("shingle")
+    se = sh.join(elig, "shingle", "left_semi")
+    a = se.select(F.col("shingle"), F.col("doc_id").alias("id0"))
+    b = se.select(F.col("shingle"), F.col("doc_id").alias("id1"))
+    # the block join itself enumerates (pair, shared-eligible-shingle) rows;
+    # true intersection (incl. hot shingles) recomputed below
+    cand = (
+        a.join(b, "shingle")
+        .where(F.col("id0") < F.col("id1"))
+        .select("id0", "id1")
+        .distinct()
+    )
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("id0"), "shingle"), "id0")
+        .join(sh.select(F.col("doc_id").alias("id1"), "shingle"), ["id1", "shingle"])
+        .groupBy("id0", "id1")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("doc_id").alias("id0"), F.col("n_sh").alias("n0")), "id0")
+        .join(sizes.select(F.col("doc_id").alias("id1"), F.col("n_sh").alias("n1")), "id1")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n0") + F.col("n1") - F.col("n_inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id0", "id1", "jaccard")
+    )
+    return out
+
+
+# ---------- MinHash + LSH ----------
+
+def minhash_signatures(
+    shingles: DataFrame, num_hashes: int = 16, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, sig: array<string>) — sig[i] = min over shingles of
+    md5(shingle || ':' || i). md5 is available and identical in Spark, DuckDB
+    and Python, so signatures are engine-portable (oracle-checkable)."""
+    aggs = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f":{i}")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = shingles.groupBy(F.col(id_col).alias("doc_id")).agg(*aggs)
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    verify_threshold: float | None = 0.5,
+) -> DataFrame:
+    """Banded MinHash-LSH candidate pairs, optionally verified with exact
+    shingle Jaccard. rows = (id0, id1[, jaccard]).
+
+    bands × rows-per-band = num_hashes; docs sharing any full band signature
+    become candidates (equi-join on (band, signature) — shuffle-friendly,
+    no cross join anywhere).
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sh = word_shingles(df, text_col, id_col, k).cache()
+    sig = minhash_signatures(sh, num_hashes)
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws("|", *[F.col("sig")[b * r + i] for i in range(r)]).alias("bsig"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(band_arr).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bsig").alias("bsig")
+    )
+    a = banded.select("band", "bsig", F.col("doc_id").alias("id0"))
+    b = banded.select("band", "bsig", F.col("doc_id").alias("id1"))
+    cand = (
+        a.join(b, ["band", "bsig"])
+        .where(F.col("id0") < F.col("id1"))
+        .select("id0", "id1")
+        .distinct()
+    )
+    if verify_threshold is None:
+        return cand
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("id0"), "shingle"), "id0")
+        .join(sh.select(F.col("doc_id").alias("id1"), "shingle"), ["id1", "shingle"])
+        .groupBy("id0", "id1")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("id0"), F.col("n_sh").alias("n0")), "id0")
+        .join(sizes.select(F.col("doc_id").alias("id1"), F.col("n_sh").alias("n1")), "id1")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n0") + F.col("n1") - F.col("n_inter")),
+        )
+        .where(F.col("jaccard") >= verify_threshold)
+        .select("id0", "id1", "jaccard")
+    )
+
+
+# ---------- SimHash ----------
+
+def simhash_64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, simhash): 64-bit SimHash over word tokens — one Arrow-batched
+    pandas UDF (bit math isn't expressible relationally without 64 columns)."""
+    @F.pandas_udf(T.LongType())
+    def sh(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts.astype(str):
+            acc = np.zeros(64, dtype=np.int64)
+            for w in t.lower().split():
+                h = int.from_bytes(
+                    hashlib.md5(w.encode("utf-8")).digest()[:8], "big"
+                )
+                bits = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int64)
+                acc += np.where(bits == 1, 1, -1)
+            v = 0
+            for i in range(64):
+                if acc[i] > 0:
+                    v |= 1 << i
+            # wrap to signed 64-bit for LongType
+            if v >= 1 << 63:
+                v -= 1 << 64
+            out.append(v)
+        return pd.Series(out, dtype="int64")
+
+    return df.select(F.col(id_col).alias("doc_id"), sh(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming, blocked on
+    16-bit bands (a pair within hamming 3 shares at least one of 4 bands)."""
+    hs = simhash_64(df, text_col, id_col)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF)).alias("bh"),
+            )
+            for b in range(4)
+        ]
+    )
+    banded = hs.select("doc_id", "simhash", F.explode(bands).alias("bb")).select(
+        "doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+    a = banded.select("band", "bh", F.col("doc_id").alias("id0"), F.col("simhash").alias("h0"))
+    b = banded.select("band", "bh", F.col("doc_id").alias("id1"), F.col("simhash").alias("h1"))
+    cand = (
+        a.join(b, ["band", "bh"])
+        .where(F.col("id0") < F.col("id1"))
+        .select("id0", "id1", "h0", "h1")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("h0").bitwiseXOR(F.col("h1")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id0", "id1", "hamming")
+    )
+
+
+# ---------- near-dup clusters ----------
+
+def near_dup_clusters(pairs: DataFrame, all_ids: DataFrame,
+                      id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, cluster_id) — connected components over near-dup pairs; docs
+    with no near-dup are their own cluster."""
+    from nama_spark.operators.cluster import labels_for_nodes
+
+    labels = labels_for_nodes(
+        all_ids.select(F.col(id_col).cast("string").alias("node")),
+        pairs.select(
+            F.col("id0").cast("string").alias("src"),
+            F.col("id1").cast("string").alias("dst"),
+        ),
+        node_col="node",
+    )
+    return labels.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("cluster_id"),
+    )

@@ -105,7 +105,7 @@ class EmbeddingPass:
     seed: int = 42
     candidate_mode: str = "lsh"     # "lsh" | "bruteforce"
     num_hash_tables: int = 8
-    bucket_length: float = 0.5
+    bucket_length: float = 0.25
     normalize: str | None = "simplify_corp"
     name: str = "embedding"
 

@@ -1,0 +1,14 @@
+"""Streaming-shaped operators.
+
+The reference is batch-only (SURVEY.md §2.12) — no watermarks or stateful
+streaming anywhere in nama. This module provides the event-time operators a
+pipeline at this scale still needs, written so the SAME transformation runs in
+both batch and Structured Streaming (the functions take any DataFrame;
+``readStream`` + ``writeStream`` wire-up is the caller's five lines).
+"""
+
+from nama_spark.streaming.windows import (  # noqa: F401
+    event_time_aggregate,
+    sessionize,
+    streaming_dedup_key,
+)

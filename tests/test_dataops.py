@@ -1,0 +1,182 @@
+"""Training-data-pipeline operators: dedup family, ANN, text analysis,
+multimodal plumbing, event-time ops — on the driver-provided testdata."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from nama_spark.functions.text import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    stopword_ratio,
+    token_count,
+    word_token_count,
+)
+from nama_spark.operators.ann import cosine_topk_bruteforce, ivf_topk, lsh_topk
+from nama_spark.operators.dedup import (
+    dedup_exact,
+    exact_dup_groups,
+    minhash_lsh_pairs,
+    near_dup_clusters,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+    word_shingles,
+)
+from nama_spark.operators.multimodal import (
+    extract_image_features,
+    media_from_documents,
+    sample_video_frames,
+)
+from nama_spark.streaming.windows import event_time_aggregate, sessionize
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = spark.read.parquet(f"{SF}/documents.parquet")
+    # append exact + near duplicates so dedup has something to find
+    dup = base.limit(5).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    near = base.limit(5).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    return base.union(dup).union(near).cache()
+
+
+def test_dedup_exact(spark, docs):
+    n = docs.count()
+    deduped = dedup_exact(docs)
+    assert deduped.count() == n - 5
+    groups = exact_dup_groups(docs)
+    dup_rows = groups.where(F.col("doc_id") != F.col("canonical_id"))
+    assert dup_rows.count() == 5
+    assert {r["canonical_id"] for r in dup_rows.collect()} == set(range(5))
+
+
+def test_ngram_jaccard_near_dup(spark, docs):
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    got = {(r["id0"], r["id1"]) for r in pairs.collect()}
+    # exact dups have jaccard 1; near dups (text + ' tail') high jaccard
+    for i in range(5):
+        assert (i, i + 100000) in got, f"exact dup pair {i} missing"
+        assert (i, i + 200000) in got, f"near dup pair {i} missing"
+
+
+def test_minhash_lsh_pairs_and_clusters(spark, docs):
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, bands=4, verify_threshold=0.5)
+    got = {(r["id0"], r["id1"]) for r in pairs.collect()}
+    for i in range(5):
+        assert (i, i + 100000) in got  # identical text → identical signature
+    clusters = near_dup_clusters(pairs, docs.select("doc_id"))
+    assert clusters.count() == docs.count()
+    cl = {r["doc_id"]: r["cluster_id"] for r in clusters.collect()}
+    for i in range(5):
+        assert cl[i] == cl[i + 100000]
+
+
+def test_simhash_near_pairs(spark, docs):
+    pairs = simhash_near_pairs(docs, max_hamming=3)
+    got = {(r["id0"], r["id1"]): r["hamming"] for r in pairs.collect()}
+    for i in range(5):
+        assert got.get((i, i + 100000)) == 0  # identical text → identical simhash
+
+
+def test_ann_bruteforce_vs_lsh_and_ivf(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.limit(8)
+    bf = cosine_topk_bruteforce(emb, queries, k=5)
+    assert bf.count() == 8 * 5
+    bf_map = {}
+    for r in bf.collect():
+        bf_map.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    # LSH with generous params should recover most exact neighbors
+    lsh = lsh_topk(emb, queries, k=5, num_hash_tables=12, bucket_length=3.0,
+                   max_distance=50.0)
+    lsh_map = {}
+    for r in lsh.collect():
+        lsh_map.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    overlap = sum(
+        len(set(bf_map[q]) & set(lsh_map.get(q, []))) for q in bf_map
+    ) / (len(bf_map) * 5)
+    assert overlap >= 0.8, overlap
+    ivf = ivf_topk(emb, queries, k=5, n_cells=8, nprobe=4)
+    ivf_map = {}
+    for r in ivf.collect():
+        ivf_map.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    overlap_ivf = sum(
+        len(set(bf_map[q]) & set(ivf_map.get(q, []))) for q in bf_map
+    ) / (len(bf_map) * 5)
+    assert overlap_ivf >= 0.5, overlap_ivf
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog sat on the mat with a hat for it", "en-ish"),
+            ("der hund und die katze ist nicht ein tier mit für", "de-ish"),
+            ("", "empty"),
+            ("xyzzy qwerty", "no-markers"),
+        ],
+        ["text", "tag"],
+    )
+    rows = {
+        r["tag"]: r
+        for r in df.select(
+            "tag",
+            lang_id("text").alias("lang"),
+            token_count("text").alias("n_tok"),
+            word_token_count("text").alias("n_sub"),
+            stopword_ratio("text").alias("sw"),
+            quality_score("text").alias("q"),
+            fingerprint("text").alias("fp"),
+        ).collect()
+    }
+    assert rows["en-ish"]["lang"] == "en"
+    assert rows["de-ish"]["lang"] == "de"
+    assert rows["no-markers"]["lang"] == "und"
+    assert rows["en-ish"]["n_tok"] == 14
+    assert rows["empty"]["n_tok"] == 0 and rows["empty"]["q"] == 0.0
+    assert rows["en-ish"]["sw"] > 0.5
+    assert rows["en-ish"]["q"] >= 0.7
+    # fingerprint invariant under case/whitespace
+    fp2 = df.select(fingerprint(F.upper("text")).alias("fp")).collect()
+    assert rows["en-ish"]["fp"] == fp2[0]["fp"]
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = media_from_documents(docs.limit(20))
+    feats = extract_image_features(media, fake=True, dim=8)
+    rows = feats.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert len(r["feature"]) == 8
+        assert 16 <= r["width"] <= 256
+    # determinism: same bytes → same features
+    again = {r["media_id"]: r["feature"] for r in extract_image_features(media, fake=True, dim=8).collect()}
+    for r in rows:
+        assert again[r["media_id"]] == r["feature"]
+    # real decoder is an explicit stub
+    with pytest.raises(Exception):
+        extract_image_features(media, fake=False).collect()
+    vids = media_from_documents(docs.limit(3), kind="video")
+    frames = sample_video_frames(vids, every_n=50, fake=True)
+    assert frames.count() >= 3
+
+
+def test_event_time_ops(spark):
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    agg = event_time_aggregate(events, "1 hour")
+    assert agg.count() > 0
+    total = agg.agg(F.sum("n_events")).collect()[0][0]
+    assert total == events.count()
+    sess = sessionize(events, gap="30 minutes")
+    assert sess.count() == events.count()
+    # session ordering sanity: one user's sessions are monotone in time
+    one = sess.where(F.col("user_id") == sess.select("user_id").first()[0])
+    rows = one.orderBy("ts").select("session_seq").collect()
+    seqs = [r["session_seq"] for r in rows]
+    assert seqs == sorted(seqs)

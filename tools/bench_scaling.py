@@ -1,0 +1,120 @@
+"""Two-parallelism-level scaling evidence (north rule: ≥0.8 throughput
+scaling efficiency from N to 4N executors; sandbox stand-in per the task
+brief: the same job at local[8] and local[32] on this 32-core host).
+
+Runs bench.py twice in fresh subprocesses (cold JVMs — no shared executor
+state), computes efficiency = (T_N / T_4N) / 4 per query, and writes
+BENCH/BASELINE.md.
+
+Usage: python tools/bench_scaling.py [sf_dir] [n_low] [n_high]
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# queries whose timed region is the distributed compute path (JVM-bound);
+# tiny sub-second queries are excluded from the efficiency average
+SCALING_QUERIES = [
+    "pipeline_er", "candidate_scoring", "cc_clustering",
+    "minhash_dedup", "ngram_jaccard_dedup", "ann_topk", "embed_lsh",
+]
+
+
+def run_bench(sf_dir: str, cpus: int) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=str(cpus))
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, capture_output=True, text=True, timeout=3600,
+    )
+    for line in out.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"bench.py produced no JSON (rc={out.returncode}):\n"
+                       f"{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n_low = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    n_high = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    factor = n_high / n_low
+
+    low = run_bench(sf_dir, n_low)
+    high = run_bench(sf_dir, n_high)
+
+    rows = []
+    effs = []
+    for q in SCALING_QUERIES:
+        t_low, t_high = low["queries"].get(q), high["queries"].get(q)
+        if not t_low or not t_high:
+            continue
+        eff = (t_low / t_high) / factor
+        effs.append(eff)
+        rows.append((q, t_low, t_high, eff))
+
+    tp_low = low["value"]
+    tp_high = high["value"]
+    tp_eff = (tp_high / tp_low) / factor if tp_low else 0.0
+    mean_eff = sum(effs) / len(effs) if effs else 0.0
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    md = [
+        "# BENCH/BASELINE.md — measured throughput + scaling efficiency",
+        "",
+        f"Generated {datetime.datetime.now(datetime.timezone.utc).isoformat()} "
+        f"on a 32-core host, Spark local mode (single JVM; the sandbox",
+        f"stand-in for N vs 4N executors per the task brief): "
+        f"`local[{n_low}]` vs `local[{n_high}]`, sf_dir=`{sf_dir}`.",
+        "",
+        "## Headline (north rule metric)",
+        "",
+        "| metric | local[%d] | local[%d] | scaling efficiency |" % (n_low, n_high),
+        "|---|---|---|---|",
+        f"| candidate-pairs/sec | {tp_low:,.0f} | {tp_high:,.0f} | "
+        f"{tp_eff:.3f} |",
+        "",
+        f"candidate pairs scored: {high['extras'].get('candidate_pairs', 0):,} "
+        f"(blocking + relational weighted-jaccard path).",
+        "",
+        "## Per-query wall seconds",
+        "",
+        "| query | T(local[%d]) s | T(local[%d]) s | efficiency (T_N/T_4N)/%d |"
+        % (n_low, n_high, int(factor)),
+        "|---|---|---|---|",
+    ]
+    for q, t_low, t_high, eff in rows:
+        md.append(f"| {q} | {t_low:.2f} | {t_high:.2f} | {eff:.3f} |")
+    md += [
+        "",
+        f"Mean efficiency over distributed-path queries: **{mean_eff:.3f}**.",
+        "",
+        "Notes:",
+        "- local-mode efficiency under-states cluster scaling: the single JVM",
+        "  shares one shuffle disk and one driver, and several benches are",
+        "  dominated by fixed job-scheduling latency at this SF. On a real",
+        "  cluster the same plans shard by executor.",
+        "- raw JSON: BENCH/scaling_low.json, BENCH/scaling_high.json.",
+    ]
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write("\n".join(md) + "\n")
+    with open(os.path.join(REPO, "BENCH", "scaling_low.json"), "w") as f:
+        json.dump(low, f, indent=2)
+    with open(os.path.join(REPO, "BENCH", "scaling_high.json"), "w") as f:
+        json.dump(high, f, indent=2)
+    print(json.dumps({
+        "throughput_efficiency": round(tp_eff, 3),
+        "mean_query_efficiency": round(mean_eff, 3),
+        "low": low["value"], "high": high["value"],
+    }))
+
+
+if __name__ == "__main__":
+    main()
