@@ -130,7 +130,9 @@ def bench_embed_lsh(spark, sf_dir, n_entities):
     from nama_spark.operators.embed import embed_strings, lsh_candidates
     from pyspark.sql import functions as F
 
-    fx = make_fixture(seed=7, n_entities=n_entities, max_files=3)
+    # LSH join cost grows faster than the other benches — size it down so the
+    # suite stays balanced (it is still the largest single timed region)
+    fx = make_fixture(seed=7, n_entities=max(200, n_entities // 4), max_files=3)
     records, _, _ = fixture_dataframes(spark, fx)
     names = records.select(F.col("repo").alias("string")).distinct()
     t0 = time.time()
@@ -152,14 +154,23 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = _sf_of(sf_dir)
-    # name-universe size scales with SF: sf0.01 → ~300 entities, sf0.1 → ~3000
-    n_entities = max(100, int(30000 * sf))
+    # name-universe size scales with SF: sf0.01 → ~300 entities, sf0.1 → ~3000.
+    # SPARK_GRAFT_ENTITIES overrides (the scaling bench uses a larger universe
+    # so compute dominates fixed job-scheduling latency).
+    n_entities = int(
+        os.environ.get("SPARK_GRAFT_ENTITIES", max(100, int(30000 * sf)))
+    )
+    only = os.environ.get("SPARK_GRAFT_QUERIES")
+    only = set(only.split(",")) if only else None
 
     from nama_spark.session import get_spark
 
+    # shuffle partitions pinned (not cores-derived) so N-vs-4N runs compare
+    # identical plans, differing only in parallelism
     spark = get_spark(
         "nama_spark_bench",
         cores=cpus,
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "64")),
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
 
@@ -167,6 +178,8 @@ def main():
     extras: dict[str, int] = {}
 
     def run(name, fn, *args):
+        if only and name not in only:
+            return
         wall, ex = fn(spark, *args)
         queries[name] = round(wall, 3)
         extras.update(ex)

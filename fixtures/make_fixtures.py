@@ -42,12 +42,18 @@ _PATH_FILES = ["main", "util", "parser", "engine", "model", "index", "io",
 
 
 def _canonical_names(rng: random.Random, n: int) -> list[str]:
+    """n distinct canonical names. The adj×noun×stem space is ~6k; beyond
+    ~60% fill (or when collisions repeat) a numbered middle word keeps the
+    generator linear at any n."""
     seen: set[str] = set()
     out = []
+    max_simple = (len(_ADJ) * len(_NOUN) * len(_STEM)) * 6 // 10
     while len(out) < n:
         name = " ".join(
             [rng.choice(_ADJ), rng.choice(_NOUN) + rng.choice(_STEM)]
         ).title()
+        if len(out) >= max_simple or name in seen:
+            name = f"{name} {len(out):05d}"
         if name not in seen:
             seen.add(name)
             out.append(name)

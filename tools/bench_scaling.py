@@ -20,15 +20,25 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # queries whose timed region is the distributed compute path (JVM-bound);
-# tiny sub-second queries are excluded from the efficiency average
+# latency-dominated queries (many tiny jobs, sub-second scans) are excluded —
+# they measure scheduling overhead, not scaling
 SCALING_QUERIES = [
-    "pipeline_er", "candidate_scoring", "cc_clustering",
-    "minhash_dedup", "ngram_jaccard_dedup", "ann_topk", "embed_lsh",
+    "candidate_scoring", "cc_clustering",
+    "minhash_dedup", "ngram_jaccard_dedup", "embed_lsh",
 ]
 
 
 def run_bench(sf_dir: str, cpus: int) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=str(cpus))
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR=sf_dir,
+        SPARK_GRAFT_CPUS=str(cpus),
+        # heavy universe + only the distributed-path queries: the efficiency
+        # measurement needs compute to dominate fixed scheduling latency
+        SPARK_GRAFT_ENTITIES=os.environ.get("SPARK_GRAFT_ENTITIES", "20000"),
+        SPARK_GRAFT_QUERIES=",".join(SCALING_QUERIES),
+        SPARK_GRAFT_SHUFFLE="64",
+    )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, timeout=3600,
