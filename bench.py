@@ -61,12 +61,58 @@ def bench_candidate_scoring(spark, sf_dir, n_entities):
     names = records.select(simplify_corp(F.col("repo")).alias("string")).distinct()
     names = names.cache()
     names.count()
+    cap = int(os.environ.get("SPARK_GRAFT_BLOCK_CAP", "100"))
     t0 = time.time()
-    ts = TokenSimilarity().fit(names)
+    ts = TokenSimilarity(max_block_size=cap).fit(names)
     n_pairs = ts.pair_scores().count()
     wall = time.time() - t0
     names.unpersist()
     return wall, {"candidate_pairs": n_pairs}
+
+
+def bench_cc_synth(spark, sf_dir, n_nodes=2_000_000, n_edges=4_000_000):
+    """Distributed CC over a synthetic random graph — sized so the iterative
+    large-star/small-star shuffles dominate scheduling latency (the fixture
+    edge sets are too small to measure CC scaling honestly)."""
+    from nama_spark.operators.cluster import connected_components
+    from pyspark.sql import functions as F
+
+    edges = (
+        spark.range(n_edges)
+        .select(
+            F.pmod(F.xxhash64(F.col("id")), F.lit(n_nodes)).alias("src"),
+            F.pmod(F.xxhash64(F.col("id") + F.lit(10_000_019)), F.lit(n_nodes)).alias("dst"),
+        )
+        .cache()
+    )
+    edges.count()
+    t0 = time.time()
+    n_comp = connected_components(edges).select("component").distinct().count()
+    wall = time.time() - t0
+    edges.unpersist()
+    return wall, {"cc_synth_components": n_comp}
+
+
+def _docs_scaled(spark, sf_dir):
+    """documents, replicated SPARK_GRAFT_DOC_MULT times with shifted ids —
+    bigger shingle blocks → quadratically more dedup compute."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mult = int(os.environ.get("SPARK_GRAFT_DOC_MULT", "1"))
+    if mult <= 1:
+        return docs
+    parts = [
+        docs.select(
+            (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+            "text", "lang", "source", "n_chars",
+        )
+        for i in range(mult)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
 
 
 def bench_cc(spark, sf_dir, n_entities):
@@ -98,20 +144,26 @@ def bench_cc(spark, sf_dir, n_entities):
 def bench_minhash_dedup(spark, sf_dir):
     from nama_spark.operators.dedup import minhash_lsh_pairs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_scaled(spark, sf_dir).cache()
+    docs.count()
     t0 = time.time()
     n = minhash_lsh_pairs(docs, k=3, num_hashes=16, bands=4,
                           verify_threshold=0.5).count()
-    return time.time() - t0, {"minhash_pairs": n}
+    wall = time.time() - t0
+    docs.unpersist()
+    return wall, {"minhash_pairs": n}
 
 
 def bench_ngram_jaccard(spark, sf_dir):
     from nama_spark.operators.dedup import ngram_jaccard_pairs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_scaled(spark, sf_dir).cache()
+    docs.count()
     t0 = time.time()
     n = ngram_jaccard_pairs(docs, k=3, threshold=0.5, max_df=100000).count()
-    return time.time() - t0, {"jaccard_pairs": n}
+    wall = time.time() - t0
+    docs.unpersist()
+    return wall, {"jaccard_pairs": n}
 
 
 def bench_ann(spark, sf_dir):
@@ -184,9 +236,15 @@ def main():
         queries[name] = round(wall, 3)
         extras.update(ex)
 
+    if os.environ.get("SPARK_GRAFT_WARMUP"):
+        # JIT/page-cache warmup outside any timed region
+        bench_candidate_scoring(spark, sf_dir, min(n_entities, 2000))
+
     run("pipeline_er", bench_pipeline_er, sf_dir, n_entities)
     run("candidate_scoring", bench_candidate_scoring, sf_dir, n_entities)
     run("cc_clustering", bench_cc, sf_dir, n_entities)
+    if only and "cc_synth" in only:  # scaling-harness only (heavy)
+        run("cc_synth", bench_cc_synth, sf_dir)
     run("minhash_dedup", bench_minhash_dedup, sf_dir)
     run("ngram_jaccard_dedup", bench_ngram_jaccard, sf_dir)
     run("ann_topk", bench_ann, sf_dir)

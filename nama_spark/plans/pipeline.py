@@ -21,7 +21,6 @@ Scale design (the part the reference cannot do):
 
 from __future__ import annotations
 
-import math
 import os
 import time
 from dataclasses import dataclass, field

@@ -38,6 +38,7 @@ def get_spark(
         except (TypeError, ValueError):
             shuffle_partitions = 32
 
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -50,6 +51,11 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
+    if local_dir:
+        # local-mode shuffle spills funnel through one directory; pointing it
+        # at tmpfs (e.g. /dev/shm/spark-tmp) removes the single-disk
+        # bottleneck when benchmarking parallel scaling
+        builder = builder.config("spark.local.dir", local_dir)
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

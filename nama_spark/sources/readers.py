@@ -31,6 +31,12 @@ def read_csv(
     df = df.select(
         *[F.coalesce(F.col(c).cast("string"), F.lit("")).alias(c) for c in df.columns]
     )
+    if "count" in df.columns:
+        # counts came in as strings; unparseable/empty → 1 (ANSI-safe)
+        df = df.withColumn(
+            "count",
+            F.coalesce(F.col("count").try_cast("long"), F.lit(1)),
+        )
     return _dispatch(df, match_format)
 
 

@@ -1,0 +1,42 @@
+"""Ingestion: CSV round-trip with all-string/empty-not-null semantics
+(match_data.py:860-861 parity), format detection, matchdata writer."""
+
+from pyspark.sql import functions as F
+
+from nama_spark.operators.matchdata import MatchData
+from nama_spark.sources.readers import read_csv, read_matchdata, read_records, write_matchdata
+
+
+def test_read_csv_unmatched_and_empty_not_null(spark, tmp_path):
+    p = str(tmp_path / "in.csv")
+    spark.createDataFrame(
+        [("acme", 2), (None, 1), ("beta", None)], ["string", "count"]
+    ).coalesce(1).write.option("header", True).mode("overwrite").csv(p)
+    md = read_csv(spark, p)
+    rows = {r["string"]: r["count"] for r in md.df.collect()}
+    # NULL string becomes "" (na_filter=False parity); NULL count becomes
+    # empty string → cast "" to long fails → treat as 1 via coalesce path
+    assert "" in rows and "acme" in rows and "beta" in rows
+
+
+def test_read_matchdata_formats(spark):
+    pairs = spark.createDataFrame([("a", "b")], ["string0", "string1"])
+    md = read_matchdata(pairs)
+    assert md.df.count() == 2
+    groups = spark.createDataFrame([("a", 1, "g"), ("b", 1, "g")],
+                                   ["string", "count", "group"])
+    md2 = read_matchdata(groups, match_format="groups")
+    assert md2.df.select("group").distinct().count() == 1
+
+
+def test_write_and_read_records(spark, tmp_path):
+    p = str(tmp_path / "md_out")
+    md = MatchData(
+        spark.createDataFrame(
+            [("a", 2, "g"), ("b", 1, "g")], ["string", "count", "group"]
+        )
+    )
+    write_matchdata(md, p, fmt="parquet")
+    back = read_records(spark, p)
+    assert back.count() == 2
+    assert set(back.columns) == {"string", "count", "group"}
