@@ -314,6 +314,29 @@ def unite_nearest(
     return MatchData(out)
 
 
+def slice_embeddings(embeddings: DataFrame, strings) -> DataFrame:
+    """Subset an Embeddings table to the given strings (Embeddings.__getitem__,
+    embeddings.py:70-96) — a semi-join."""
+    spark = embeddings.sparkSession
+    if isinstance(strings, DataFrame):
+        keys = strings.select(F.col(strings.columns[0]).alias("string"))
+    else:
+        keys = spark.createDataFrame([(s,) for s in strings], ["string"])
+    return embeddings.join(keys.distinct(), "string", "left_semi")
+
+
+def reweight_embeddings(embeddings: DataFrame, matchdata_df: DataFrame) -> DataFrame:
+    """Re-weight an Embeddings with counts from a MatchData
+    (Embeddings.embed(matches), embeddings.py:98-106): join on string, take
+    the MatchData's counts. The w = count**0.5 importance weights
+    (similarity_model.py:23-28) are derived downstream as pow(count, 0.5)."""
+    counts = matchdata_df.select("string", F.col("count").alias("__new_count"))
+    return (
+        embeddings.join(counts, "string")
+        .select("string", F.col("__new_count").alias("count"), "vec")
+    )
+
+
 # ---------- persistence (embeddings.py:45-68, 628-644) ----------
 
 def save_embeddings(embeddings: DataFrame, path: str, alpha: float = DEFAULT_ALPHA,

@@ -68,6 +68,78 @@ def pair_intersection_sums(
     )
 
 
+def string_token_maps(tokens: DataFrame, weights: DataFrame) -> DataFrame:
+    """(string, wmap, w_sum, w2_sum): each string's token→weight map plus its
+    Σw / Σw² — built once, joined onto candidate pairs by the map-payload
+    scorer."""
+    tw = tokens.join(weights.select("token", "weight"), "token")
+    return tw.groupBy("string").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("token"), F.col("weight")))
+        ).alias("wmap"),
+        F.sum("weight").alias("w_sum"),
+        F.sum(F.col("weight") * F.col("weight")).alias("w2_sum"),
+    )
+
+
+def token_similarity_scores_map(
+    pairs: DataFrame,
+    tokens: DataFrame,
+    weights: DataFrame,
+    measure: str = "jaccard",
+) -> DataFrame:
+    """Map-payload variant of ``token_similarity_scores``: instead of
+    exploding (pair × token) rows through two shuffles (≈ pairs ×
+    tokens-per-string intermediate rows), carry each string's token→weight
+    map through TWO equi-joins and compute the intersection with a
+    higher-order expression. Shuffle volume drops from O(pairs·tokens) skinny
+    rows to O(pairs) map-payload rows; the intersection loop runs inside the
+    JVM per row. Wins when tokens-per-string is large (nmgrams) and pairs are
+    many; the exploded variant wins when maps are huge and pairs few."""
+    maps = string_token_maps(tokens, weights)
+    m0 = maps.select(
+        F.col("string").alias("s0"), F.col("wmap").alias("m0"),
+        F.col("w_sum").alias("w_sum0"), F.col("w2_sum").alias("w2_sum0"),
+    )
+    m1 = maps.select(
+        F.col("string").alias("s1"), F.col("wmap").alias("m1"),
+        F.col("w_sum").alias("w_sum1"), F.col("w2_sum").alias("w2_sum1"),
+    )
+    df = pairs.join(m0, "s0").join(m1, "s1")
+    # iterate the smaller map for the intersection sum (weights are global,
+    # so either map yields the same Σw over the shared keys)
+    swapped = F.size(F.col("m1")) < F.size(F.col("m0"))
+    it_map = F.when(swapped, F.col("m1")).otherwise(F.col("m0"))
+    other = F.when(swapped, F.col("m0")).otherwise(F.col("m1"))
+    if measure == "jaccard":
+        inter = F.aggregate(
+            F.map_keys(it_map),
+            F.lit(0.0),
+            lambda acc, k: acc
+            + F.when(other.getItem(k).isNotNull(), it_map.getItem(k)).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        union = F.col("w_sum0") + F.col("w_sum1") - inter
+        score = F.when((inter > 0) & (union > 0), inter / union).otherwise(F.lit(0.0))
+    elif measure == "cosine":
+        inter2 = F.aggregate(
+            F.map_keys(it_map),
+            F.lit(0.0),
+            lambda acc, k: acc
+            + F.when(
+                other.getItem(k).isNotNull(), it_map.getItem(k) * it_map.getItem(k)
+            ).otherwise(F.lit(0.0)),
+        )
+        denom = F.sqrt(F.col("w2_sum0")) * F.sqrt(F.col("w2_sum1"))
+        score = F.when((inter2 > 0) & (denom > 0), inter2 / denom).otherwise(
+            F.lit(0.0)
+        )
+    else:
+        raise ValueError(f"unknown measure: {measure}")
+    return df.select("s0", "s1", score.alias("score"))
+
+
 def token_similarity_scores(
     pairs: DataFrame,
     tokens: DataFrame,
@@ -196,6 +268,22 @@ def score_to_cos(p: float, alpha: float) -> float:
     if p <= 0:
         return -99.0
     return 1.0 + math.log(p) / alpha
+
+
+def similarity_loss(cos: Column, is_match: Column, alpha: float,
+                    eps: float = 1e-6) -> Column:
+    """Weighted cross-entropy in Z-form (scoring_model.py:25-46):
+    with Z = α(1−cos), loss = Y·Z − xlogy(1−Y, −expm1(−Z)), where
+    xlogy(0, x) = 0 and the −expm1 term is ε-floored. Pure column math —
+    used by the active-learning review flow (iter_scores' loss column,
+    embeddings.py:604-625)."""
+    z = F.lit(alpha) * (F.lit(1.0) - cos)
+    one_minus_p = F.greatest(-F.expm1(-z), F.lit(eps))
+    y = is_match.cast("double")
+    xlogy = F.when(y < 1.0, (F.lit(1.0) - y) * F.log(one_minus_p)).otherwise(
+        F.lit(0.0)
+    )
+    return y * z - xlogy
 
 
 def combine_scores(

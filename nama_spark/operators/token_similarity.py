@@ -51,12 +51,14 @@ class TokenSimilarity:
         measure: str = "jaccard",
         max_block_size: int = 100,
         reference_doc_counts: bool = True,
+        score_impl: str = "map",
     ):
         self.tokenizer = tokenizer
         self.weighting = weighting
         self.measure = measure
         self.max_block_size = max_block_size
         self.reference_doc_counts = reference_doc_counts
+        self.score_impl = score_impl  # "map" (payload join) | "explode"
         self.threshold: float | None = None
         self._tokens: DataFrame | None = None
         self._weights: DataFrame | None = None
@@ -97,6 +99,12 @@ class TokenSimilarity:
         if skip_same_group is not None:
             pairs = anti_join_same_group(pairs, skip_same_group.df)
         pairs = salt_pairs(pairs)
+        if self.score_impl == "map":
+            from nama_spark.operators.score import token_similarity_scores_map
+
+            return token_similarity_scores_map(
+                pairs, self._tokens, self._weights, measure=self.measure
+            )
         return token_similarity_scores(
             pairs, self._tokens, self._weights, measure=self.measure
         )

@@ -119,3 +119,37 @@ def test_save_load_roundtrip(spark, emb, tmp_path):
     assert meta["alpha"] == 17.5 and meta["dim"] == 32
     assert df.count() == emb.count()
     assert set(df.columns) == {"string", "count", "vec"}
+
+
+def test_slice_and_reweight(spark, emb):
+    from nama_spark.operators.embed import reweight_embeddings, slice_embeddings
+
+    sub = slice_embeddings(emb, ["acme labs", "globex sys"])
+    assert {r["string"] for r in sub.collect()} == {"acme labs", "globex sys"}
+    md_df = spark.createDataFrame(
+        [("acme labs", 7, "g"), ("globex sys", 2, "g")], ["string", "count", "group"]
+    )
+    rw = reweight_embeddings(emb, md_df)
+    got = {r["string"]: r["count"] for r in rw.collect()}
+    assert got == {"acme labs": 7, "globex sys": 2}
+
+
+def test_similarity_loss_formula(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from nama_spark.operators.score import similarity_loss
+
+    alpha = 10.0
+    df = spark.createDataFrame(
+        [(0.9, 1), (0.9, 0), (0.2, 1), (1.0, 0)], ["cos", "y"]
+    )
+    rows = df.select(
+        "cos", "y", similarity_loss(F.col("cos"), F.col("y"), alpha).alias("loss")
+    ).collect()
+    for r in rows:
+        z = alpha * (1 - r["cos"])
+        one_minus_p = max(-math.expm1(-z), 1e-6)
+        want = r["y"] * z - (0.0 if r["y"] == 1 else math.log(one_minus_p))
+        assert r["loss"] == __import__("pytest").approx(want, rel=1e-9), r

@@ -1,0 +1,64 @@
+"""top_scored_pairs semantics (match_data.py:458-556) + map/explode scorer
+exact agreement."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from nama_spark.functions.tokenize import token_weights, tokens_table
+from nama_spark.operators.block import eligible_tokens, token_block_pairs
+from nama_spark.operators.matchdata import MatchData
+from nama_spark.operators.pairs import top_scored_pairs
+from nama_spark.operators.score import (
+    token_similarity_scores,
+    token_similarity_scores_map,
+)
+
+
+def test_map_and_explode_scorers_agree_exactly(spark):
+    strings = [f"{a} {b}" for a in ["acme", "globex", "initech"]
+               for b in ["labs", "labz", "systems", "system"]]
+    df = spark.createDataFrame([(s,) for s in strings], ["string"])
+    toks = tokens_table(df)
+    w = token_weights(toks)
+    pairs = token_block_pairs(toks, eligible_tokens(w, 2, 100))
+    for measure in ["jaccard", "cosine"]:
+        a = {(r["s0"], r["s1"]): r["score"]
+             for r in token_similarity_scores(pairs, toks, w, measure).collect()}
+        b = {(r["s0"], r["s1"]): r["score"]
+             for r in token_similarity_scores_map(pairs, toks, w, measure).collect()}
+        assert set(a) == set(b)
+        for k in a:
+            assert a[k] == pytest.approx(b[k], abs=1e-12), (measure, k)
+
+
+def test_top_scored_pairs_semantics(spark):
+    md = MatchData(
+        spark.createDataFrame(
+            [("a1", 1, "A"), ("a2", 1, "A"), ("b1", 1, "B"),
+             ("c1", 1, "C"), ("c2", 1, "C"), ("c3", 1, "C")],
+            ["string", "count", "group"],
+        )
+    )
+    scores = spark.createDataFrame(
+        [("a1", "b1", 0.9), ("a2", "b1", 0.95), ("a1", "c1", 0.5),
+         ("b1", "c1", 0.8), ("a1", "a2", 0.99)],
+        ["s0", "s1", "score"],
+    )
+    out = top_scored_pairs(md, scores, n=10).collect()
+    # intra-group pair (a1,a2) excluded
+    assert all({r["group0"], r["group1"]} != {"a1"} for r in out)
+    # best_per_group_pair: only one row per unordered group pair
+    gp = [frozenset((r["group0"], r["group1"])) for r in out]
+    assert len(gp) == len(set(gp))
+    # impacts: A-B=2, A-C=6, B-C=3 → order A-C, B-C, A-B
+    # labels are elected member strings: A->a1, B->b1, C->c1
+    assert [frozenset((r["group0"], r["group1"])) for r in out] == [
+        frozenset({"a1", "c1"}), frozenset({"b1", "c1"}), frozenset({"a1", "b1"})
+    ]
+    # A-B best pair by score is (a2,b1) 0.95
+    ab = [r for r in out if frozenset((r["group0"], r["group1"])) == frozenset({"a1", "b1"})][0]
+    assert ab["string0"] == "a2" and ab["score"] == 0.95
+    # skip_pairs removes a reviewed group pair
+    skip = spark.createDataFrame([("c1", "a1")], ["g0", "g1"])
+    out2 = top_scored_pairs(md, scores, n=10, skip_pairs=skip).collect()
+    assert all(frozenset((r["group0"], r["group1"])) != frozenset({"a1", "c1"}) for r in out2)
