@@ -90,11 +90,17 @@ def bench_full_scoring(spark, sf_dir, n_entities):
     records, _, _ = fixture_dataframes(spark, fx)
     names = records.select(simplify_corp(F.col("repo")).alias("string")).distinct()
     cap = int(os.environ.get("SPARK_GRAFT_BLOCK_CAP", "100"))
+    from nama_spark.operators.score import token_similarity_scores_map
+
     ts = TokenSimilarity(max_block_size=cap).fit(names)
-    pairs = ts.candidate_pairs().cache()
+    ts._tokens.count()
+    ts._weights.count()
+    pairs = ts.candidate_pairs().repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ).cache()
     n_pairs = pairs.count()
     t0 = time.time()
-    scored = ts.pair_scores()
+    scored = token_similarity_scores_map(pairs, ts._tokens, ts._weights)
     scored = add_fallback_scores(scored)
     scored = scored.withColumn(
         "combined",

@@ -41,8 +41,15 @@ class ExactKeyPass:
     key: str = "simplify_corp"
     name: str = "exact_key"
 
+    def edges(self, md: MatchData, lineage: LineageLog) -> DataFrame:
+        from nama_spark.operators.block import exact_key_edges
+
+        return exact_key_edges(
+            md.df, norm_key(F.col("string"), self.key)
+        ).select("src", "dst")
+
     def apply(self, md: MatchData, lineage: LineageLog) -> MatchData:
-        return md.unite(lambda c: norm_key(c, self.key))
+        return md.unite(self.edges(md, lineage))
 
 
 @dataclass
@@ -62,7 +69,7 @@ class TokenSimPass:
     normalize: str | None = "simplify_corp"
     name: str = "token_sim"
 
-    def apply(self, md: MatchData, lineage: LineageLog) -> MatchData:
+    def edges(self, md: MatchData, lineage: LineageLog) -> DataFrame:
         if self.normalize:
             key = norm_key(F.col("string"), self.normalize)
             keyed = md.df.select("string", key.alias("norm")).where(
@@ -91,7 +98,10 @@ class TokenSimPass:
             )
         else:
             edges = edges.select(F.col("s0").alias("src"), F.col("s1").alias("dst"))
-        return md.unite(edges)
+        return edges
+
+    def apply(self, md: MatchData, lineage: LineageLog) -> MatchData:
+        return md.unite(self.edges(md, lineage))
 
 
 @dataclass
@@ -108,8 +118,14 @@ class EmbeddingPass:
     normalize: str | None = "simplify_corp"
     name: str = "embedding"
 
-    def apply(self, md: MatchData, lineage: LineageLog) -> MatchData:
-        from nama_spark.operators.embed import embed_strings, unite_similar
+    def edges(self, md: MatchData, lineage: LineageLog) -> DataFrame:
+        import math as _math
+
+        from nama_spark.operators.embed import (
+            bruteforce_candidates,
+            embed_strings,
+            lsh_candidates,
+        )
 
         if self.normalize:
             key = norm_key(F.col("string"), self.normalize)
@@ -117,36 +133,52 @@ class EmbeddingPass:
                 F.col("norm").isNotNull() & (F.col("norm") != "")
             )
             universe = keyed.select(F.col("norm").alias("string")).distinct()
-            emb = embed_strings(universe, count_col=None, dim=self.dim, seed=self.seed)
-            shadow = MatchData.from_unmatched(universe)
-            clustered = unite_similar(
-                shadow, emb, threshold=self.threshold, alpha=self.alpha,
-                candidate_mode=self.candidate_mode,
-                **(dict(num_hash_tables=self.num_hash_tables,
-                        bucket_length=self.bucket_length)
-                   if self.candidate_mode == "lsh" else {}),
-            )
-            # pull normalized-form groups back to raw strings
-            edges = keyed.join(
-                clustered.df.select(F.col("string").alias("norm"), "group"), "norm"
-            ).select(F.col("string").alias("src"), F.col("group").alias("dst"))
-            return md.unite(edges)
-        emb = embed_strings(md.df, dim=self.dim, seed=self.seed)
-        return unite_similar(
-            md, emb, threshold=self.threshold, alpha=self.alpha,
-            candidate_mode=self.candidate_mode,
-            **(dict(num_hash_tables=self.num_hash_tables,
-                    bucket_length=self.bucket_length)
-               if self.candidate_mode == "lsh" else {}),
+        else:
+            keyed = md.df.select("string", F.col("string").alias("norm"))
+            universe = md.df.select("string")
+        emb = embed_strings(universe, count_col=None, dim=self.dim, seed=self.seed)
+        cos_t = (
+            1.0 + _math.log(self.threshold) / self.alpha
+            if self.threshold > 0
+            else -99.0
         )
+        if self.candidate_mode == "bruteforce":
+            cand = bruteforce_candidates(emb, cos_t)
+        else:
+            cand = lsh_candidates(
+                emb, cos_t,
+                num_hash_tables=self.num_hash_tables,
+                bucket_length=self.bucket_length,
+            )
+        # pull normalized-form candidate edges back to raw strings
+        k0 = keyed.select(F.col("string").alias("r0"), F.col("norm").alias("s0"))
+        k1 = keyed.select(F.col("string").alias("r1"), F.col("norm").alias("s1"))
+        return (
+            cand.join(k0, "s0").join(k1, "s1")
+            .select(F.col("r0").alias("src"), F.col("r1").alias("dst"))
+        )
+
+    def apply(self, md: MatchData, lineage: LineageLog) -> MatchData:
+        return md.unite(self.edges(md, lineage))
 
 
 @dataclass
 class MatchPipeline:
-    """Ordered multi-pass plan with checkpoint/resume and lineage."""
+    """Ordered multi-pass plan with checkpoint/resume and lineage.
+
+    Two execution modes:
+    - ``fuse_cc=True`` (default): every pass emits its edge set (each pass's
+      candidates are a function of the string universe, not of the running
+      partition), edges checkpoint per pass, and ONE connected-components run
+      closes the union. Transitive closure is monotone, so the result is
+      identical to sequential uniting — with P−1 fewer CC rounds.
+    - ``fuse_cc=False``: sequential ``pass.apply`` per pass, checkpointing
+      the partition after each (the reference's unite-after-unite shape).
+    """
 
     passes: list = field(default_factory=lambda: [ExactKeyPass(), TokenSimPass()])
     checkpoint_dir: str | None = None
+    fuse_cc: bool = True
 
     def run(
         self,
@@ -165,6 +197,9 @@ class MatchPipeline:
             names.withColumn("group", F.col("string")), _relabel=False
         )
         lineage.add("ingest", "distinct_strings", md.df.count())
+
+        if self.fuse_cc:
+            return self._run_fused(spark, md, lineage, resume)
 
         for i, p in enumerate(self.passes):
             stage_dir = (
@@ -187,6 +222,56 @@ class MatchPipeline:
             lineage.add(p.name, "groups", n_groups, checkpoint=stage_dir)
             lineage.add_partition_stats(md.df, p.name)
             lineage.flush()
+        return md, lineage
+
+    def _run_fused(self, spark, md: MatchData, lineage: LineageLog, resume: bool):
+        all_edges = None
+        all_resumed = True
+        for i, p in enumerate(self.passes):
+            stage_dir = (
+                os.path.join(self.checkpoint_dir, f"{i:02d}_{p.name}_edges")
+                if self.checkpoint_dir
+                else None
+            )
+            if resume and stage_dir and _checkpoint_exists(spark, stage_dir):
+                edges = spark.read.parquet(stage_dir)
+                lineage.add(p.name, "resumed_from_checkpoint", 1.0, checkpoint=stage_dir)
+            else:
+                all_resumed = False
+                t0 = time.time()
+                edges = p.edges(md, lineage)
+                if stage_dir:
+                    edges.write.mode("overwrite").parquet(stage_dir)
+                    edges = spark.read.parquet(stage_dir)
+                lineage.add(p.name, "wall_sec", time.time() - t0, checkpoint=stage_dir)
+                lineage.add_partition_stats(edges, p.name)
+            all_edges = edges if all_edges is None else all_edges.union(edges)
+
+        final_dir = (
+            os.path.join(self.checkpoint_dir, "zz_clusters")
+            if self.checkpoint_dir
+            else None
+        )
+        if (
+            resume
+            and all_resumed
+            and final_dir
+            and _checkpoint_exists(spark, final_dir)
+        ):
+            md = MatchData(spark.read.parquet(final_dir), _relabel=False)
+            lineage.add("fused_cc", "resumed_from_checkpoint", 1.0, checkpoint=final_dir)
+            lineage.flush()
+            return md, lineage
+
+        t0 = time.time()
+        md = md.unite(all_edges) if all_edges is not None else md
+        if final_dir:
+            md.df.write.mode("overwrite").parquet(final_dir)
+            md = MatchData(spark.read.parquet(final_dir), _relabel=False)
+        lineage.add("fused_cc", "wall_sec", time.time() - t0, checkpoint=final_dir)
+        lineage.add("fused_cc", "groups", md.df.select("group").distinct().count())
+        lineage.add_partition_stats(md.df, "fused_cc")
+        lineage.flush()
         return md, lineage
 
 

@@ -141,8 +141,11 @@ def test_assign_records_joins_back(spark, fixture_run):
 def test_resume_from_checkpoint(spark, fixture_run):
     fx, records, gold, pairs, md, ckpt, pipe = fixture_run
     md2, lineage2 = pipe.run(records, string_col="repo", resume=True)
-    resumed = [r for r in lineage2.rows if r["metric"] == "resumed_from_checkpoint"]
-    assert len(resumed) == len(pipe.passes)
+    lin_all = spark.read.parquet(f"{ckpt}/lineage.parquet")
+    resumed = lin_all.where(
+        F.col("metric") == "resumed_from_checkpoint"
+    ).count()
+    assert resumed >= len(pipe.passes)
     # identical result
     a = {(r["string"], r["group"]) for r in md.df.collect()}
     b = {(r["string"], r["group"]) for r in md2.df.collect()}

@@ -128,9 +128,9 @@ def main():
         "Notes:",
         "- Hardware ceiling on this shared VM (raw python busy-loop processes,",
         "  no Spark): 0.975 efficiency at 2→8 cores, 0.906 at 4→16, 0.766 at",
-        "  8→32 — running all 32 threads drops the effective clock, so no",
-        "  workload of any kind can show ≥0.8 at 8→32 here. N=4 → 4N=16 is the",
-        "  fair measurement window.",
+        "  8→32 — more active threads drop the effective clock, so no workload",
+        f"  of any kind can reach ≥0.8 at 8→32 here; {n_low}→{n_high} is the",
+        "  fair N→4N window on this box.",
         "- local-mode efficiency also under-states cluster scaling: one JVM,",
         "  one shuffle disk, one driver. On a real cluster the same plans",
         "  shard per executor.",
