@@ -80,6 +80,30 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _union_find_local(edge_rows) -> dict:
+    """Driver-side union-find for the adaptive small-graph path."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    nodes = set()
+    for u, v in edge_rows:
+        nodes.add(u)
+        nodes.add(v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # min id becomes the root → deterministic component labels
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+    return {x: find(x) for x in nodes}
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -87,11 +111,18 @@ def connected_components(
     max_iter: int = 40,
     checkpoint_dir: str | None = None,
     lineage: list | None = None,
+    small_graph_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Compute connected components of an undirected edge DataFrame.
 
     Returns (node, component) for every node appearing in ``edges``;
     ``component`` is the minimum node id of the component (deterministic).
+
+    Adaptive execution: below ``small_graph_threshold`` edges the O(log n)
+    shuffle rounds are pure scheduling latency, so the canonical edge set is
+    collected and solved with driver-side union-find (same partition, same
+    min-id labels) — the AQE-style small-side fast path. At data scale the
+    iterative large-star/small-star path runs.
 
     Callers with isolated nodes union them in afterwards (see
     ``labels_for_nodes``).
@@ -104,6 +135,19 @@ def connected_components(
     e = e.checkpoint() if checkpoint_dir else e.localCheckpoint()
     prev = _checksum(e)
     _log(lineage, "cc", 0, prev[0], "edges", float(prev[0]))
+
+    if prev[0] <= small_graph_threshold:
+        rows = [(r["u"], r["v"]) for r in e.collect()]
+        comp = _union_find_local(rows)
+        _log(lineage, "cc", 1, len(comp), "small_graph_union_find", 1.0)
+        if not comp:
+            return spark.createDataFrame([], e.schema).select(
+                F.col("u").alias("node"), F.col("v").alias("component")
+            )
+        out = spark.createDataFrame(
+            list(comp.items()), ["node", "component"]
+        )
+        return out
 
     for it in range(1, max_iter + 1):
         t0 = time.time()

@@ -16,17 +16,20 @@ def _nx_components(edges):
     return {frozenset(c) for c in nx.connected_components(g)}
 
 
-def _spark_components(spark, edges):
+def _spark_components(spark, edges, threshold):
     df = spark.createDataFrame(edges, ["src", "dst"])
-    labels = connected_components(df)
+    labels = connected_components(df, small_graph_threshold=threshold)
     out = {}
     for r in labels.collect():
         out.setdefault(r["component"], set()).add(r["node"])
     return {frozenset(v) for v in out.values()}
 
 
+# threshold=0 forces the distributed large-star/small-star path;
+# a big threshold takes the adaptive driver union-find fast path
+@pytest.mark.parametrize("threshold", [0, 10**6])
 @pytest.mark.parametrize("seed", [0, 1, 2])
-def test_cc_matches_networkx_random(spark, seed):
+def test_cc_matches_networkx_random(spark, seed, threshold):
     rng = random.Random(seed)
     n, m = 300, 220
     nodes = [f"n{i:04d}" for i in range(n)]
@@ -35,21 +38,26 @@ def test_cc_matches_networkx_random(spark, seed):
         for _ in range(m)
     ]
     edges = [(a, b) for a, b in edges if a != b]
-    assert _spark_components(spark, edges) == _nx_components(edges)
+    assert _spark_components(spark, edges, threshold) == _nx_components(edges)
 
 
-def test_cc_chain_and_star(spark):
+@pytest.mark.parametrize("threshold", [0, 10**6])
+def test_cc_chain_and_star(spark, threshold):
     # a long chain stresses the O(log n) contraction
     chain = [(f"c{i:03d}", f"c{i+1:03d}") for i in range(60)]
     star = [("hub", f"leaf{i}") for i in range(20)]
     edges = chain + star + [("x1", "x2")]
-    assert _spark_components(spark, edges) == _nx_components(edges)
+    assert _spark_components(spark, edges, threshold) == _nx_components(edges)
 
 
-def test_cc_component_label_is_min(spark):
+@pytest.mark.parametrize("threshold", [0, 10**6])
+def test_cc_component_label_is_min(spark, threshold):
     edges = [("b", "c"), ("c", "a"), ("z", "y")]
     df = spark.createDataFrame(edges, ["src", "dst"])
-    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df, small_graph_threshold=threshold).collect()
+    }
     assert got == {"a": "a", "b": "a", "c": "a", "y": "y", "z": "y"}
 
 
