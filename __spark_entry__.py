@@ -279,6 +279,28 @@ def q_top_scored_pairs(spark, sf_dir):
     return out
 
 
+def q_fallback_scores(spark, sf_dir):
+    """Jaro-Winkler (Arrow pandas UDF) + normalized Levenshtein (builtin) on
+    consecutive-key part-name pairs — oracle-checked against DuckDB's own
+    jaro_winkler_similarity/levenshtein."""
+    from nama_spark.operators.score import add_fallback_scores
+
+    part = _t(spark, sf_dir, "part")
+    a = part.select(F.col("p_partkey").alias("k"), F.col("p_name").alias("s0"))
+    b = part.select(
+        (F.col("p_partkey") - 1).alias("k"), F.col("p_name").alias("s1")
+    )
+    pairs = a.join(b, "k")
+    out = add_fallback_scores(pairs)
+    return out.select(
+        "k",
+        "s0",
+        "s1",
+        F.round("jaro_winkler", 5).alias("jw"),
+        F.round("levenshtein_sim", 5).alias("lev_sim"),
+    )
+
+
 def q_tpch_q1_pricing_summary(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -474,6 +496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "confusion_cells": q_confusion_cells,
         "score_metrics": q_score_metrics,
         "top_scored_pairs": q_top_scored_pairs,
+        "fallback_scores": q_fallback_scores,
         "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
         "top_customers_by_revenue": q_top_customers_by_revenue,
         "events_hourly": q_events_hourly,
@@ -778,6 +801,16 @@ def oracle_sql() -> dict[str, str]:
         JOIN counts c1 ON c1.string = s1
         ORDER BY impact DESC, score DESC, s0, s1
         LIMIT 20
+    """
+
+    q["fallback_scores"] = """
+        SELECT a.p_partkey AS k, a.p_name AS s0, b.p_name AS s1,
+               round(jaro_winkler_similarity(a.p_name, b.p_name), 5) AS jw,
+               round(CASE WHEN greatest(length(a.p_name), length(b.p_name)) > 0
+                     THEN 1.0 - levenshtein(a.p_name, b.p_name) * 1.0
+                          / greatest(length(a.p_name), length(b.p_name))
+                     ELSE 1.0 END, 5) AS lev_sim
+        FROM part a JOIN part b ON a.p_partkey = b.p_partkey - 1
     """
 
     q["tpch_q1_pricing_summary"] = """

@@ -221,7 +221,11 @@ def _jaro_winkler_np(a: str, b: str, prefix_weight: float = 0.1) -> float:
     t = sum(1 for ai, bi in zip((a[i] for i in range(la) if match_a[i]), bs) if ai != bi)
     t //= 2
     jaro = (matches / la + matches / lb + (matches - t) / matches) / 3
-    # common prefix up to 4
+    # Winkler boost only above the classic 0.7 cutoff (Winkler 1990; same
+    # rule as jellyfish — the reference's own baseline dependency — and
+    # DuckDB's jaro_winkler_similarity, which oracle-checks this function)
+    if jaro <= 0.7:
+        return jaro
     prefix = 0
     for ca, cb in zip(a[:4], b[:4]):
         if ca == cb:
