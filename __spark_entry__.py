@@ -85,7 +85,9 @@ def _doc_shingle_pairs(spark, sf_dir, threshold=0.5):
     from nama_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, k=3, threshold=threshold, max_df=100000)
+    # max_df mirrors the operator's intended skew cap (dedup.py ngram_jaccard_pairs):
+    # a shingle shared by >1000 docs is a stop-shingle, not a dedup signal
+    return ngram_jaccard_pairs(docs, k=3, threshold=threshold, max_df=1000)
 
 
 # ---------------------------------------------------------------------------
@@ -478,7 +480,18 @@ def q_multimodal_image_features(spark, sf_dir):
     )
 
     media = media_from_documents(_t(spark, sf_dir, "documents"))
-    return extract_image_features(media, fake=True, dim=8)
+    feats = extract_image_features(media, fake=True, dim=8)
+    # the driver canonicalizer sorts rows — a raw array<float> column is
+    # unhashable there, so serialize the vector to a fixed-point string
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        F.round(F.col("mean_luma").cast("double"), 5).alias("mean_luma"),
+        F.concat_ws(
+            ",", F.transform(F.col("feature"), lambda x: F.format_string("%.5f", x))
+        ).alias("feature_csv"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -572,7 +585,8 @@ _SQL_WORD_TOKENS = """
 _SQL_TOKEN_BASE = f"""
     toks_all AS ({_SQL_WORD_TOKENS}),
     tf AS (SELECT string, token, count(*) AS tf FROM toks_all GROUP BY 1, 2),
-    tok_agg AS (SELECT token, sum(tf) AS f, count(*) AS n_strings FROM tf GROUP BY 1),
+    tok_agg AS (SELECT token, cast(sum(tf) AS BIGINT) AS f, count(*) AS n_strings
+                FROM tf GROUP BY 1),
     weights AS (SELECT token, f, f AS d, f / ln(1 + f) AS weight FROM tok_agg),
     elig AS (SELECT token FROM weights WHERE d BETWEEN 2 AND 100),
     pairs AS (
@@ -630,7 +644,7 @@ _SQL_SHINGLES = r"""
 _SQL_JACCARD_PAIRS = f"""
     {_SQL_SHINGLES},
     dfreq AS (SELECT shingle, count(*) AS df FROM shingles GROUP BY 1),
-    selig AS (SELECT shingle FROM dfreq WHERE df BETWEEN 2 AND 100000),
+    selig AS (SELECT shingle FROM dfreq WHERE df BETWEEN 2 AND 1000),
     cand AS (
         SELECT DISTINCT a.doc_id AS id0, b.doc_id AS id1
         FROM (SELECT s.* FROM shingles s JOIN selig USING (shingle)) a
@@ -739,7 +753,8 @@ def oracle_sql() -> dict[str, str]:
     q["merge_dfs_group_join"] = """
         WITH g0 AS (SELECT p_name AS string, min(p_brand) AS grp FROM part GROUP BY 1),
         g AS (SELECT string, min(string) OVER (PARTITION BY grp) AS match_group FROM g0),
-        l AS (SELECT p_name AS name_l, sum(p_size) AS size_sum FROM part GROUP BY 1),
+        l AS (SELECT p_name AS name_l, cast(sum(p_size) AS BIGINT) AS size_sum
+              FROM part GROUP BY 1),
         r AS (SELECT p_name AS name_r, round(sum(p_retailprice), 4) AS retail_sum
               FROM part GROUP BY 1)
         SELECT ga.match_group, l.name_l, r.name_r, l.size_sum, r.retail_sum
@@ -847,7 +862,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts)
         )
-        SELECT user_id, sum(is_new) AS n_sessions FROM flags GROUP BY 1
+        SELECT user_id, cast(sum(is_new) AS BIGINT) AS n_sessions FROM flags GROUP BY 1
     """
 
     q["dedup_exact_docs"] = """

@@ -210,7 +210,7 @@ def bench_ngram_jaccard(spark, sf_dir):
     docs = _docs_scaled(spark, sf_dir).cache()
     docs.count()
     t0 = time.time()
-    n = ngram_jaccard_pairs(docs, k=3, threshold=0.5, max_df=100000).count()
+    n = ngram_jaccard_pairs(docs, k=3, threshold=0.5, max_df=1000).count()
     wall = time.time() - t0
     docs.unpersist()
     return wall, {"jaccard_pairs": n}
@@ -312,7 +312,7 @@ def main():
     out = {
         "metric": "candidate_pairs_per_sec",
         "value": round(pairs_per_sec, 1),
-        "unit": "sec",
+        "unit": "pairs/sec",
         "queries": queries,
         "sf": sf,
         "cpus": cpus,

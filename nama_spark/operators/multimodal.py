@@ -98,7 +98,11 @@ def sample_video_frames(media: DataFrame, every_n: int = 10, fake: bool = False)
     n_frames = F.coalesce(
         F.get_json_object(F.col("meta"), "$.n_frames").cast("int"), F.lit(30)
     )
-    frames = F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
+    # n_frames <= 0 would run F.sequence backwards against a positive step
+    # (runtime error) — such rows yield zero frames instead
+    frames = F.when(
+        n_frames > 0, F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
+    ).otherwise(F.array().cast("array<int>"))
     out = vids.select("media_id", F.explode(frames).alias("frame_idx"))
     if not fake:
         # real decode would happen in a mapInPandas over (media_id, frame_idx)

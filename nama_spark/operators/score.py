@@ -116,9 +116,9 @@ def token_similarity_scores_map(
             F.map_keys(it_map),
             F.lit(0.0),
             lambda acc, k: acc
-            + F.when(other.getItem(k).isNotNull(), it_map.getItem(k)).otherwise(
-                F.lit(0.0)
-            ),
+            + F.when(
+                F.element_at(other, k).isNotNull(), F.element_at(it_map, k)
+            ).otherwise(F.lit(0.0)),
         )
         union = F.col("w_sum0") + F.col("w_sum1") - inter
         score = F.when((inter > 0) & (union > 0), inter / union).otherwise(F.lit(0.0))
@@ -128,7 +128,8 @@ def token_similarity_scores_map(
             F.lit(0.0),
             lambda acc, k: acc
             + F.when(
-                other.getItem(k).isNotNull(), it_map.getItem(k) * it_map.getItem(k)
+                F.element_at(other, k).isNotNull(),
+                F.element_at(it_map, k) * F.element_at(it_map, k),
             ).otherwise(F.lit(0.0)),
         )
         denom = F.sqrt(F.col("w2_sum0")) * F.sqrt(F.col("w2_sum1"))

@@ -87,6 +87,18 @@ def main():
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
+            # driver-style dtype probe: DuckDB HUGEINT (sum() of integers)
+            # converts to float64 in arrow/pandas and breaks the value hash
+            # even when python ints compare equal — flag it here.
+            otypes = [d[1] for d in res.description]
+            hugeint_cols = [
+                c for c, t in zip(ocols, otypes) if str(t).upper().startswith("HUGEINT")
+            ]
+            if hugeint_cols:
+                print(
+                    f"WARN  {name}: oracle columns {hugeint_cols} are HUGEINT "
+                    f"(cast ::BIGINT or the driver hash will mismatch)"
+                )
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
