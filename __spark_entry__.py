@@ -96,13 +96,23 @@ def _doc_shingle_pairs(spark, sf_dir, threshold=0.5):
 
 def entry(spark: SparkSession) -> DataFrame:
     """Full ER pipeline on sf0.001: ingest → exact-key pass → token-sim pass
-    → distributed CC → clusters (string, count, group)."""
-    from nama_spark.plans.pipeline import ExactKeyPass, MatchPipeline, TokenSimPass
+    → embedding-LSH pass → distributed CC → clusters (string, count, group).
+    All three blocking passes (B1/B2/B3, SURVEY.md §3) run fused into one CC."""
+    from nama_spark.plans.pipeline import (
+        EmbeddingPass,
+        ExactKeyPass,
+        MatchPipeline,
+        TokenSimPass,
+    )
 
     sf_dir = "/root/testdata/sf0.001"
     records = _variants(spark, sf_dir).withColumnRenamed("string", "repo")
     pipe = MatchPipeline(
-        passes=[ExactKeyPass(key="simplify_corp"), TokenSimPass(threshold=0.7)],
+        passes=[
+            ExactKeyPass(key="simplify_corp"),
+            TokenSimPass(threshold=0.7),
+            EmbeddingPass(threshold=0.5),
+        ],
         checkpoint_dir=None,
     )
     md, _ = pipe.run(records, string_col="repo")
@@ -419,14 +429,42 @@ def q_embedding_threshold_pairs(spark, sf_dir):
     )
 
 
-# ---- rows-only queries (non-SQL-expressible: iterative CC / LSH / stubs) ----
-
 def q_pipeline_cluster_flagship(spark, sf_dir):
+    """Two-pass flagship (exact-key + token-sim, fused CC) — fully
+    oracle-checked: the DuckDB side replicates both edge sets and closes them
+    with a recursive CTE."""
     from nama_spark.plans.pipeline import ExactKeyPass, MatchPipeline, TokenSimPass
 
     records = _variants(spark, sf_dir).withColumnRenamed("string", "repo")
     pipe = MatchPipeline(
         passes=[ExactKeyPass(key="simplify_corp"), TokenSimPass(threshold=0.7)]
+    )
+    md, _ = pipe.run(records, string_col="repo")
+    return md.df
+
+
+# ---- rows-only queries (non-SQL-expressible: iterative CC / LSH / stubs) ----
+
+def q_pipeline_cluster_flagship_3pass(spark, sf_dir):
+    """Full three-pass flagship (B1 exact-key + B2 token-sim + B3
+    embedding-LSH). The embedding pass uses the deterministic hashed-ngram
+    embedder (Python, seeded) — not SQL-expressible, so this row is the
+    deterministic rows-count-pinned check; the 2-pass prefix is oracle-checked
+    by pipeline_cluster_flagship."""
+    from nama_spark.plans.pipeline import (
+        EmbeddingPass,
+        ExactKeyPass,
+        MatchPipeline,
+        TokenSimPass,
+    )
+
+    records = _variants(spark, sf_dir).withColumnRenamed("string", "repo")
+    pipe = MatchPipeline(
+        passes=[
+            ExactKeyPass(key="simplify_corp"),
+            TokenSimPass(threshold=0.7),
+            EmbeddingPass(threshold=0.5),
+        ]
     )
     md, _ = pipe.run(records, string_col="repo")
     return md.df
@@ -441,9 +479,14 @@ def q_near_dup_clusters_cc(spark, sf_dir):
 
 
 def q_simhash_near_pairs(spark, sf_dir):
+    """SimHash near-pairs — oracle-checked: the 16-bit banding is
+    pigeonhole-complete for hamming ≤ 3 (4 bands, ≤3 differing bits → ≥1 band
+    equal), so the banded result equals the exact all-pairs set the DuckDB
+    oracle computes from the same md5 bit math."""
     from nama_spark.operators.dedup import simhash_near_pairs
 
-    return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+    out = simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+    return out.select("id0", "id1", F.col("hamming").cast("long").alias("hamming"))
 
 
 def q_ann_lsh_topk(spark, sf_dir):
@@ -464,13 +507,32 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 
 def q_embedding_unite_similar(spark, sf_dir):
-    from nama_spark.operators.embed import embed_strings, unite_similar
+    """Fast-path unite_similar (_fast_unite_similar, embeddings.py:144-174)
+    over the fixed embeddings table — oracle-checked: the result partition is
+    exactly the connected components of the dot ≥ 0.3 graph (threshold
+    pushdown p=exp(−α(1−cos_t)) with α=20 → cos_t=0.3). Vectors are stored
+    unit-norm, so the raw dot is the cosine; both sides sum the same doubles
+    in array order. The LSH candidate path is exercised by
+    pipeline_cluster_flagship_3pass and the recall pytest."""
+    import math
+
+    from nama_spark.operators.embed import unite_similar
     from nama_spark.operators.matchdata import MatchData
 
-    names = _variants(spark, sf_dir)
-    emb = embed_strings(names, count_col=None, dim=64, seed=42)
-    md = MatchData.from_unmatched(names)
-    return unite_similar(md, emb, threshold=0.5, candidate_mode="lsh").df
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("string").alias("string"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    base = (
+        emb.select("string")
+        .withColumn("count", F.lit(1).cast("long"))
+        .withColumn("group", F.col("string"))
+    )
+    md = MatchData(base, _relabel=False)
+    out = unite_similar(
+        md, emb, threshold=math.exp(-20.0 * (1.0 - 0.3)), candidate_mode="bruteforce"
+    )
+    return out.df
 
 
 def q_multimodal_image_features(spark, sf_dir):
@@ -520,13 +582,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_profile": q_text_quality_profile,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_threshold_pairs": q_embedding_threshold_pairs,
-        # rows-only (no oracle: iterative CC, approximate LSH/IVF, media stub)
+        # oracle-checked via recursive-CTE connected components / bit math
         "pipeline_cluster_flagship": q_pipeline_cluster_flagship,
         "near_dup_clusters_cc": q_near_dup_clusters_cc,
         "simhash_near_pairs": q_simhash_near_pairs,
+        "embedding_unite_similar": q_embedding_unite_similar,
+        # rows-only (no oracle: seeded MLlib LSH/k-means approximations, the
+        # Python hashed-ngram embedder, media stub)
+        "pipeline_cluster_flagship_3pass": q_pipeline_cluster_flagship_3pass,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
-        "embedding_unite_similar": q_embedding_unite_similar,
         "multimodal_image_features": q_multimodal_image_features,
     }
 
@@ -665,6 +730,67 @@ _SQL_JACCARD_PAIRS = f"""
         FROM sinter i
         JOIN sh_sizes z0 ON z0.doc_id = i.id0
         JOIN sh_sizes z1 ON z1.doc_id = i.id1
+    )
+"""
+
+# Recursive-CTE connected components (test-scale oracle only — the engine's
+# own CC is the large-star/small-star pass): reach(node, r) enumerates every
+# node reachable from `node`; min(r) is the component label, the same min-id
+# label the distributed CC elects (cluster.py:107).
+def _sql_cc_reach(nodes_cte: str, edges_cte: str) -> str:
+    return f"""
+    bi AS (SELECT u, v FROM {edges_cte} UNION SELECT v, u FROM {edges_cte}),
+    reach(node, r) AS (
+        SELECT node, node FROM {nodes_cte}
+        UNION
+        SELECT reach.node, bi.v FROM reach JOIN bi ON bi.u = reach.r
+    )"""
+
+
+# nmgrams(2,3) token-similarity scoring over a universe CTE `u(string)` —
+# mirrors tokens_table(nmgrams23) + tf-idf weights (d == f quirk) + eligible
+# [2,100] blocking + weighted set-jaccard (functions/tokenize.py,
+# operators/score.py). DuckDB string slicing is 1-based inclusive.
+_SQL_NMGRAM_TOKSIM = """
+    grams AS (
+        SELECT string, unnest(list_concat(
+            CASE WHEN len(string) >= 2
+                 THEN list_transform(range(1, len(string)), i -> string[i:i+1])
+                 ELSE []::VARCHAR[] END,
+            CASE WHEN len(string) >= 3
+                 THEN list_transform(range(1, len(string) - 1), i -> string[i:i+2])
+                 ELSE []::VARCHAR[] END)) AS token
+        FROM u
+    ),
+    gtf AS (SELECT string, token, count(*) AS tf FROM grams GROUP BY 1, 2),
+    gagg AS (SELECT token, cast(sum(tf) AS BIGINT) AS f FROM gtf GROUP BY 1),
+    gweights AS (SELECT token, f AS d, f / ln(1 + f) AS weight FROM gagg),
+    gelig AS (SELECT token FROM gweights WHERE d BETWEEN 2 AND 100),
+    gsets AS (SELECT DISTINCT string, token FROM gtf),
+    gpairs AS (
+        SELECT DISTINCT a.string AS s0, b.string AS s1
+        FROM gsets a JOIN gsets b USING (token) JOIN gelig USING (token)
+        WHERE a.string < b.string
+    ),
+    gnorms AS (
+        SELECT string, sum(weight) AS w_sum
+        FROM gsets JOIN gweights USING (token) GROUP BY 1
+    ),
+    ginter AS (
+        SELECT p.s0, p.s1, sum(wt.weight) AS iw
+        FROM gpairs p
+        JOIN gsets t0 ON t0.string = p.s0
+        JOIN gsets t1 ON t1.string = p.s1 AND t1.token = t0.token
+        JOIN gweights wt ON wt.token = t0.token
+        GROUP BY 1, 2
+    ),
+    gscored AS (
+        SELECT p.s0, p.s1,
+               coalesce(i.iw, 0) / (n0.w_sum + n1.w_sum - coalesce(i.iw, 0)) AS score
+        FROM gpairs p
+        LEFT JOIN ginter i ON i.s0 = p.s0 AND i.s1 = p.s1
+        JOIN gnorms n0 ON n0.string = p.s0
+        JOIN gnorms n1 ON n1.string = p.s1
     )
 """
 
@@ -988,6 +1114,90 @@ def oracle_sql() -> dict[str, str]:
               / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
                  * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
               >= 0.5
+    """
+
+    q["pipeline_cluster_flagship"] = f"""
+        WITH RECURSIVE
+        v AS ({_SQL_VARIANTS}),
+        kk AS (SELECT string, {_sql_simplify_corp('string')} AS norm FROM v),
+        keyed AS (SELECT * FROM kk WHERE norm != ''),
+        exact_edges AS (
+            SELECT a.string AS u, b.string AS v
+            FROM keyed a JOIN keyed b ON a.norm = b.norm AND a.string < b.string
+        ),
+        u AS (SELECT DISTINCT norm AS string FROM keyed),
+        {_SQL_NMGRAM_TOKSIM},
+        tok_edges AS (
+            SELECT k0.string AS u, k1.string AS v
+            FROM (SELECT s0, s1 FROM gscored WHERE score >= 0.7) e
+            JOIN keyed k0 ON k0.norm = e.s0
+            JOIN keyed k1 ON k1.norm = e.s1
+        ),
+        all_edges AS (
+            SELECT u, v FROM exact_edges UNION SELECT u, v FROM tok_edges
+        ),
+        nodes AS (SELECT string AS node FROM v),
+        {_sql_cc_reach('nodes', 'all_edges')}
+        SELECT node AS string, 1::BIGINT AS count, min(r) AS "group"
+        FROM reach GROUP BY node
+    """
+
+    q["near_dup_clusters_cc"] = f"""
+        WITH RECURSIVE {_SQL_JACCARD_PAIRS},
+        edges AS (
+            SELECT cast(id0 AS VARCHAR) AS u, cast(id1 AS VARCHAR) AS v
+            FROM jac WHERE jaccard >= 0.5
+        ),
+        nodes AS (SELECT cast(doc_id AS VARCHAR) AS node FROM documents),
+        {_sql_cc_reach('nodes', 'edges')}
+        SELECT cast(node AS BIGINT) AS doc_id, cast(min(r) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY node
+    """
+
+    q["embedding_unite_similar"] = f"""
+        WITH RECURSIVE
+        sim AS (
+            SELECT cast(a.vec_id AS VARCHAR) AS u, cast(b.vec_id AS VARCHAR) AS v
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
+        ),
+        nodes AS (SELECT cast(vec_id AS VARCHAR) AS node FROM embeddings),
+        {_sql_cc_reach('nodes', 'sim')}
+        SELECT node AS string, 1::BIGINT AS count, min(r) AS "group"
+        FROM reach GROUP BY node
+    """
+
+    # SimHash: per word, h = first 8 bytes of md5 (big-endian); bit i of h is
+    # nibble 16 - i//4 (1-based hex digit), position i%4 — summed ±1 per word
+    # occurrence, bit set iff the sum is positive (dedup.py simhash_64).
+    q["simhash_near_pairs"] = r"""
+        WITH
+        w AS (SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                        x -> x != '')) AS word
+              FROM documents),
+        contrib AS (
+            SELECT doc_id, t.i,
+                   CASE WHEN ((instr('0123456789abcdef',
+                                     substr(md5(word), CAST(16 - (t.i // 4) AS INT), 1)) - 1)
+                              >> CAST(t.i % 4 AS INT)) & 1 = 1
+                        THEN 1 ELSE -1 END AS c
+            FROM w, range(64) t(i)
+        ),
+        acc AS (SELECT doc_id, i, sum(c) AS s FROM contrib GROUP BY 1, 2),
+        b AS (
+            SELECT d.doc_id, t.i,
+                   CASE WHEN coalesce(a.s, 0) > 0 THEN 1 ELSE 0 END AS bit
+            FROM documents d CROSS JOIN range(64) t(i)
+            LEFT JOIN acc a ON a.doc_id = d.doc_id AND a.i = t.i
+        )
+        SELECT p0.doc_id AS id0, p1.doc_id AS id1,
+               cast(sum(CASE WHEN p0.bit != p1.bit THEN 1 ELSE 0 END) AS BIGINT)
+                   AS hamming
+        FROM b p0 JOIN b p1 ON p0.i = p1.i AND p0.doc_id < p1.doc_id
+        GROUP BY 1, 2
+        HAVING sum(CASE WHEN p0.bit != p1.bit THEN 1 ELSE 0 END) <= 3
     """
 
     return {k: v.strip() for k, v in q.items()}
