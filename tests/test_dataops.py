@@ -102,7 +102,9 @@ def test_ann_bruteforce_vs_lsh_and_ivf(spark):
     overlap = sum(
         len(set(bf_map[q]) & set(lsh_map.get(q, []))) for q in bf_map
     ) / (len(bf_map) * 5)
-    assert overlap >= 0.8, overlap
+    # recall must be exactly 1.0 at these parameters (fixed seed): the driver
+    # oracle for ann_lsh_topk compares the LSH result against the exact top-k
+    assert overlap == 1.0, overlap
     ivf = ivf_topk(emb, queries, k=5, n_cells=8, nprobe=4)
     ivf_map = {}
     for r in ivf.collect():
