@@ -552,6 +552,44 @@ def q_embedding_unite_similar(spark, sf_dir):
     return out.df
 
 
+def q_pair_losses(spark, sf_dir):
+    """iter_scores assembled end-to-end (embeddings.py:536-625): scored pair
+    stream over the embeddings table with the `label` column as the current
+    partition — calibrated score + XE loss (count-weighted form; counts are 1
+    so the weight is 1 and loss = plain-loss², the reference's
+    loss *= weights*loss). min_score pushes the cos ≥ 0.3 threshold into the
+    candidate join."""
+    import math
+
+    from nama_spark.operators.embed import iter_scores
+    from nama_spark.operators.matchdata import MatchData
+
+    emb = _t(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        F.col("vec_id").cast("string").alias("string"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    md = MatchData(
+        emb.select(
+            F.col("vec_id").cast("string").alias("string"),
+            F.lit(1).cast("long").alias("count"),
+            F.col("label").cast("string").alias("group"),
+        ),
+        _relabel=False,
+    )
+    out = iter_scores(md, vecs, min_score=math.exp(-20.0 * (1.0 - 0.3)))
+    return out.select(
+        "string0",
+        "string1",
+        "group0",
+        "group1",
+        F.round("cos", 5).alias("cos"),
+        F.round("score", 6).alias("score"),
+        F.round("loss", 6).alias("loss"),
+        "is_match",
+    )
+
+
 def q_multimodal_image_features(spark, sf_dir):
     from nama_spark.operators.multimodal import (
         extract_image_features,
@@ -606,6 +644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_unite_similar": q_embedding_unite_similar,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "pair_losses": q_pair_losses,
         # rows-only (no oracle: the Python hashed-ngram embedder, media stub)
         "pipeline_cluster_flagship_3pass": q_pipeline_cluster_flagship_3pass,
         "multimodal_image_features": q_multimodal_image_features,
@@ -1122,6 +1161,40 @@ def oracle_sql() -> dict[str, str]:
     # exact by construction) both reproduce the exact top-k — same oracle
     q["ann_lsh_topk"] = q["ann_cosine_topk"]
     q["ann_ivf_topk"] = q["ann_cosine_topk"]
+
+    # iter_scores: Z = max(α(1−dot), ε); loss = Y·Z − xlogy(1−Y, 1−e^(−Z)),
+    # then the reference's weighted form squares it (weights are 1 here)
+    q["pair_losses"] = """
+        WITH pairs AS (
+            SELECT cast(a.vec_id AS VARCHAR) AS string0,
+                   cast(b.vec_id AS VARCHAR) AS string1,
+                   cast(a.label AS VARCHAR) AS group0,
+                   cast(b.label AS VARCHAR) AS group1,
+                   list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS dot,
+                   (a.label = b.label) AS is_match
+            FROM embeddings a, embeddings b
+            -- pair orientation follows the STRING universe (s0 < s1 on the
+            -- stringified ids), not the numeric ids
+            WHERE cast(a.vec_id AS VARCHAR) < cast(b.vec_id AS VARCHAR)
+              AND list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
+        ),
+        scored AS (
+            SELECT *,
+                   least(1.0, exp(-20.0 * (1.0 - dot))) AS score,
+                   greatest(20.0 * (1.0 - dot), 1e-6) AS z
+            FROM pairs
+        ),
+        lossed AS (
+            SELECT *,
+                   CASE WHEN is_match THEN z ELSE -ln(1.0 - exp(-z)) END AS loss0
+            FROM scored
+        )
+        SELECT string0, string1, group0, group1,
+               round(dot, 5) AS cos, round(score, 6) AS score,
+               round(loss0 * loss0, 6) AS loss, is_match
+        FROM lossed
+        WHERE score >= exp(-20.0 * (1.0 - 0.3))
+    """
 
     q["embedding_threshold_pairs"] = """
         SELECT a.vec_id AS id0, b.vec_id AS id1,

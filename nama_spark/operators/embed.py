@@ -236,6 +236,97 @@ def lsh_candidates(
     )
 
 
+def iter_scores(
+    matchdata,
+    embeddings: DataFrame,
+    alpha: float = DEFAULT_ALPHA,
+    is_match: bool | None = None,
+    min_score: float | None = None,
+    max_score: float | None = None,
+    min_loss: float | None = None,
+    max_loss: float | None = None,
+    use_count_weights: bool = True,
+    candidate_mode: str = "bruteforce",
+    **lsh_kwargs,
+) -> DataFrame:
+    """Scored pair stream — the reference's ``iter_scores``/``_batch_scores``
+    assembled as one relational operator (embeddings.py:536-625).
+
+    Every pair (string0 < string1) of the embedding universe, with the two
+    strings' current group labels from ``matchdata``, calibrated score
+    p = exp(−α(1−cos)) and the scoring model's XE loss (count^0.5 pair
+    weights by default — SimilarityModel's ExponentWeights,
+    similarity_model.py:23-28). Filters mirror the reference kwargs:
+    is_match / min_score / max_score / min_loss / max_loss.
+
+    Scale: ``min_score`` pushes down to the candidate join
+    (cos ≥ score_to_cos(min_score)); without it the scan is the full upper
+    triangle — the reference's own review-everything semantics, for
+    review-scale universes only.
+    """
+    from nama_spark.operators.score import (
+        calibrated_score,
+        score_to_cos,
+        similarity_loss,
+    )
+
+    cos_t = score_to_cos(min_score, alpha) if min_score is not None else -99.0
+    if candidate_mode == "bruteforce":
+        cand = bruteforce_candidates(embeddings, cos_t)
+    else:
+        cand = lsh_candidates(embeddings, cos_t, **lsh_kwargs)
+
+    g = matchdata.df.select("string", "group", "count")
+    out = (
+        cand.join(
+            g.select(
+                F.col("string").alias("s0"),
+                F.col("group").alias("group0"),
+                F.col("count").alias("__c0"),
+            ),
+            "s0",
+        ).join(
+            g.select(
+                F.col("string").alias("s1"),
+                F.col("group").alias("group1"),
+                F.col("count").alias("__c1"),
+            ),
+            "s1",
+        )
+    )
+    y = (F.col("group0") == F.col("group1")).cast("double")
+    w = (
+        F.pow(F.col("__c0"), 0.5) * F.pow(F.col("__c1"), 0.5)
+        if use_count_weights
+        else None
+    )
+    out = (
+        out.withColumn("score", calibrated_score(F.col("cos"), alpha))
+        .withColumn("loss", similarity_loss(F.col("cos"), y, alpha, weights=w))
+        .withColumn("is_match", F.col("group0") == F.col("group1"))
+    )
+    if is_match is not None:
+        out = out.where(F.col("is_match") == bool(is_match))
+    if min_score is not None:
+        out = out.where(F.col("score") >= min_score)
+    if max_score is not None:
+        out = out.where(F.col("score") <= max_score)
+    if min_loss is not None:
+        out = out.where(F.col("loss") >= min_loss)
+    if max_loss is not None:
+        out = out.where(F.col("loss") <= max_loss)
+    return out.select(
+        F.col("s0").alias("string0"),
+        F.col("s1").alias("string1"),
+        "group0",
+        "group1",
+        "cos",
+        "score",
+        "loss",
+        "is_match",
+    )
+
+
 # ---------- clustering ----------
 
 def unite_similar(

@@ -12,15 +12,19 @@ partitions on string (scoring.py:25-33):
 summed over strings and halved (each unordered pair counted twice,
 scoring.py:72). Self-pairs are excluded by the −c terms.
 
-Spark realization: the three transform-sums are window partial sums over
-(group_pred, group_gold), (group_pred), (group_gold); the global Σc is a
-1-row aggregate broadcast via crossJoin (never an empty-partition window —
-that would funnel all rows through one task at scale).
+Spark realization: the three transform-sums are groupBy aggregates joined
+back onto the rows (NOT windows — a window over group_pred puts an entire
+mega-group into one task, and one giant cluster is the *normal* outcome of
+over-merging, so the skewed window is a guaranteed straggler at scale; the
+groupBy+join shape lets AQE broadcast the small aggregate sides and split
+skewed join partitions). The global Σc is a 1-row aggregate broadcast via
+crossJoin. Counts are cast to decimal(38,0) so the (Σc−c)·c products stay
+integer-exact at the ~10¹²-count scale where long products overflow.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from nama_spark.operators.matchdata import MatchData
@@ -37,29 +41,36 @@ def confusion_df(predicted: MatchData, gold: MatchData, use_counts: bool = True)
     if not use_counts:
         j = j.withColumn("count", F.lit(1).cast("long"))
 
-    w_pg = Window.partitionBy("group_pred", "group_gold")
-    w_p = Window.partitionBy("group_pred")
-    w_g = Window.partitionBy("group_gold")
-    c = F.col("count")
-    j = j.withColumn("TP", (F.sum(c).over(w_pg) - c) * c)
-    j = j.withColumn("FP", (F.sum(c).over(w_p) - c) * c - F.col("TP"))
-    j = j.withColumn("FN", (F.sum(c).over(w_g) - c) * c - F.col("TP"))
-    total = j.agg(F.sum("count").alias("__total"))
-    j = j.crossJoin(F.broadcast(total))
+    c = F.col("count").cast("decimal(38,0)")
+    j = j.withColumn("__c", c)
+    s_pg = j.groupBy("group_pred", "group_gold").agg(F.sum("__c").alias("__s_pg"))
+    s_p = j.groupBy("group_pred").agg(F.sum("__c").alias("__s_p"))
+    s_g = j.groupBy("group_gold").agg(F.sum("__c").alias("__s_g"))
+    total = j.agg(F.sum("__c").alias("__total"))
+    j = (
+        j.join(s_pg, ["group_pred", "group_gold"])
+        .join(s_p, "group_pred")
+        .join(s_g, "group_gold")
+        .crossJoin(F.broadcast(total))
+    )
+    j = j.withColumn("TP", (F.col("__s_pg") - c) * c)
+    j = j.withColumn("FP", (F.col("__s_p") - c) * c - F.col("TP"))
+    j = j.withColumn("FN", (F.col("__s_g") - c) * c - F.col("TP"))
     j = j.withColumn(
         "TN", (F.col("__total") - c) * c - F.col("TP") - F.col("FP") - F.col("FN")
-    ).drop("__total")
-    return j
+    )
+    return j.drop("__c", "__s_pg", "__s_p", "__s_g", "__total")
 
 
 def confusion_matrix(predicted: MatchData, gold: MatchData, use_counts: bool = True) -> dict:
-    """Summed + halved cells (scoring.py:50-72). Integer-exact: each cell sum
-    is even, // 2 like the reference."""
+    """Summed + halved cells (scoring.py:50-72). Integer-exact: the cell
+    columns are decimal(38,0), each sum is even, and the halving is Python
+    integer // 2 (no double division anywhere — exact beyond 2^53)."""
     df = confusion_df(predicted, gold, use_counts=use_counts)
     row = df.agg(
-        *[(F.sum(cell) / 2).cast("long").alias(cell) for cell in ["TP", "FP", "FN", "TN"]]
+        *[F.sum(cell).alias(cell) for cell in ["TP", "FP", "FN", "TN"]]
     ).collect()[0]
-    return {cell: int(row[cell] or 0) for cell in ["TP", "FP", "FN", "TN"]}
+    return {cell: int(row[cell] or 0) // 2 for cell in ["TP", "FP", "FN", "TN"]}
 
 
 def score_predicted(predicted: MatchData, gold: MatchData, use_counts: bool = True) -> dict:
@@ -68,10 +79,12 @@ def score_predicted(predicted: MatchData, gold: MatchData, use_counts: bool = Tr
     n_scored = scores["TP"] + scores["TN"] + scores["FP"] + scores["FN"]
 
     if use_counts:
+        c = F.col("count").cast("decimal(38,0)")
         agg = predicted.df.agg(
-            F.sum("count").alias("s"), F.sum(F.pow("count", 2)).alias("s2")
+            F.sum(c).alias("s"), F.sum(c * c).alias("s2")
         ).collect()[0]
-        n_predicted = (float(agg["s"]) ** 2 - float(agg["s2"])) / 2
+        # exact integer arithmetic up to the final ratio
+        n_predicted = float(int(agg["s"]) ** 2 - int(agg["s2"])) / 2
     else:
         n = predicted.df.count()
         n_predicted = (n**2 - n) / 2

@@ -276,19 +276,26 @@ def score_to_cos(p: float, alpha: float) -> float:
 
 
 def similarity_loss(cos: Column, is_match: Column, alpha: float,
-                    eps: float = 1e-6) -> Column:
-    """Weighted cross-entropy in Z-form (scoring_model.py:25-46):
-    with Z = α(1−cos), loss = Y·Z − xlogy(1−Y, −expm1(−Z)), where
-    xlogy(0, x) = 0 and the −expm1 term is ε-floored. Pure column math —
-    used by the active-learning review flow (iter_scores' loss column,
-    embeddings.py:604-625)."""
-    z = F.lit(alpha) * (F.lit(1.0) - cos)
-    one_minus_p = F.greatest(-F.expm1(-z), F.lit(eps))
+                    eps: float = 1e-6, weights: Column | None = None) -> Column:
+    """Cross-entropy in Z-form (scoring_model.py:25-46): Z = max(α(1−cos), ε)
+    (the reference floors Z itself — ``Z += clamp(ε−Z, 0)``), then
+    loss = Y·Z − xlogy(1−Y, −expm1(−Z)) with xlogy(0, x) = 0.
+
+    ``weights`` reproduces the reference verbatim: ``loss *= weights*loss``
+    (scoring_model.py:44-45) — i.e. the weighted output is weights·loss², not
+    weights·loss. That squaring is the reference's actual behavior (its
+    training and iter_scores paths both flow through it), so parity keeps it.
+    Pure column math — used by the active-learning review flow (iter_scores'
+    loss column, embeddings.py:604-625)."""
+    z = F.greatest(F.lit(alpha) * (F.lit(1.0) - cos), F.lit(eps))
     y = is_match.cast("double")
-    xlogy = F.when(y < 1.0, (F.lit(1.0) - y) * F.log(one_minus_p)).otherwise(
+    xlogy = F.when(y < 1.0, (F.lit(1.0) - y) * F.log(-F.expm1(-z))).otherwise(
         F.lit(0.0)
     )
-    return y * z - xlogy
+    loss = y * z - xlogy
+    if weights is not None:
+        loss = weights * loss * loss
+    return loss
 
 
 def combine_scores(

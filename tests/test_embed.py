@@ -146,10 +146,18 @@ def test_similarity_loss_formula(spark):
         [(0.9, 1), (0.9, 0), (0.2, 1), (1.0, 0)], ["cos", "y"]
     )
     rows = df.select(
-        "cos", "y", similarity_loss(F.col("cos"), F.col("y"), alpha).alias("loss")
+        "cos",
+        "y",
+        similarity_loss(F.col("cos"), F.col("y"), alpha).alias("loss"),
+        similarity_loss(
+            F.col("cos"), F.col("y"), alpha, weights=F.lit(3.0)
+        ).alias("loss_w"),
     ).collect()
     for r in rows:
-        z = alpha * (1 - r["cos"])
-        one_minus_p = max(-math.expm1(-z), 1e-6)
-        want = r["y"] * z - (0.0 if r["y"] == 1 else math.log(one_minus_p))
+        # reference floors Z itself: Z += clamp(eps - Z, 0)  (scoring_model.py:33-37)
+        z = max(alpha * (1 - r["cos"]), 1e-6)
+        want = r["y"] * z - (0.0 if r["y"] == 1 else math.log(-math.expm1(-z)))
         assert r["loss"] == __import__("pytest").approx(want, rel=1e-9), r
+        # weighted form reproduces the reference's loss *= weights*loss
+        # (scoring_model.py:44-45) → weights·loss²
+        assert r["loss_w"] == __import__("pytest").approx(3.0 * want * want, rel=1e-9), r

@@ -74,6 +74,32 @@ def test_merge_dfs_uses_equi_joins_only(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_confusion_df_has_no_group_windows(spark):
+    """confusion_df must compute its per-group sums with groupBy aggregates
+    joined back, never a Window over group_pred/group_gold — a window puts an
+    entire mega-group into one task (guaranteed straggler when one giant
+    cluster emerges from over-merging)."""
+    from nama_spark.operators.evaluate import confusion_df
+
+    pred = MatchData(
+        spark.createDataFrame(
+            [(f"s{i}", 1 + i % 3, f"p{i % 4}") for i in range(20)],
+            ["string", "count", "group"],
+        ),
+        _relabel=False,
+    )
+    gold = MatchData(
+        spark.createDataFrame(
+            [(f"s{i}", 1, f"g{i % 5}") for i in range(20)],
+            ["string", "count", "group"],
+        ),
+        _relabel=False,
+    )
+    df = confusion_df(pred, gold)
+    plan = _plan(df)
+    assert "Window" not in plan, plan
+
+
 def test_small_weights_table_broadcast(spark):
     """The per-token weight table should end up broadcast into the scoring
     join rather than shuffled — AQE decides at runtime, so execute first and
