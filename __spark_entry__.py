@@ -901,7 +901,10 @@ def oracle_sql() -> dict[str, str]:
     q["exact_key_clusters"] = f"""
         WITH v AS ({_SQL_VARIANTS}),
         k AS (SELECT string, {_sql_simplify_corp('string')} AS key FROM v)
-        SELECT string, min(string) OVER (PARTITION BY key) AS "group" FROM k
+        SELECT string,
+               CASE WHEN key = '' THEN string
+                    ELSE min(string) OVER (PARTITION BY key) END AS "group"
+        FROM k
     """
 
     q["token_doc_counts"] = f"""

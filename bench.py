@@ -117,12 +117,15 @@ def bench_full_scoring(spark, sf_dir, n_entities):
     return wall, {"scored_pairs": int(row["n"])}
 
 
-def bench_cc_synth(spark, sf_dir, n_nodes=2_000_000, n_edges=4_000_000):
+def bench_cc_synth(spark, sf_dir, n_nodes=None, n_edges=None):
     """Distributed CC over a synthetic random graph — sized so the iterative
     large-star/small-star shuffles dominate scheduling latency (the fixture
     edge sets are too small to measure CC scaling honestly)."""
     from nama_spark.operators.cluster import connected_components
     from pyspark.sql import functions as F
+
+    n_nodes = n_nodes or int(os.environ.get("SPARK_GRAFT_CC_NODES", "2000000"))
+    n_edges = n_edges or int(os.environ.get("SPARK_GRAFT_CC_EDGES", "4000000"))
 
     edges = (
         spark.range(n_edges)

@@ -48,6 +48,10 @@ def parse_args(argv=None):
     p.add_argument("--embed-candidates", default="lsh", choices=["lsh", "bruteforce"])
     p.add_argument("--assign-records", action="store_true",
                    help="also write file-level rows with entity_group")
+    p.add_argument("--cc-driver-edge-cap", type=int, default=100_000,
+                   help="edge count under which connected components runs "
+                        "driver-side union-find instead of the iterative "
+                        "large-star/small-star rounds")
     return p.parse_args(argv)
 
 
@@ -107,7 +111,11 @@ def main(argv=None):
             raise SystemExit(f"sha256 invariant violated on {n_bad} rows")
 
     t0 = time.time()
-    pipe = MatchPipeline(passes=build_passes(args), checkpoint_dir=args.checkpoint_dir)
+    pipe = MatchPipeline(
+        passes=build_passes(args),
+        checkpoint_dir=args.checkpoint_dir,
+        cc_driver_edge_cap=args.cc_driver_edge_cap,
+    )
     md, lineage = pipe.run(records, string_col=args.string_col,
                            resume=not args.no_resume)
     md.df.write.mode("overwrite").parquet(args.output + "/clusters")

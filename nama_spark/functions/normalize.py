@@ -98,20 +98,31 @@ def remove_stopwords(c: Column | str, stopwords: list[str] | None = None) -> Col
     return F.array_join(words_arr, " ")
 
 
+# the reference's exact patterns (training/build_opensecrets_training_data.py:27-41)
+_OBO_PAT = r"(?i)([ \(]on behalf of|obo) ([^\)]+)"
+_MULTI_NAME_PAT = (
+    r"(?i)([/\(\)\[\]\{\}]|f[/\.]?k[/\.]?a|formerly|\(for|doing business as"
+    r"|d/?b/?a)|on behalf of| OBO |in affiliation with"
+)
+
+
 def clean_name(c: Column | str) -> Column:
-    """Whitespace-normalize and upper-strip a raw client-name string; NULL out
-    multi-entity strings (containing list separators), mirroring
-    training/build_opensecrets_training_data.py:27-41's intent."""
+    """Raw client-name cleaner, reference-exact
+    (training/build_opensecrets_training_data.py:27-41):
+
+    1. standardize whitespace;
+    2. keep the represented entity of "… on behalf of X" / "… obo X"
+       (regex group 2 — the quirks are the reference's: 'obo' matches without
+       a word boundary, the capture stops at a closing paren);
+    3. NULL strings that look like multiple names (slashes/brackets, f/k/a,
+       formerly, d/b/a, a REMAINING 'on behalf of', ' OBO ', 'in affiliation
+       with') — the check runs on the extracted part, so nested
+       'on behalf of' chains drop."""
     out = F.trim(F.regexp_replace(_col(c), r"\s+", " "))
-    # "X on behalf of Y" → keep the represented entity Y.
     out = F.when(
-        F.lower(out).rlike(r"\bon behalf of\b"),
-        F.trim(F.regexp_extract(out, r"(?i)\bon behalf of\b\s*(.*)$", 1)),
+        out.rlike(_OBO_PAT), F.trim(F.regexp_extract(out, _OBO_PAT, 2))
     ).otherwise(out)
-    # Multi-entity strings are unusable as a single name.
-    return F.when(out.rlike(r"(?i)\b(joint venture|consortium)\b|;"), F.lit(None)).otherwise(
-        out
-    )
+    return F.when(out.rlike(_MULTI_NAME_PAT), F.lit(None)).otherwise(out)
 
 
 def norm_key(c: Column | str, kind: str = "simplify_corp") -> Column:

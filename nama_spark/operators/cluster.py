@@ -111,7 +111,7 @@ def connected_components(
     max_iter: int = 40,
     checkpoint_dir: str | None = None,
     lineage: list | None = None,
-    small_graph_threshold: int = 1_000_000,
+    small_graph_threshold: int = 100_000,
 ) -> DataFrame:
     """Compute connected components of an undirected edge DataFrame.
 
@@ -122,7 +122,9 @@ def connected_components(
     shuffle rounds are pure scheduling latency, so the canonical edge set is
     collected and solved with driver-side union-find (same partition, same
     min-id labels) — the AQE-style small-side fast path. At data scale the
-    iterative large-star/small-star path runs.
+    iterative large-star/small-star path runs. The 100k default bounds the
+    driver collect to ~10 MB of string pairs; raise it only with driver
+    memory to spare (jobs/run_pipeline.py exposes --cc-driver-edge-cap).
 
     Callers with isolated nodes union them in afterwards (see
     ``labels_for_nodes``).

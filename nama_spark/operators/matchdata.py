@@ -197,8 +197,14 @@ class MatchData:
         if callable(arg) and not isinstance(arg, Column):
             arg = arg(F.col("string"))
         if isinstance(arg, Column):
+            # Empty-string keys are treated as "no key" (string stays a
+            # singleton), matching exact_key_edges (block.py). Deliberate
+            # deviation from the reference, which unites ALL strings sharing
+            # a key value (match_data.py:284-287) — at data scale uniting
+            # every suffix-only name whose normalization key is '' would
+            # fabricate one mega-cluster out of unrelated records.
             keyed = df.select("string", arg.alias("__key")).where(
-                F.col("__key").isNotNull()
+                F.col("__key").isNotNull() & (F.col("__key") != "")
             )
             w = Window.partitionBy("__key").orderBy("string")
             edges = (

@@ -166,11 +166,13 @@ class TokenSimilarity:
     ):
         """Fit on the gold universe, score candidates once, evaluate the
         objective per grid threshold, keep the argmax (last max on ties —
-        token_similarity[html] learn_threshold). Returns the sweep rows."""
+        token_similarity[html] learn_threshold). Returns the sweep rows.
+        Default grid = np.linspace(0.5, 1, 100), the reference's own default
+        (token_similarity[html]:253-256)."""
         import numpy as np
 
         if grid is None:
-            grid = [round(x, 4) for x in np.linspace(0.5, 1, 26)]
+            grid = [round(x, 6) for x in np.linspace(0.5, 1, 100)]
         self.fit(gold.df, string_col="string")
         scores = self.pair_scores().cache()
         scores.count()  # materialize once

@@ -179,6 +179,9 @@ class MatchPipeline:
     passes: list = field(default_factory=lambda: [ExactKeyPass(), TokenSimPass()])
     checkpoint_dir: str | None = None
     fuse_cc: bool = True
+    # edge count under which CC runs driver-side union-find instead of the
+    # iterative shuffle rounds (cluster.py small_graph_threshold)
+    cc_driver_edge_cap: int = 100_000
 
     def run(
         self,
@@ -264,7 +267,10 @@ class MatchPipeline:
             return md, lineage
 
         t0 = time.time()
-        md = md.unite(all_edges) if all_edges is not None else md
+        if all_edges is not None:
+            md = md.unite(
+                all_edges, small_graph_threshold=self.cc_driver_edge_cap
+            )
         if final_dir:
             md.df.write.mode("overwrite").parquet(final_dir)
             md = MatchData(spark.read.parquet(final_dir), _relabel=False)

@@ -72,6 +72,24 @@ def test_unite_with_column_expr_hash_collision_pass(spark):
     assert _labels(united)["ACME, Ltd."] == "Acme Inc"
 
 
+def test_unite_with_column_expr_empty_keys_stay_singletons(spark):
+    """''-keys mean "no key": suffix-only names whose normalization key is
+    empty must NOT collapse into one cluster — same rule as exact_key_edges.
+    (Documented deviation from the reference, which unites all strings
+    sharing any key value, match_data.py:284-287.)"""
+    df = spark.createDataFrame(
+        [("The Group Inc.", 1), ("Holdings Co", 1), ("Acme Inc", 1), ("ACME Ltd", 1)],
+        ["string", "count"],
+    )
+    md = MatchData.from_unmatched(df, count_col="count")
+    united = md.unite(simplify_corp)  # first two simplify to ''
+    assert _partition(united) == {
+        frozenset({"The Group Inc."}),
+        frozenset({"Holdings Co"}),
+        frozenset({"Acme Inc", "ACME Ltd"}),
+    }
+
+
 def test_unite_transitivity_across_calls(spark):
     df = spark.createDataFrame([("a", 1), ("b", 1), ("c", 1)], ["string", "count"])
     md = MatchData.from_unmatched(df, count_col="count")

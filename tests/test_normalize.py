@@ -104,3 +104,39 @@ def test_remove_stopwords(spark):
     outs = _apply(spark, remove_stopwords, [c[0] for c in cases])
     for (i, expected), got in zip(cases, outs):
         assert got == expected, f"remove_stopwords({i!r}) = {got!r}, want {expected!r}"
+
+
+def test_clean_name_reference_cases(spark):
+    """Reference-exact cases computed from the published clean_name
+    (training/build_opensecrets_training_data.py:27-41): whitespace
+    standardization, on-behalf-of/obo extraction (including the no-word-
+    boundary 'obo' quirk), multi-name drop list."""
+    from nama_spark.functions.normalize import clean_name
+
+    cases = [
+        ("  Acme   Corp  ", "Acme Corp"),
+        ("Smith LLP on behalf of Acme Corp", "Acme Corp"),
+        ("Smith obo Acme Corp", "Acme Corp"),
+        # capture stops at a closing paren; check runs on the extracted part
+        ("Smith (on behalf of Acme) Partners", "Acme"),
+        # nested on-behalf-of chains drop (the drop check sees the remainder)
+        ("X on behalf of Y on behalf of Z", None),
+        # multi-name indicators → NULL
+        ("Acme f/k/a Bolt", None),
+        ("Acme fka Bolt", None),
+        ("Acme, formerly Bolt", None),
+        ("Acme d/b/a Bolt", None),
+        ("Acme dba Bolt", None),
+        ("Acme [Bolt]", None),
+        ("Acme / Bolt", None),
+        ("Acme in affiliation with Bolt", None),
+        # 'obo' has no word boundary in the reference pattern
+        ("Robo Corp", "Corp"),
+        # plain names pass through
+        ("Acme Corp", "Acme Corp"),
+        # ';' is NOT in the reference drop list
+        ("Acme; Bolt", "Acme; Bolt"),
+    ]
+    outs = _apply(spark, clean_name, [c[0] for c in cases])
+    for (i, expected), got in zip(cases, outs):
+        assert got == expected, f"clean_name({i!r}) = {got!r}, want {expected!r}"
