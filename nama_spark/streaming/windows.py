@@ -71,6 +71,33 @@ def sessionize(
     )
 
 
+def streaming_event_time_aggregate(
+    spark,
+    source_dir: str,
+    schema,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    group_cols: tuple = ("event_type",),
+) -> DataFrame:
+    """The SAME event_time_aggregate expression under Structured Streaming:
+    readStream(parquet) → withWatermark → tumbling-window agg. One definition,
+    two execution modes — in append output mode a window emits exactly once,
+    when the watermark passes its end (late data beyond the watermark is
+    dropped). Returns the streaming DataFrame; callers attach writeStream
+    (tests use a memory sink; production would use kafka/parquet/iceberg)."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    # watermarks require TIMESTAMP (with timezone) — parquet timestamps often
+    # load as TIMESTAMP_NTZ, which EventTimeWatermark rejects
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return event_time_aggregate(
+        stream.withWatermark(ts_col, watermark),
+        window_duration,
+        ts_col,
+        group_cols,
+    )
+
+
 def streaming_dedup_key(events: DataFrame, key_cols: tuple, ts_col: str = "ts") -> DataFrame:
     """Keep the earliest event per key — the batch equivalent of streaming
     dropDuplicates-with-watermark."""

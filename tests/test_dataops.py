@@ -182,3 +182,53 @@ def test_event_time_ops(spark):
     rows = one.orderBy("ts").select("session_seq").collect()
     seqs = [r["session_seq"] for r in rows]
     assert seqs == sorted(seqs)
+
+
+def test_streaming_event_time_aggregate_matches_batch(spark, tmp_path):
+    """Real Structured Streaming execution: readStream(parquet) → watermark →
+    the same event_time_aggregate expression → memory sink (append mode).
+    Append emits a window exactly once, when the watermark passes its end, so
+    the streamed output must equal the batch output restricted to windows
+    that closed before (max_ts − watermark)."""
+    import shutil
+
+    from nama_spark.streaming.windows import streaming_event_time_aggregate
+
+    src = tmp_path / "events_stream"
+    src.mkdir()
+    shutil.copy(f"{SF}/events.parquet", src / "part-0.parquet")
+
+    batch = spark.read.parquet(f"{SF}/events.parquet")
+    schema = batch.schema
+    stream = streaming_event_time_aggregate(
+        spark, str(src), schema, window_duration="1 hour", watermark="2 hours"
+    )
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ev_agg_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["value_sum"])
+        for r in spark.table("ev_agg_test").collect()
+    }
+
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    from datetime import timedelta
+
+    cutoff = max_ts - timedelta(hours=2)
+    want = {}
+    for r in event_time_aggregate(batch, "1 hour").collect():
+        window_end = r["window_start"] + timedelta(hours=1)
+        if window_end <= cutoff:
+            want[(r["window_start"], r["event_type"])] = (
+                r["n_events"], r["value_sum"],
+            )
+    assert want, "fixture too short for the watermark"
+    assert got == want
