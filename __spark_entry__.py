@@ -552,6 +552,21 @@ def q_embedding_unite_similar(spark, sf_dir):
     return out.df
 
 
+def q_prefix_join_pairs(spark, sf_dir):
+    """PPJoin-style prefix-filtered EXACT set-similarity self-join — no
+    doc-frequency cap, no O(n²): every pair with weighted jaccard ≥ 0.25
+    including pairs whose only shared tokens are hot. Oracle = full
+    enumeration over shared-token pairs. (Threshold 0.25: the sf0.01 word
+    universe scores shared-token pairs at exactly 1/3.)"""
+    from nama_spark.functions.tokenize import token_weights, tokens_table
+    from nama_spark.operators.block import prefix_filtered_pairs
+
+    toks = tokens_table(_name_universe(spark, sf_dir), tokenizer="words")
+    w = token_weights(toks, weighting="tf-idf")
+    out = prefix_filtered_pairs(toks, w, threshold=0.25)
+    return out.select("s0", "s1", F.round("score", 5).alias("score"))
+
+
 def q_pair_losses(spark, sf_dir):
     """iter_scores assembled end-to-end (embeddings.py:536-625): scored pair
     stream over the embeddings table with the `label` column as the current
@@ -645,6 +660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "pair_losses": q_pair_losses,
+        "prefix_join_pairs": q_prefix_join_pairs,
         # rows-only (no oracle: the Python hashed-ngram embedder, media stub)
         "pipeline_cluster_flagship_3pass": q_pipeline_cluster_flagship_3pass,
         "multimodal_image_features": q_multimodal_image_features,
@@ -1164,6 +1180,36 @@ def oracle_sql() -> dict[str, str]:
     # exact by construction) both reproduce the exact top-k — same oracle
     q["ann_lsh_topk"] = q["ann_cosine_topk"]
     q["ann_ivf_topk"] = q["ann_cosine_topk"]
+
+    # prefix join: exact ≥-threshold set-similarity — oracle enumerates ALL
+    # shared-token pairs (no df cap) and filters on the exact score
+    q["prefix_join_pairs"] = f"""
+        WITH {_SQL_TOKEN_BASE},
+        tsets AS (SELECT DISTINCT string, token FROM tf),
+        allpairs AS (
+            SELECT DISTINCT a.string AS s0, b.string AS s1
+            FROM tsets a JOIN tsets b USING (token)
+            WHERE a.string < b.string
+        ),
+        ainter AS (
+            SELECT p.s0, p.s1, sum(w.weight) AS iw_sum
+            FROM allpairs p
+            JOIN tsets t0 ON t0.string = p.s0
+            JOIN tsets t1 ON t1.string = p.s1 AND t1.token = t0.token
+            JOIN weights w ON w.token = t0.token
+            GROUP BY 1, 2
+        ),
+        ascored AS (
+            SELECT p.s0, p.s1,
+                   coalesce(i.iw_sum, 0) /
+                   (n0.w_sum + n1.w_sum - coalesce(i.iw_sum, 0)) AS score
+            FROM allpairs p
+            LEFT JOIN ainter i ON i.s0 = p.s0 AND i.s1 = p.s1
+            JOIN norms n0 ON n0.string = p.s0
+            JOIN norms n1 ON n1.string = p.s1
+        )
+        SELECT s0, s1, round(score, 5) AS score FROM ascored WHERE score >= 0.25
+    """
 
     # iter_scores: Z = max(α(1−dot), ε); loss = Y·Z − xlogy(1−Y, 1−e^(−Z)),
     # then the reference's weighted form squares it (weights are 1 here)

@@ -108,6 +108,78 @@ def salt_pairs(pairs: DataFrame, num_partitions: int | None = None) -> DataFrame
     return pairs.repartition(n, F.pmod(F.xxhash64("s0", "s1"), F.lit(n)))
 
 
+def prefix_tokens(
+    tokens: DataFrame, weights: DataFrame, threshold: float
+) -> DataFrame:
+    """(string, token) restricted to each string's PREFIX under the canonical
+    rarest-first order (doc-count asc, token asc): the minimal leading set
+    whose trailing suffix weight drops below t·w_sum(s). A token stays in the
+    prefix iff the suffix weight from it (inclusive) is ≥ t·w_sum. Windows
+    are per-string and bounded by tokens-per-string — no skew."""
+    from pyspark.sql import Window
+
+    tset = tokens.select("string", "token").distinct()
+    tw = tset.join(weights.select("token", "weight", "d"), "token")
+    w_str = Window.partitionBy("string")
+    order = Window.partitionBy("string").orderBy("d", "token")
+    tw = tw.withColumn("__w_sum", F.sum("weight").over(w_str))
+    tw = tw.withColumn(
+        "__suffix",
+        F.sum("weight").over(
+            order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        ),
+    )
+    return tw.where(
+        F.col("__suffix") >= F.lit(threshold) * F.col("__w_sum")
+    ).select("string", "token")
+
+
+def prefix_filtered_pairs(
+    tokens: DataFrame,
+    weights: DataFrame,
+    threshold: float,
+    measure: str = "jaccard",
+    score_impl: str = "map",
+) -> DataFrame:
+    """Exact weighted-Jaccard self-join via prefix filtering — the published
+    SSJoin/PPJoin technique (Chaudhuri et al., ICDE'06; Xiao et al., WWW'08).
+
+    Token blocking with a doc-frequency cap (token_block_pairs) deliberately
+    drops hot tokens — pairs whose ONLY shared tokens are hot are missed
+    (the reference's own trade-off). Prefix filtering is EXACT with no cap:
+
+    order every string's distinct tokens canonically (rarest first — by
+    (doc-count, token)); keep the minimal PREFIX whose suffix weight falls
+    below t·w_sum(s). If a pair shares no prefix token on either side, its
+    intersection weight is at most the suffix weight < t·w_sum ≤ t·w(∪-side),
+    so weighted Jaccard < t — every qualifying pair shares a prefix token.
+
+    Candidates come from a self-join on prefix tokens only (rare tokens →
+    small blocks), then the exact score filters ≥ t. Per-string windows are
+    bounded by tokens-per-string (no skew). Returns (s0, s1, score ≥ t).
+    """
+    from nama_spark.operators.score import (
+        token_similarity_scores,
+        token_similarity_scores_map,
+    )
+
+    prefix = prefix_tokens(tokens, weights, threshold)
+    a = prefix.select("token", F.col("string").alias("s0"))
+    b = prefix.select("token", F.col("string").alias("s1"))
+    cand = (
+        a.join(b, "token")
+        .where(F.col("s0") < F.col("s1"))
+        .select("s0", "s1")
+        .distinct()
+    )
+    cand = salt_pairs(cand)
+    scorer = (
+        token_similarity_scores_map if score_impl == "map" else token_similarity_scores
+    )
+    scored = scorer(cand, tokens, weights, measure=measure)
+    return scored.where(F.col("score") >= threshold)
+
+
 def build_token_blocking(
     strings_df: DataFrame,
     tokenizer: str = "nmgrams23",

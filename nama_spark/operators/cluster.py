@@ -42,7 +42,12 @@ def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """For each node u: connect every strictly-larger neighbor to
-    m = min(neighbors(u) ∪ {u})."""
+    m = min(neighbors(u) ∪ {u}).
+
+    No mid-round distinct: duplicate edges are harmless to the min
+    aggregates, and _small_star's closing distinct canonicalizes the round's
+    output — dropping the dedup here removes a full O(E)-row shuffle per
+    iteration."""
     nbrs = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     mins = nbrs.groupBy("u").agg(F.min("v").alias("mv"))
     mins = mins.select("u", F.least(F.col("mv"), F.col("u")).alias("m"))
@@ -51,7 +56,7 @@ def _large_star(edges: DataFrame) -> DataFrame:
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
     )
-    return out.where(F.col("u") != F.col("v")).distinct()
+    return out.where(F.col("u") != F.col("v"))
 
 
 def _small_star(edges: DataFrame) -> DataFrame:

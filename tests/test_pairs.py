@@ -62,3 +62,48 @@ def test_top_scored_pairs_semantics(spark):
     skip = spark.createDataFrame([("c1", "a1")], ["g0", "g1"])
     out2 = top_scored_pairs(md, scores, n=10, skip_pairs=skip).collect()
     assert all(frozenset((r["group0"], r["group1"])) != frozenset({"a1", "c1"}) for r in out2)
+
+
+def test_prefix_filtered_pairs_exact_vs_bruteforce(spark):
+    """Prefix filtering (SSJoin/PPJoin) must return EXACTLY the pairs with
+    weighted jaccard >= t — including pairs whose only shared tokens are hot
+    (which the df-capped token blocking deliberately drops) — while indexing
+    strictly fewer (string, token) rows than full token blocking."""
+    from pyspark.sql import functions as F
+
+    from nama_spark.functions.tokenize import token_weights, tokens_table
+    from nama_spark.operators.block import prefix_filtered_pairs, prefix_tokens
+    from nama_spark.operators.score import token_similarity_scores
+
+    # universe with a very hot token ("corp") + rare discriminative tokens
+    strings = [f"corp unit{i % 7} item{i}" for i in range(40)]
+    strings += ["corp alpha", "corp beta"]  # only share the hot token
+    df = spark.createDataFrame([(s,) for s in strings], ["string"])
+    toks = tokens_table(df, tokenizer="words")
+    w = token_weights(toks, weighting="tf-idf")
+
+    names = df.select("string").distinct()
+    a = names.select(F.col("string").alias("s0"))
+    b = names.select(F.col("string").alias("s1"))
+    allp = a.join(b, F.col("s0") < F.col("s1"))
+    scored_all = token_similarity_scores(allp, toks, w).cache()
+
+    for t in (0.3, 0.8):
+        got = {
+            (r["s0"], r["s1"], round(r["score"], 9))
+            for r in prefix_filtered_pairs(toks, w, t).collect()
+        }
+        want = {
+            (r["s0"], r["s1"], round(r["score"], 9))
+            for r in scored_all.where(F.col("score") >= t).collect()
+        }
+        assert got == want, f"t={t}"
+        assert want, f"fixture produced no qualifying pairs at t={t}"
+
+    # pruning: at a high threshold the hot token falls OUT of prefixes
+    # (nama tf-idf up-weights hot tokens, so they dominate w_sum), shrinking
+    # the index below the full token table
+    n_full = toks.select("string", "token").distinct().count()
+    n_prefix = prefix_tokens(toks, w, 0.8).count()
+    assert n_prefix < n_full, (n_prefix, n_full)
+    scored_all.unpersist()
