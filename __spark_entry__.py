@@ -10,9 +10,13 @@ Each callable takes (spark, sf_dir) and returns a DataFrame.
 
 ``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query (tables region nation
 customer supplier part orders lineitem events documents embeddings are
-pre-registered views). Queries without an entry here are non-SQL-expressible
-(iterative connected components, LSH/IVF approximations, pandas-UDF media
-stubs) and get the weaker rows-only check.
+pre-registered views). Iterative connected components are oracle-checked via
+recursive-CTE min-label propagation; SimHash via md5 nibble bit math; the
+ANN approximations against the exact top-k (LSH: measured deterministic
+recall 1.0; IVF: nprobe = n_cells probes every cell). Only two queries stay
+rows-only: the 3-pass flagship (its embedding pass is the seeded Python
+hashed-ngram embedder) and nothing else is non-SQL-expressible except the
+multimodal feature VECTOR (the scalar decode fields are oracle-checked).
 
 Float discipline: every float column is rounded identically on both sides
 (and double math is forced on the Spark side where DuckDB uses DOUBLE[]), so
@@ -606,6 +610,12 @@ def q_pair_losses(spark, sf_dir):
 
 
 def q_multimodal_image_features(spark, sf_dir):
+    """Multimodal decode plumbing, oracle-checked: the fake decoder derives
+    width/height/luma from sha256 bytes of the payload (multimodal.py
+    _decode_image_fake), which DuckDB recomputes with its own sha256 — so the
+    mapInPandas Arrow path is verified end-to-end against SQL. The seeded
+    feature VECTOR (numpy RNG) is not SQL-expressible; its shape/determinism
+    is pinned by tests/test_dataops.py::test_multimodal_plumbing."""
     from nama_spark.operators.multimodal import (
         extract_image_features,
         media_from_documents,
@@ -613,16 +623,11 @@ def q_multimodal_image_features(spark, sf_dir):
 
     media = media_from_documents(_t(spark, sf_dir, "documents"))
     feats = extract_image_features(media, fake=True, dim=8)
-    # the driver canonicalizer sorts rows — a raw array<float> column is
-    # unhashable there, so serialize the vector to a fixed-point string
     return feats.select(
         "media_id",
         "width",
         "height",
         F.round(F.col("mean_luma").cast("double"), 5).alias("mean_luma"),
-        F.concat_ws(
-            ",", F.transform(F.col("feature"), lambda x: F.format_string("%.5f", x))
-        ).alias("feature_csv"),
     )
 
 
@@ -1209,6 +1214,24 @@ def oracle_sql() -> dict[str, str]:
             JOIN norms n1 ON n1.string = p.s1
         )
         SELECT s0, s1, round(score, 5) AS score FROM ascored WHERE score >= 0.25
+    """
+
+    # multimodal fake decoder byte math: payload = utf-8 text; h = sha256;
+    # width = 16 + h[4] % 240, height = 16 + h[5] % 240, luma = h[6]/255
+    # (byte k = hex chars 2k+1..2k+2, 1-based)
+    def _sha_byte(k: int) -> str:
+        hx = "sha256(text)"
+        return (
+            f"(16 * (instr('0123456789abcdef', substr({hx}, {2*k+1}, 1)) - 1)"
+            f" + (instr('0123456789abcdef', substr({hx}, {2*k+2}, 1)) - 1))"
+        )
+
+    q["multimodal_image_features"] = f"""
+        SELECT doc_id AS media_id,
+               16 + {_sha_byte(4)} % 240 AS width,
+               16 + {_sha_byte(5)} % 240 AS height,
+               round({_sha_byte(6)} / 255.0, 5) AS mean_luma
+        FROM documents
     """
 
     # iter_scores: Z = max(α(1−dot), ε); loss = Y·Z − xlogy(1−Y, 1−e^(−Z)),

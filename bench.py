@@ -144,12 +144,20 @@ def bench_cc_synth(spark, sf_dir, n_nodes=None, n_edges=None):
 
 
 def _docs_scaled(spark, sf_dir):
-    """documents, replicated SPARK_GRAFT_DOC_MULT times with shifted ids —
-    bigger shingle blocks → quadratically more dedup compute."""
+    """documents, replicated SPARK_GRAFT_DOC_MULT times with shifted ids.
+
+    Default (duplicate-heavy): replicas keep the original text, so every
+    replica group is an exact-duplicate cluster — pair count grows
+    quadratically in mult. That is the REPRESENTATIVE web-dedup workload
+    (massive duplication is why LSH dedup exists) and makes the verify join
+    the dominant, parallel stage. SPARK_GRAFT_DOC_SALT=1 instead salts every
+    word per replica (r<i><word>) so replicas share no shingles — linear
+    scale-up for measuring the signature/shingle stages alone."""
     from pyspark.sql import functions as F
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     mult = int(os.environ.get("SPARK_GRAFT_DOC_MULT", "1"))
+    salt = os.environ.get("SPARK_GRAFT_DOC_SALT") == "1"
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     if mult <= 1:
         # pre-exchange compute (shingle explode + md5) parallelizes only as
@@ -158,7 +166,12 @@ def _docs_scaled(spark, sf_dir):
     parts = [
         docs.select(
             (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
-            "text", "lang", "source", "n_chars",
+            (
+                F.regexp_replace(F.col("text"), r"(^|\s)", f"$1r{i}")
+                if salt
+                else F.col("text")
+            ).alias("text"),
+            "lang", "source", "n_chars",
         )
         for i in range(mult)
     ]
@@ -281,13 +294,20 @@ def main():
 
     queries: dict[str, float] = {}
     extras: dict[str, int] = {}
+    # SPARK_GRAFT_REPEATS > 1: time each query N times in-session and keep
+    # the MIN wall — steady-state (JIT-warm) capability, robust to the
+    # shared-VM noise that single shots suffer (±30% observed)
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "1")))
 
     def run(name, fn, *args):
         if only and name not in only:
             return
-        wall, ex = fn(spark, *args)
-        queries[name] = round(wall, 3)
-        extras.update(ex)
+        walls = []
+        for _ in range(repeats):
+            wall, ex = fn(spark, *args)
+            walls.append(wall)
+            extras.update(ex)
+        queries[name] = round(min(walls), 3)
 
     if os.environ.get("SPARK_GRAFT_WARMUP"):
         # JIT/page-cache warmup outside any timed region
