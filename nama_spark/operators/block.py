@@ -139,7 +139,7 @@ def prefix_filtered_pairs(
     weights: DataFrame,
     threshold: float,
     measure: str = "jaccard",
-    score_impl: str = "map",
+    score_impl: str = "explode",
 ) -> DataFrame:
     """Exact weighted-Jaccard self-join via prefix filtering — the published
     SSJoin/PPJoin technique (Chaudhuri et al., ICDE'06; Xiao et al., WWW'08).

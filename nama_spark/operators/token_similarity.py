@@ -51,14 +51,20 @@ class TokenSimilarity:
         measure: str = "jaccard",
         max_block_size: int = 100,
         reference_doc_counts: bool = True,
-        score_impl: str = "map",
+        score_impl: str = "explode",
     ):
         self.tokenizer = tokenizer
         self.weighting = weighting
         self.measure = measure
         self.max_block_size = max_block_size
         self.reference_doc_counts = reference_doc_counts
-        self.score_impl = score_impl  # "map" (payload join) | "explode"
+        # "explode" (skinny join-agg) | "map" (token→weight map payload).
+        # Equality-tested against each other; measured on this host the
+        # exploded join ties the map variant at cap 100 and beats it ~40%
+        # at cap 200 (and scales better with cores: 0.73 vs 0.51 at 2→8),
+        # so it is the default; the map variant wins when candidate pairs
+        # vastly outnumber (pair × token) rows.
+        self.score_impl = score_impl
         self.threshold: float | None = None
         self._tokens: DataFrame | None = None
         self._weights: DataFrame | None = None
