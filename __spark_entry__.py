@@ -556,6 +556,16 @@ def q_embedding_unite_similar(spark, sf_dir):
     return out.df
 
 
+def q_winnow_near_pairs(spark, sf_dir):
+    """Winnowed-fingerprint near-dup pairs (MOSS sketch) over documents —
+    pure array exprs, md5 domain so the oracle recomputes identically."""
+    from nama_spark.operators.dedup import winnow_near_pairs
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 250)
+    out = winnow_near_pairs(docs, k=8, window=4, threshold=0.2, max_df=1000)
+    return out.select("id0", "id1", F.round("jaccard", 5).alias("jaccard"))
+
+
 def q_prefix_join_pairs(spark, sf_dir):
     """PPJoin-style prefix-filtered EXACT set-similarity self-join — no
     doc-frequency cap, no O(n²): every pair with weighted jaccard ≥ 0.25
@@ -666,6 +676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "pair_losses": q_pair_losses,
         "prefix_join_pairs": q_prefix_join_pairs,
+        "winnow_near_pairs": q_winnow_near_pairs,
         # rows-only (no oracle: the Python hashed-ngram embedder, media stub)
         "pipeline_cluster_flagship_3pass": q_pipeline_cluster_flagship_3pass,
         "multimodal_image_features": q_multimodal_image_features,
@@ -1214,6 +1225,52 @@ def oracle_sql() -> dict[str, str]:
             JOIN norms n1 ON n1.string = p.s1
         )
         SELECT s0, s1, round(score, 5) AS score FROM ascored WHERE score >= 0.25
+    """
+
+    # winnowing (k=8, window=4): md5 k-gram hashes, per-window lexicographic
+    # min, distinct; then the standard block→intersect→jaccard over fp sets
+    q["winnow_near_pairs"] = r"""
+        WITH w0 AS (SELECT doc_id, lower(trim(text)) AS s FROM documents
+                    WHERE doc_id < 250),
+        g AS (
+            SELECT doc_id, s,
+                   CASE WHEN len(s) >= 8
+                        THEN list_transform(range(1, len(s) - 6), i -> md5(s[i:i+7]))
+                        ELSE []::VARCHAR[] END AS grams
+            FROM w0
+        ),
+        m AS (
+            SELECT doc_id,
+                   CASE WHEN len(grams) >= 4
+                        THEN list_transform(range(1, len(grams) - 2),
+                                            j -> list_aggregate(grams[j:j+3], 'min'))
+                        WHEN len(grams) > 0 THEN grams
+                        ELSE [md5(s)] END AS mins
+            FROM g
+        ),
+        fps AS (SELECT DISTINCT doc_id, unnest(mins) AS fp FROM m),
+        fsizes AS (SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY 1),
+        fdfreq AS (SELECT fp, count(*) AS df FROM fps GROUP BY 1),
+        felig AS (SELECT fp FROM fdfreq WHERE df BETWEEN 2 AND 1000),
+        fcand AS (
+            SELECT DISTINCT a.doc_id AS id0, b.doc_id AS id1
+            FROM (SELECT f.* FROM fps f JOIN felig USING (fp)) a
+            JOIN (SELECT f.* FROM fps f JOIN felig USING (fp)) b USING (fp)
+            WHERE a.doc_id < b.doc_id
+        ),
+        finter AS (
+            SELECT c.id0, c.id1, count(*) AS n_inter
+            FROM fcand c
+            JOIN fps f0 ON f0.doc_id = c.id0
+            JOIN fps f1 ON f1.doc_id = c.id1 AND f1.fp = f0.fp
+            GROUP BY 1, 2
+        )
+        SELECT i.id0, i.id1,
+               round(i.n_inter * 1.0 / (z0.n_fp + z1.n_fp - i.n_inter), 5) AS jaccard
+        FROM finter i
+        JOIN fsizes z0 ON z0.doc_id = i.id0
+        JOIN fsizes z1 ON z1.doc_id = i.id1
+        WHERE i.n_inter * 1.0 / (z0.n_fp + z1.n_fp - i.n_inter) >= 0.2
     """
 
     # multimodal fake decoder byte math: payload = utf-8 text; h = sha256;

@@ -259,6 +259,93 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+# ---------- winnowing (MOSS) ----------
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """(doc_id, fp) — winnowed document sketch (Schleimer, Wilkerson & Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD'03 —
+    the MOSS code-plagiarism sketch, the standard near-dup fingerprint for
+    source code): hash every char k-gram, slide a window of ``window``
+    hashes, keep each window's minimum. Guarantee: any shared substring of
+    length ≥ k + window − 1 contributes at least one shared fingerprint.
+
+    Pure array expressions end to end (sequence → substr → md5 → slice →
+    array_min → explode) — no Python, engine-portable hashes (md5 hex, min
+    is lexicographic on both Spark and DuckDB). Documents shorter than k
+    fingerprint as their own whole-text hash.
+    """
+    s = F.lower(F.trim(F.col(text_col)))
+    n = F.length(s)
+    # guard short docs: an inverted F.sequence runs backwards, never error out
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda i: F.md5(s.substr(i, F.lit(k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_g = F.size(grams)
+    mins = F.when(
+        n_g >= window,
+        F.transform(
+            F.sequence(F.lit(1), n_g - F.lit(window - 1)),
+            lambda j: F.array_min(F.slice(grams, j, window)),
+        ),
+    ).otherwise(F.when(n_g > 0, grams).otherwise(F.array(F.md5(s))))
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(mins)).alias("fp"),
+        ).distinct()
+    )
+
+
+def winnow_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+    threshold: float = 0.5,
+    max_df: int = 1000,
+) -> DataFrame:
+    """(id0, id1, jaccard) over winnowed fingerprint SETS — the same
+    block→intersect→jaccard shape as ngram_jaccard_pairs but over the much
+    smaller winnowed sketch (≈ 2/(window+1) of the k-gram count), with the
+    usual doc-frequency skew cap on blocking fingerprints."""
+    fps = winnow_fingerprints(df, text_col, id_col, k, window).cache()
+    sizes = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    dfreq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+    elig = dfreq.where((F.col("df") >= 2) & (F.col("df") <= max_df)).select("fp")
+    fe = fps.join(elig, "fp", "left_semi")
+    a = fe.select("fp", F.col("doc_id").alias("id0"))
+    b = fe.select("fp", F.col("doc_id").alias("id1"))
+    cand = (
+        a.join(b, "fp").where(F.col("id0") < F.col("id1")).select("id0", "id1").distinct()
+    )
+    inter = (
+        cand.join(fps.select(F.col("doc_id").alias("id0"), "fp"), "id0")
+        .join(fps.select(F.col("doc_id").alias("id1"), "fp"), ["id1", "fp"])
+        .groupBy("id0", "id1")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("id0"), F.col("n_fp").alias("n0")), "id0")
+        .join(sizes.select(F.col("doc_id").alias("id1"), F.col("n_fp").alias("n1")), "id1")
+        .withColumn(
+            "jaccard", F.col("n_inter") / (F.col("n0") + F.col("n1") - F.col("n_inter"))
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id0", "id1", "jaccard")
+    )
+
+
 # ---------- near-dup clusters ----------
 
 def near_dup_clusters(pairs: DataFrame, all_ids: DataFrame,

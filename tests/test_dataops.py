@@ -232,3 +232,50 @@ def test_streaming_event_time_aggregate_matches_batch(spark, tmp_path):
             )
     assert want, "fixture too short for the watermark"
     assert got == want
+
+
+def test_winnow_fingerprints_guarantee_and_oracle(spark):
+    """Winnowing (MOSS, SIGMOD'03): (a) exact fingerprint sets vs a from-spec
+    python oracle; (b) the guarantee — two docs sharing a substring of length
+    >= k + window - 1 share at least one fingerprint."""
+    import hashlib
+
+    from nama_spark.operators.dedup import winnow_fingerprints, winnow_near_pairs
+
+    k, w = 8, 4
+    shared = "the quick brown fox jumps over it"  # len 33 >= k+w-1
+    rows = [
+        (0, "AAA start pad " + shared + " tail one"),
+        (1, "completely different prefix " + shared + " other end"),
+        (2, "no overlap with anything else here at all"),
+        (3, "tiny"),  # shorter than k → whole-text hash
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {}
+    for r in winnow_fingerprints(df, k=k, window=w).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+
+    def py_winnow(text):
+        s = text.lower().strip()
+        if len(s) < k:
+            return {hashlib.md5(s.encode()).hexdigest()}
+        grams = [
+            hashlib.md5(s[i : i + k].encode()).hexdigest()
+            for i in range(len(s) - k + 1)
+        ]
+        if len(grams) < w:
+            return set(grams)
+        return {min(grams[j : j + w]) for j in range(len(grams) - w + 1)}
+
+    for doc_id, text in rows:
+        assert got[doc_id] == py_winnow(text), doc_id
+
+    # guarantee: docs 0 and 1 share the 33-char substring → shared fp
+    assert got[0] & got[1]
+    assert not (got[2] & got[0])
+
+    pairs = {
+        (r["id0"], r["id1"]): r["jaccard"]
+        for r in winnow_near_pairs(df, k=k, window=w, threshold=0.05).collect()
+    }
+    assert (0, 1) in pairs
