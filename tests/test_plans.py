@@ -113,3 +113,29 @@ def test_small_weights_table_broadcast(spark):
     scored.collect()
     final_plan = _plan(scored)
     assert "BroadcastHashJoin" in final_plan or "isFinalPlan=true" in final_plan
+
+
+def test_new_operators_have_no_cartesian_product(spark):
+    """Prefix join, winnowing pairs, and iter_scores (with min_score pushdown)
+    must plan as equi-joins — never CartesianProduct/BroadcastNestedLoopJoin."""
+    import math
+
+    from nama_spark.functions.tokenize import token_weights, tokens_table
+    from nama_spark.operators.block import prefix_filtered_pairs
+    from nama_spark.operators.dedup import winnow_near_pairs
+
+    strings = [f"name {i} alpha beta" for i in range(30)]
+    df = spark.createDataFrame([(s,) for s in strings], ["string"])
+    toks = tokens_table(df, tokenizer="words")
+    w = token_weights(toks)
+    plan = _plan(prefix_filtered_pairs(toks, w, 0.5))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    docs = spark.createDataFrame(
+        [(i, f"some shared text body {i % 3} tail") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    plan = _plan(winnow_near_pairs(docs, k=4, window=2, threshold=0.1))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
