@@ -556,6 +556,44 @@ def q_embedding_unite_similar(spark, sf_dir):
     return out.df
 
 
+def q_unite_nearest_voronoi(spark, sf_dir):
+    """unite_nearest (voronoi seed assignment, embeddings.py:461-514) over
+    the fixed embeddings table: every vector joins its nearest of 5 seed
+    vectors (cos desc, seed asc tie-break); labels re-elected as the group's
+    min string."""
+    from nama_spark.operators.embed import unite_nearest
+    from nama_spark.operators.matchdata import MatchData
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("string").alias("string"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    base = (
+        emb.select("string")
+        .withColumn("count", F.lit(1).cast("long"))
+        .withColumn("group", F.col("string"))
+    )
+    md = MatchData(base, _relabel=False)
+    seeds = [str(i) for i in range(5)]
+    out = unite_nearest(md, emb, seeds, threshold=0.0)
+    return out.df
+
+
+def q_events_dedup_first(spark, sf_dir):
+    """streaming_dedup_key (earliest event per key — the batch equivalent of
+    dropDuplicates-with-watermark) keyed on (user_id, event_type)."""
+    from nama_spark.streaming.windows import streaming_dedup_key
+
+    out = streaming_dedup_key(
+        _t(spark, sf_dir, "events"),
+        key_cols=("user_id", "event_type"),
+        tie_cols=("event_id",),
+    )
+    return out.select(
+        "user_id", "event_type", "event_id", F.round("value", 6).alias("value")
+    )
+
+
 def q_winnow_near_pairs(spark, sf_dir):
     """Winnowed-fingerprint near-dup pairs (MOSS sketch) over documents —
     pure array exprs, md5 domain so the oracle recomputes identically."""
@@ -677,6 +715,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pair_losses": q_pair_losses,
         "prefix_join_pairs": q_prefix_join_pairs,
         "winnow_near_pairs": q_winnow_near_pairs,
+        "unite_nearest_voronoi": q_unite_nearest_voronoi,
+        "events_dedup_first": q_events_dedup_first,
         # rows-only (no oracle: the Python hashed-ngram embedder, media stub)
         "pipeline_cluster_flagship_3pass": q_pipeline_cluster_flagship_3pass,
         "multimodal_image_features": q_multimodal_image_features,
@@ -1225,6 +1265,35 @@ def oracle_sql() -> dict[str, str]:
             JOIN norms n1 ON n1.string = p.s1
         )
         SELECT s0, s1, round(score, 5) AS score FROM ascored WHERE score >= 0.25
+    """
+
+    q["unite_nearest_voronoi"] = """
+        WITH assign AS (
+            SELECT cast(e.vec_id AS VARCHAR) AS string,
+                   cast(s.vec_id AS VARCHAR) AS seed,
+                   list_dot_product(e.embedding::DOUBLE[], s.embedding::DOUBLE[]) AS cos
+            FROM embeddings e, embeddings s
+            WHERE s.vec_id < 5
+        ),
+        best AS (
+            SELECT string, seed,
+                   row_number() OVER (PARTITION BY string
+                                      ORDER BY cos DESC, seed) AS rn
+            FROM assign
+        ),
+        grp AS (SELECT string, seed FROM best WHERE rn = 1)
+        SELECT string, 1::BIGINT AS count,
+               min(string) OVER (PARTITION BY seed) AS "group"
+        FROM grp
+    """
+
+    q["events_dedup_first"] = """
+        SELECT user_id, event_type, event_id, round(value, 6) AS value FROM (
+            SELECT user_id, event_type, event_id, value,
+                   row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ) WHERE rn = 1
     """
 
     # winnowing (k=8, window=4): md5 k-gram hashes, per-window lexicographic

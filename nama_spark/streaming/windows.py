@@ -98,10 +98,12 @@ def streaming_event_time_aggregate(
     )
 
 
-def streaming_dedup_key(events: DataFrame, key_cols: tuple, ts_col: str = "ts") -> DataFrame:
+def streaming_dedup_key(events: DataFrame, key_cols: tuple, ts_col: str = "ts",
+                        tie_cols: tuple = ()) -> DataFrame:
     """Keep the earliest event per key — the batch equivalent of streaming
-    dropDuplicates-with-watermark."""
-    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    dropDuplicates-with-watermark. ``tie_cols`` break equal-timestamp ties
+    deterministically (pass a unique id column for engine-stable output)."""
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, *tie_cols)
     return (
         events.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
