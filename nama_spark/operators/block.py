@@ -100,12 +100,14 @@ def anti_join_same_group(pairs: DataFrame, matchdata_df: DataFrame) -> DataFrame
 
 
 def salt_pairs(pairs: DataFrame, num_partitions: int | None = None) -> DataFrame:
-    """Salted repartition: spread candidate pairs uniformly by pair-key hash so
-    per-pair scoring never concentrates on the partition that held a hot
-    blocking key."""
+    """Salted repartition: spread candidate pairs uniformly by pair-key hash
+    so per-pair scoring never concentrates on the partition that held a hot
+    blocking key. Repartitions on the RAW 64-bit pair hash — pre-bucketing it
+    with pmod(n) would make Spark hash n small values again, and those
+    collisions leave some partitions empty and others doubled."""
     spark = pairs.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    return pairs.repartition(n, F.pmod(F.xxhash64("s0", "s1"), F.lit(n)))
+    return pairs.repartition(n, F.xxhash64("s0", "s1"))
 
 
 def prefix_tokens(

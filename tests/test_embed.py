@@ -161,3 +161,77 @@ def test_similarity_loss_formula(spark):
         # weighted form reproduces the reference's loss *= weights*loss
         # (scoring_model.py:44-45) → weights·loss²
         assert r["loss_w"] == __import__("pytest").approx(3.0 * want * want, rel=1e-9), r
+
+
+def test_iter_scores_filters_match_python_oracle(spark):
+    """iter_scores (embeddings.py:536-625): pair stream with group labels,
+    calibrated score, weighted XE loss, and every filter — checked against a
+    direct python enumeration."""
+    import itertools
+    import math
+
+    from pyspark.sql import functions as F
+
+    from nama_spark.operators.embed import iter_scores
+    from nama_spark.operators.matchdata import MatchData
+
+    alpha = 20.0
+    rows = [
+        ("a", 2, [1.0, 0.0, 0.0], "g1"),
+        ("b", 1, [0.9999, 0.0141, 0.0], "g1"),
+        ("c", 3, [0.8, 0.6, 0.0], "g2"),
+        ("d", 1, [0.0, 1.0, 0.0], "g2"),
+        ("e", 1, [0.0, 0.0, 1.0], "g3"),
+    ]
+    emb = spark.createDataFrame(
+        [(s, v) for s, _, v, _ in rows], ["string", "vec"]
+    )
+    md = MatchData(
+        spark.createDataFrame(
+            [(s, c, g) for s, c, v, g in rows], ["string", "count", "group"]
+        ),
+        _relabel=False,
+    )
+
+    def py_rows(**kw):
+        out = {}
+        data = {s: (c, v, g) for s, c, v, g in rows}
+        for s0, s1 in itertools.combinations(sorted(data), 2):
+            c0, v0, g0 = data[s0]
+            c1, v1, g1 = data[s1]
+            cos = sum(x * y for x, y in zip(v0, v1))
+            score = min(1.0, math.exp(-alpha * (1 - cos)))
+            y = 1.0 if g0 == g1 else 0.0
+            z = max(alpha * (1 - cos), 1e-6)
+            loss = y * z - (0.0 if y == 1.0 else math.log(-math.expm1(-z)))
+            loss = (c0**0.5 * c1**0.5) * loss * loss
+            if kw.get("is_match") is True and y != 1.0:
+                continue
+            if kw.get("is_match") is False and y != 0.0:
+                continue
+            if kw.get("min_score") is not None and score < kw["min_score"]:
+                continue
+            if kw.get("max_score") is not None and score > kw["max_score"]:
+                continue
+            if kw.get("min_loss") is not None and loss < kw["min_loss"]:
+                continue
+            if kw.get("max_loss") is not None and loss > kw["max_loss"]:
+                continue
+            out[(s0, s1)] = (round(score, 9), round(loss, 9), y == 1.0)
+        return out
+
+    for kw in [
+        {},
+        {"is_match": True},
+        {"is_match": False},
+        {"min_score": 1e-9},
+        {"max_loss": 5.0},
+        {"min_loss": 1.0, "max_score": 0.99},
+    ]:
+        got = {
+            (r["string0"], r["string1"]): (
+                round(r["score"], 9), round(r["loss"], 9), r["is_match"],
+            )
+            for r in iter_scores(md, emb, alpha=alpha, **kw).collect()
+        }
+        assert got == py_rows(**kw), kw

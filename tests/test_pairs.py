@@ -107,3 +107,28 @@ def test_prefix_filtered_pairs_exact_vs_bruteforce(spark):
     n_prefix = prefix_tokens(toks, w, 0.8).count()
     assert n_prefix < n_full, (n_prefix, n_full)
     scored_all.unpersist()
+
+
+def test_salt_pairs_breaks_hot_key_skew(spark):
+    """North rule: 'salted repartitioning to break hot blocking keys'. Build a
+    candidate set where one hot token contributed ~90% of pairs (all sharing
+    the s0 side), salt, and assert rows spread evenly across partitions."""
+    from pyspark.sql import functions as F
+
+    from nama_spark.operators.block import salt_pairs
+
+    hot = [("hotname", f"other{i:05d}") for i in range(9000)]
+    rest = [(f"a{i:04d}", f"b{i:04d}") for i in range(1000)]
+    pairs = spark.createDataFrame(hot + rest, ["s0", "s1"])
+    n_parts = 16
+    salted = salt_pairs(pairs, num_partitions=n_parts)
+    sizes = (
+        salted.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    counts = [r["count"] for r in sizes]
+    assert len(counts) == n_parts
+    mean = sum(counts) / len(counts)
+    assert max(counts) <= 1.5 * mean, counts
