@@ -556,6 +556,27 @@ def q_embedding_unite_similar(spark, sf_dir):
     return out.df
 
 
+def q_assign_records(spark, sf_dir):
+    """assign_records: the name-scale→file-scale join-back (pipeline.py) —
+    cluster labels from the 2-pass flagship joined onto the record rows.
+    Oracle = the flagship oracle joined back to the variant universe."""
+    from nama_spark.plans.pipeline import (
+        ExactKeyPass,
+        MatchPipeline,
+        TokenSimPass,
+        assign_records,
+    )
+
+    records = _variants(spark, sf_dir).withColumnRenamed("string", "repo")
+    pipe = MatchPipeline(
+        passes=[ExactKeyPass(key="simplify_corp"), TokenSimPass(threshold=0.7)]
+    )
+    md, _ = pipe.run(records, string_col="repo")
+    return assign_records(records, md, string_col="repo").select(
+        "repo", "entity_group"
+    )
+
+
 def q_unite_nearest_voronoi(spark, sf_dir):
     """unite_nearest (voronoi seed assignment, embeddings.py:461-514) over
     the fixed embeddings table: every vector joins its nearest of 5 seed
@@ -717,6 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_near_pairs": q_winnow_near_pairs,
         "unite_nearest_voronoi": q_unite_nearest_voronoi,
         "events_dedup_first": q_events_dedup_first,
+        "assign_records": q_assign_records,
         # rows-only (no oracle: the Python hashed-ngram embedder, media stub)
         "pipeline_cluster_flagship_3pass": q_pipeline_cluster_flagship_3pass,
         "multimodal_image_features": q_multimodal_image_features,
@@ -1408,7 +1430,7 @@ def oracle_sql() -> dict[str, str]:
               >= 0.5
     """
 
-    q["pipeline_cluster_flagship"] = f"""
+    flagship_cte = f"""
         WITH RECURSIVE
         v AS ({_SQL_VARIANTS}),
         kk AS (SELECT string, {_sql_simplify_corp('string')} AS norm FROM v),
@@ -1430,7 +1452,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         nodes AS (SELECT string AS node FROM v),
         {_sql_cc_reach('nodes', 'all_edges')}
+    """
+
+    q["pipeline_cluster_flagship"] = flagship_cte + """
         SELECT node AS string, 1::BIGINT AS count, min(r) AS "group"
+        FROM reach GROUP BY node
+    """
+
+    # same closure, joined back at record scale (assign_records)
+    q["assign_records"] = flagship_cte + """
+        SELECT node AS repo, min(r) AS entity_group
         FROM reach GROUP BY node
     """
 
