@@ -165,6 +165,15 @@ def prefix_filtered_pairs(
         token_similarity_scores_map,
     )
 
+    if measure != "jaccard":
+        # the prefix bound caps the LINEAR intersection weight; the cosine
+        # numerator is Σw²(∩), which a linear-weight suffix bound does not
+        # dominate (a heavy shared token can be outside both prefixes while
+        # w²-normalized cosine still clears the threshold)
+        raise ValueError(
+            "prefix filtering is sound only for measure='jaccard'; "
+            f"got {measure!r}"
+        )
     prefix = prefix_tokens(tokens, weights, threshold)
     a = prefix.select("token", F.col("string").alias("s0"))
     b = prefix.select("token", F.col("string").alias("s1"))

@@ -3,8 +3,12 @@ path (embeddings.py:177-458) and ``MatchData.separate`` (match_data.py:395-454).
 
 Semantics (from the reference):
 - candidate pairs with calibrated score ≥ threshold are processed in
-  DESCENDING cosine order (embeddings.py:335-337; ties in reverse original
-  (i, j) order — argsort()[::-1] of a stable ascending sort);
+  DESCENDING cosine order (embeddings.py:335-337). Equal-cosine ties: the
+  reference's numpy argsort()[::-1] uses an UNSTABLE quicksort, so its tie
+  order is unspecified — here ties break deterministically in reverse
+  (i, j) order over the component's sorted members (a deterministic
+  refinement; constraint outcomes on bit-identical-cosine ties may differ
+  from a given reference run, as they may between two reference runs);
 - groups start as singletons even when ``always_match`` is given
   (embeddings.py:222); always groups are united at the END
   (embeddings.py:436-437) — they influence the loop only through the
@@ -174,12 +178,16 @@ def unite_similar_constrained(
     return_united: bool = False,
     **lsh_kwargs,
 ):
-    """Reference-exact constrained unite_similar (embeddings.py:177-458).
+    """Constrained unite_similar (embeddings.py:177-458): reference-exact
+    greedy GIVEN the candidate graph.
 
-    With no constraints this degrades to the distributed fast path (use
-    operators.embed.unite_similar there — it avoids the per-component pandas
-    step entirely). ``candidate_mode`` defaults to "lsh" — the O(n²)
-    bruteforce self-join is a small-universe/correctness baseline only.
+    ``candidate_mode`` defaults to "lsh" — approximate candidates that can
+    only MISS ≥-threshold edges (the result refines the exhaustive one), so
+    the O(n²) bruteforce self-join never runs by default at scale. Pass
+    candidate_mode="bruteforce" on small universes to reproduce the
+    reference's exhaustive-scan semantics exactly. With no constraints use
+    operators.embed.unite_similar — it avoids the per-component pandas step
+    entirely.
 
     Returns MatchData, or (MatchData, united_df) when ``return_united``:
     united_df has one row per ACCEPTED merge — (s0, s1, n0, n1, score[,
@@ -209,7 +217,20 @@ def unite_similar_constrained(
 
     # collapse never sets through always labels; detect conflicts
     # (embeddings.py:248-281 — always wins, conflicted relationships vanish
-    # because two strings sharing an always label collapse to one element)
+    # because two strings sharing an always label collapse to one element).
+    # With always_match present the reference also DROPS never-set members
+    # that are not in the string universe (its label dict only covers
+    # universe strings); without always_match it keeps them (raw-string
+    # sets). Mirror both behaviors — membership probed with one semi-filter.
+    if always_sets and never_sets:
+        probe = sorted({s for grp in never_sets for s in grp})
+        present = {
+            r["string"]
+            for r in embeddings.select("string")
+            .where(F.col("string").isin(probe))
+            .collect()
+        }
+        never_sets = [[s for s in grp if s in present] for grp in never_sets]
     collapsed_never: list[frozenset] = []
     conflicts = []
     for idx, grp in enumerate(never_sets):

@@ -75,6 +75,13 @@ def _oracle(rows, threshold, group_threshold=None, always=None, never=None):
     )
 
     labels = _always_labels(always)
+    # reference rule: with always_match the never members are looked up in a
+    # labels dict covering only UNIVERSE strings — out-of-universe members
+    # silently drop (embeddings.py:278-281); without always_match the raw
+    # string sets are kept as-is (embeddings.py:283-284)
+    universe = set(strings)
+    if always:
+        never = [[s for s in grp if s in universe] for grp in (never or [])]
     collapsed = [
         frozenset(labels.get(s, s) for s in grp) for grp in (never or [])
     ]
@@ -306,3 +313,38 @@ def test_separate_forces_apart(spark, data):
     for g in part:
         if g != big:
             assert g in new_part
+
+
+def test_never_match_out_of_universe_drops_with_always(spark, data):
+    """With always_match present, never-set members absent from the string
+    universe drop before the collapse (the reference's label-dict lookup),
+    so two never sets intersecting only on a ghost string do NOT block each
+    other's merges."""
+    rows, emb, md = data
+    # find two strings that co-group unconstrained
+    full = _oracle(rows, 0.5)[0]
+    big = sorted(max(full, key=len))
+    a, b = big[0], big[1]
+    never = [[a, "zzz-not-in-universe"], [b, "zzz-not-in-universe"]]
+    always = [["s001", "s002"]]
+    got = _partition(
+        unite_similar_constrained(
+            md, emb, threshold=0.5, always_match=always, never_match=never,
+            alpha=ALPHA, candidate_mode="bruteforce",
+        )
+    )
+    assert got == _oracle(rows, 0.5, always=always, never=never)[0]
+    # the ghost-string intersection must not keep a and b apart
+    assert any({a, b} <= g for g in got)
+
+
+def test_prefix_filter_rejects_cosine(spark):
+    from nama_spark.operators.block import prefix_filtered_pairs
+
+    df = spark.createDataFrame([("x y",)], ["string"])
+    from nama_spark.functions.tokenize import token_weights, tokens_table
+
+    toks = tokens_table(df, tokenizer="words")
+    w = token_weights(toks)
+    with pytest.raises(ValueError):
+        prefix_filtered_pairs(toks, w, 0.5, measure="cosine")

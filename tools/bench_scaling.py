@@ -103,9 +103,12 @@ def main():
     factor = n_high / n_low
 
     ceiling_path = os.path.join(REPO, "BENCH", "host_ceiling.json")
+    ceilings = None
     if os.path.exists(ceiling_path):
         ceilings = json.load(open(ceiling_path))
-    else:
+        if (ceilings.get("n_low"), ceilings.get("n_high")) != (n_low, n_high):
+            ceilings = None  # stale window — re-measure for THIS n_low/n_high
+    if ceilings is None:
         print("measuring host ceilings first (tools/host_ceiling.py)...",
               file=sys.stderr)
         subprocess.run(
