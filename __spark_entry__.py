@@ -13,10 +13,12 @@ customer supplier part orders lineitem events documents embeddings are
 pre-registered views). Iterative connected components are oracle-checked via
 recursive-CTE min-label propagation; SimHash via md5 nibble bit math; the
 ANN approximations against the exact top-k (LSH: measured deterministic
-recall 1.0; IVF: nprobe = n_cells probes every cell). Only two queries stay
-rows-only: the 3-pass flagship (its embedding pass is the seeded Python
-hashed-ngram embedder) and nothing else is non-SQL-expressible except the
-multimodal feature VECTOR (the scalar decode fields are oracle-checked).
+recall 1.0; IVF: nprobe = n_cells probes every cell); the 3-pass flagship via
+the engine-portable md5 feature-hashing embedder (embed_strings_md5), whose
+bit math DuckDB recomputes exactly. Every queries() entry has an oracle; the
+only non-SQL-expressible artifact left is the multimodal feature VECTOR
+(seeded numpy RNG — its scalar decode fields ARE oracle-checked, the vector
+is pinned by pytest).
 
 Float discipline: every float column is rounded identically on both sides
 (and double math is forced on the Spark side where DuckDB uses DOUBLE[]), so
@@ -447,14 +449,19 @@ def q_pipeline_cluster_flagship(spark, sf_dir):
     return md.df
 
 
-# ---- rows-only queries (non-SQL-expressible: iterative CC / LSH / stubs) ----
-
 def q_pipeline_cluster_flagship_3pass(spark, sf_dir):
-    """Full three-pass flagship (B1 exact-key + B2 token-sim + B3
-    embedding-LSH). The embedding pass uses the deterministic hashed-ngram
-    embedder (Python, seeded) — not SQL-expressible, so this row is the
-    deterministic rows-count-pinned check; the 2-pass prefix is oracle-checked
-    by pipeline_cluster_flagship."""
+    """Full three-pass flagship (B1 exact-key + B2 token-sim + B3 embedding),
+    fully oracle-checked: the embedding pass runs the engine-portable md5
+    feature-hashing embedder (embed_strings_md5 — the SAME mapInPandas Arrow
+    path as the rp embedder, but md5 bit math DuckDB recomputes exactly, like
+    the simhash/multimodal oracles) with candidate_mode="bruteforce" so LSH
+    approximation cannot diverge from the SQL-exact edge set at this ~64-norm
+    scale. Oracle = exact-key ∪ token-sim ∪ embedding-cos≥0.75 edges →
+    recursive-CTE closure (reference semantics embeddings.py:144-174). The
+    production rp-embedder + LSH path stays exercised by entry() and the
+    recall pytests."""
+    import math
+
     from nama_spark.plans.pipeline import (
         EmbeddingPass,
         ExactKeyPass,
@@ -467,7 +474,13 @@ def q_pipeline_cluster_flagship_3pass(spark, sf_dir):
         passes=[
             ExactKeyPass(key="simplify_corp"),
             TokenSimPass(threshold=0.7),
-            EmbeddingPass(threshold=0.5),
+            # calibrated p = exp(−α(1−cos_t)) with α=20, cos_t=0.75
+            EmbeddingPass(
+                threshold=math.exp(-20.0 * (1.0 - 0.75)),
+                model="md5",
+                dim=16,
+                candidate_mode="bruteforce",
+            ),
         ]
     )
     md, _ = pipe.run(records, string_col="repo")
@@ -728,6 +741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_threshold_pairs": q_embedding_threshold_pairs,
         # oracle-checked via recursive-CTE connected components / bit math
         "pipeline_cluster_flagship": q_pipeline_cluster_flagship,
+        "pipeline_cluster_flagship_3pass": q_pipeline_cluster_flagship_3pass,
         "near_dup_clusters_cc": q_near_dup_clusters_cc,
         "simhash_near_pairs": q_simhash_near_pairs,
         "embedding_unite_similar": q_embedding_unite_similar,
@@ -739,8 +753,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unite_nearest_voronoi": q_unite_nearest_voronoi,
         "events_dedup_first": q_events_dedup_first,
         "assign_records": q_assign_records,
-        # rows-only (no oracle: the Python hashed-ngram embedder, media stub)
-        "pipeline_cluster_flagship_3pass": q_pipeline_cluster_flagship_3pass,
         "multimodal_image_features": q_multimodal_image_features,
     }
 
@@ -1430,7 +1442,7 @@ def oracle_sql() -> dict[str, str]:
               >= 0.5
     """
 
-    flagship_cte = f"""
+    flagship_prefix = f"""
         WITH RECURSIVE
         v AS ({_SQL_VARIANTS}),
         kk AS (SELECT string, {_sql_simplify_corp('string')} AS norm FROM v),
@@ -1446,7 +1458,10 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT s0, s1 FROM gscored WHERE score >= 0.7) e
             JOIN keyed k0 ON k0.norm = e.s0
             JOIN keyed k1 ON k1.norm = e.s1
-        ),
+        )
+    """
+
+    flagship_cte = flagship_prefix + f""",
         all_edges AS (
             SELECT u, v FROM exact_edges UNION SELECT u, v FROM tok_edges
         ),
@@ -1455,6 +1470,66 @@ def oracle_sql() -> dict[str, str]:
     """
 
     q["pipeline_cluster_flagship"] = flagship_cte + """
+        SELECT node AS string, 1::BIGINT AS count, min(r) AS "group"
+        FROM reach GROUP BY node
+    """
+
+    # B3 embedding edges — embed_strings_md5's exact bit math (embed.py):
+    # char 2/3-grams of chr(2)||s||chr(3); dim = 4th md5 hex digit (D = 16),
+    # sign = parity of the 5th; signed counts per dim (exact integers), cos =
+    # dot / (nrm0·nrm1). Dots/norms are sums of small integers → exact in
+    # double on both engines; only the final normalize/divide rounds, leaving
+    # ~1e-15 margin at the 0.75 threshold.
+    flagship3_cte = flagship_prefix + f""",
+        em_grams AS (
+            SELECT string, unnest(list_concat(
+                list_transform(range(1, len(p)), i -> p[i:i+1]),
+                CASE WHEN len(p) >= 3
+                     THEN list_transform(range(1, len(p) - 1), i -> p[i:i+2])
+                     ELSE []::VARCHAR[] END)) AS g
+            FROM (SELECT string, chr(2) || string || chr(3) AS p FROM u)
+        ),
+        em_feat AS (
+            SELECT string,
+                   instr('0123456789abcdef', substr(md5(g), 4, 1)) - 1 AS dim,
+                   CASE WHEN (instr('0123456789abcdef', substr(md5(g), 5, 1)) - 1)
+                             % 2 = 0
+                        THEN 1 ELSE -1 END AS sgn
+            FROM em_grams
+        ),
+        em_vec AS (SELECT string, dim, cast(sum(sgn) AS DOUBLE) AS val
+                   FROM em_feat GROUP BY 1, 2),
+        em_nrm AS (SELECT string, sqrt(sum(val * val)) AS nrm
+                   FROM em_vec GROUP BY 1),
+        em_sim AS (
+            SELECT a.string AS s0, b.string AS s1, sum(a.val * b.val) AS dot
+            FROM em_vec a JOIN em_vec b ON a.dim = b.dim AND a.string < b.string
+            GROUP BY 1, 2
+        ),
+        emb_norm_edges AS (
+            SELECT s.s0, s.s1
+            FROM em_sim s
+            JOIN em_nrm n0 ON n0.string = s.s0
+            JOIN em_nrm n1 ON n1.string = s.s1
+            WHERE n0.nrm > 0 AND n1.nrm > 0
+              AND s.dot / (n0.nrm * n1.nrm) >= 0.75
+        ),
+        emb_edges AS (
+            SELECT k0.string AS u, k1.string AS v
+            FROM emb_norm_edges e
+            JOIN keyed k0 ON k0.norm = e.s0
+            JOIN keyed k1 ON k1.norm = e.s1
+        ),
+        all_edges AS (
+            SELECT u, v FROM exact_edges
+            UNION SELECT u, v FROM tok_edges
+            UNION SELECT u, v FROM emb_edges
+        ),
+        nodes AS (SELECT string AS node FROM v),
+        {_sql_cc_reach('nodes', 'all_edges')}
+    """
+
+    q["pipeline_cluster_flagship_3pass"] = flagship3_cte + """
         SELECT node AS string, 1::BIGINT AS count, min(r) AS "group"
         FROM reach GROUP BY node
     """

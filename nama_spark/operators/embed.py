@@ -137,6 +137,71 @@ def embed_strings(
     return src.mapInPandas(embed_batches, schema=out_schema)
 
 
+def embed_strings_md5(
+    strings_df: DataFrame,
+    string_col: str = "string",
+    count_col: str | None = "count",
+    dim: int = 16,
+    ngram_range: tuple[int, int] = (2, 3),
+) -> DataFrame:
+    """Engine-portable feature-hashing embedder: (string, count, vec) with
+    L2-normalized float64 vectors whose math any SQL engine can recompute.
+
+    Same EmbeddingModel.forward contract as ``embed_strings`` (reference
+    embedding_model.py:68-101 — encode → pool → L2-normalize) and the same
+    ``mapInPandas`` Arrow plumbing, but the hash is md5 instead of a seeded
+    Gaussian projection: per char n-gram g of chr(2)+s+chr(3),
+
+        h   = md5(g) hex
+        dim = int(h[:4], 16) % D      (= 4th hex digit for D = 16)
+        sgn = +1 if int(h[4], 16) is even else -1
+
+    signed gram counts accumulate per dim, then L2-normalize. Deterministic
+    with no seed state, and — like the simhash/multimodal sha256 oracles —
+    exactly reproducible in DuckDB SQL, which makes pipelines built on it
+    fully oracle-checkable end to end (the driver's correctness gate runs the
+    identical bit math on the SQL side).
+    """
+    import hashlib
+
+    has_count = count_col is not None and count_col in strings_df.columns
+    cols = [F.col(string_col).alias("string")] + (
+        [F.col(count_col).cast("long").alias("count")] if has_count else []
+    )
+    src = strings_df.select(*cols)
+    if not has_count:
+        src = src.groupBy("string").agg(F.count(F.lit(1)).alias("count"))
+
+    n_lo, n_hi = ngram_range
+    out_schema = T.StructType(
+        [
+            T.StructField("string", T.StringType()),
+            T.StructField("count", T.LongType()),
+            T.StructField("vec", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def embed_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = []
+            for s in pdf["string"].astype(str):
+                padded = f"\x02{s}\x03"
+                acc = np.zeros(dim, dtype=np.float64)
+                for n in range(n_lo, n_hi + 1):
+                    for i in range(len(padded) - n + 1):
+                        h = hashlib.md5(padded[i : i + n].encode("utf-8")).hexdigest()
+                        d = int(h[:4], 16) % dim
+                        acc[d] += 1.0 if int(h[4], 16) % 2 == 0 else -1.0
+                norm = float(np.linalg.norm(acc))
+                v = acc / norm if norm > 0 else acc
+                vecs.append(v.tolist())
+            yield pd.DataFrame(
+                {"string": pdf["string"], "count": pdf["count"], "vec": vecs}
+            )
+
+    return src.mapInPandas(embed_batches, schema=out_schema)
+
+
 # ---------- cosine as a column expression (JVM-side, no Python) ----------
 
 def cosine_expr(a, b):

@@ -116,6 +116,10 @@ class EmbeddingPass:
     num_hash_tables: int = 8
     bucket_length: float = 0.25
     normalize: str | None = "simplify_corp"
+    # "rp" = seeded Gaussian random projection (embed_strings);
+    # "md5" = engine-portable md5 feature hashing (embed_strings_md5 —
+    # SQL-reproducible, so the whole pass can be oracle-checked)
+    model: str = "rp"
     name: str = "embedding"
 
     def edges(self, md: MatchData, lineage: LineageLog) -> DataFrame:
@@ -124,6 +128,7 @@ class EmbeddingPass:
         from nama_spark.operators.embed import (
             bruteforce_candidates,
             embed_strings,
+            embed_strings_md5,
             lsh_candidates,
         )
 
@@ -136,7 +141,10 @@ class EmbeddingPass:
         else:
             keyed = md.df.select("string", F.col("string").alias("norm"))
             universe = md.df.select("string")
-        emb = embed_strings(universe, count_col=None, dim=self.dim, seed=self.seed)
+        if self.model == "md5":
+            emb = embed_strings_md5(universe, count_col=None, dim=self.dim)
+        else:
+            emb = embed_strings(universe, count_col=None, dim=self.dim, seed=self.seed)
         cos_t = (
             1.0 + _math.log(self.threshold) / self.alpha
             if self.threshold > 0

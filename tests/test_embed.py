@@ -235,3 +235,63 @@ def test_iter_scores_filters_match_python_oracle(spark):
             for r in iter_scores(md, emb, alpha=alpha, **kw).collect()
         }
         assert got == py_rows(**kw), kw
+
+
+def test_md5_embedder_matches_independent_math(spark):
+    """embed_strings_md5's mapInPandas output equals a from-scratch
+    reimplementation of its documented bit math (dim = int(md5[:4],16) % D,
+    sign = parity of md5[4]) — the same math the DuckDB oracle runs."""
+    import hashlib
+
+    from nama_spark.operators.embed import embed_strings_md5
+
+    names = _names()
+    df = spark.createDataFrame([(s, 1) for s in names], ["string", "count"])
+    got = {r["string"]: np.array(r["vec"]) for r in embed_strings_md5(df, dim=16).collect()}
+
+    for s in names:
+        padded = "\x02" + s + "\x03"
+        acc = np.zeros(16)
+        grams = [padded[i:i + 2] for i in range(len(padded) - 1)]
+        grams += [padded[i:i + 3] for i in range(len(padded) - 2)]
+        for g in grams:
+            h = hashlib.md5(g.encode()).hexdigest()
+            acc[int(h[:4], 16) % 16] += 1.0 if int(h[4], 16) % 2 == 0 else -1.0
+        expect = acc / np.linalg.norm(acc)
+        assert np.allclose(got[s], expect, atol=1e-12), s
+        assert np.linalg.norm(got[s]) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_md5_embedding_pass_wiring(spark):
+    """EmbeddingPass(model='md5') produces edges exactly where the md5 cos
+    clears the pushed-down threshold, pulled back to raw strings."""
+    from nama_spark.operators.embed import embed_strings_md5
+    from nama_spark.plans.lineage import LineageLog
+    from nama_spark.plans.pipeline import EmbeddingPass
+
+    names = _names()
+    base = spark.createDataFrame(
+        [(s, 1, s) for s in names], ["string", "count", "group"]
+    )
+    md = MatchData(base, _relabel=False)
+    cos_t = 0.6
+    p = EmbeddingPass(
+        threshold=math.exp(-20.0 * (1.0 - cos_t)),
+        model="md5",
+        dim=16,
+        candidate_mode="bruteforce",
+        normalize=None,
+    )
+    edges = {
+        tuple(sorted((r["src"], r["dst"])))
+        for r in p.edges(md, LineageLog(spark, None)).collect()
+    }
+    emb = {r["string"]: np.array(r["vec"])
+           for r in embed_strings_md5(md.df.select("string"), count_col=None, dim=16).collect()}
+    expect = set()
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            if float(emb[a] @ emb[b]) >= cos_t:
+                expect.add(tuple(sorted((a, b))))
+    assert edges == expect
+    assert expect  # non-trivial at this threshold on these names
