@@ -176,6 +176,7 @@ def unite_similar_constrained(
     candidate_mode: str = "lsh",
     always_never_conflicts: str = "warn",
     return_united: bool = False,
+    max_component_size: int | None = 50_000,
     **lsh_kwargs,
 ):
     """Constrained unite_similar (embeddings.py:177-458): reference-exact
@@ -193,6 +194,14 @@ def unite_similar_constrained(
     united_df has one row per ACCEPTED merge — (s0, s1, n0, n1, score[,
     always_match]) mirroring the reference's united frame
     (embeddings.py:439-458).
+
+    ``max_component_size`` guards the per-component sequential greedy: a
+    too-low threshold (or a degenerate embedding) can produce one giant
+    component, which would run the entire loop in a single task with an
+    O(|V|²) in-task linkage matmul. Component sizes are counted up front (one
+    cheap agg on the already-needed component frame); exceeding the cap
+    raises with an actionable message instead of silently wedging an
+    executor. Pass None to disable (small universes / tests).
     """
     if group_threshold and group_threshold < threshold:
         raise ValueError("group_threshold must be greater than or equal to threshold")
@@ -265,6 +274,23 @@ def unite_similar_constrained(
         src="s0",
         dst="s1",
     )
+
+    if max_component_size is not None:
+        biggest = (
+            comp.groupBy("component")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n").alias("mx"))
+            .collect()[0]["mx"]
+        )
+        if biggest is not None and biggest > max_component_size:
+            raise ValueError(
+                f"largest candidate component has {biggest} members "
+                f"(max_component_size={max_component_size}): the sequential "
+                "greedy would run it as ONE task with an O(|V|²) linkage "
+                "check. Raise `threshold`, tighten the LSH parameters "
+                "(fewer/narrower buckets), or raise max_component_size "
+                "explicitly if the giant component is intended."
+            )
 
     # distinct column names per branch — both branches join the same comp
     # frame, and Spark's ambiguous-self-join check rejects shared refs
@@ -345,7 +371,14 @@ def unite_similar_constrained(
         .applyInPandas(solve, schema=out_schema)
     )
     if return_united:
-        solved = solved.localCheckpoint()
+        # both downstream branches (partition + audit log) consume `solved`;
+        # pin it once. Durable checkpoint when a checkpoint dir is configured
+        # (survives executor loss / stage retry on a real cluster, mirroring
+        # cluster.py); localCheckpoint otherwise (local mode).
+        if spark.sparkContext.getCheckpointDir():
+            solved = solved.checkpoint()
+        else:
+            solved = solved.localCheckpoint()
 
     part = solved.where(F.col("kind") == "m").select("string", "group")
     out = matchdata.df.drop("group").join(part, "string", "left")

@@ -319,7 +319,13 @@ def winnow_near_pairs(
     block→intersect→jaccard shape as ngram_jaccard_pairs but over the much
     smaller winnowed sketch (≈ 2/(window+1) of the k-gram count), with the
     usual doc-frequency skew cap on blocking fingerprints."""
-    fps = winnow_fingerprints(df, text_col, id_col, k, window).cache()
+    # fps feeds 4 joins below; localCheckpoint (not cache) computes it once
+    # AND truncates its lineage without leaving storage pinned forever in a
+    # long-lived session — a lazy .cache() here is never unpersisted because
+    # the result is returned unevaluated.
+    fps = winnow_fingerprints(df, text_col, id_col, k, window).localCheckpoint(
+        eager=False
+    )
     sizes = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
     dfreq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
     elig = dfreq.where((F.col("df") >= 2) & (F.col("df") <= max_df)).select("fp")

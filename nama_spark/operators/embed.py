@@ -337,6 +337,16 @@ def iter_scores(
 
     cos_t = score_to_cos(min_score, alpha) if min_score is not None else -99.0
     if candidate_mode == "bruteforce":
+        if min_score is None:
+            import warnings
+
+            warnings.warn(
+                "iter_scores(candidate_mode='bruteforce') with no min_score "
+                "scans the FULL upper triangle (O(n²) self-join) — the "
+                "reference's review-everything semantics, for review-scale "
+                "universes only. Pass min_score to push a cosine threshold "
+                "into the candidate join, or candidate_mode='lsh' at scale."
+            )
         cand = bruteforce_candidates(embeddings, cos_t)
     else:
         cand = lsh_candidates(embeddings, cos_t, **lsh_kwargs)

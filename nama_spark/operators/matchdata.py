@@ -104,22 +104,47 @@ class MatchData:
         return MatchData(base)
 
     @staticmethod
-    def detect(df: DataFrame, **kwargs) -> "MatchData":
+    def detect(
+        df: DataFrame,
+        pair_columns: tuple = ("string0", "string1"),
+        string_col: str = "string",
+        group_col: str | None = "group",
+        **kwargs,
+    ) -> "MatchData":
         """Schema-dispatch mirroring from_df(match_format='detect')
-        (match_data.py:757-774): pairs ⇐ {string0,string1}; groups ⇐
-        {string,group}; unmatched ⇐ {string}."""
+        (match_data.py:757-774) EXACTLY, including its refusal rule
+        (match_data.py:773-774): a layout that does not match a single
+        format RAISES instead of silently preferring one. As in the
+        reference: the string column is probed first (so {string, group}
+        wins even if pair columns are also present); 'pairs' requires the
+        columns to be EXACTLY the pair columns (extra columns refuse); and
+        'unmatched' must be requested explicitly via ``group_col=None`` — a
+        bare string column without the group column is ambiguous and
+        refuses."""
         cols = set(df.columns)
-        if {"string0", "string1"}.issubset(cols):
-            return MatchData.from_pairs(df, **kwargs)
-        if {"string", "group"}.issubset(cols):
-            return MatchData.from_groups(
-                df, count_col="count" if "count" in cols else None
-            )
-        if "string" in cols:
-            return MatchData.from_unmatched(
-                df, count_col="count" if "count" in cols else None
-            )
-        raise ValueError(f"cannot detect match format from columns {sorted(cols)}")
+        if string_col in cols:
+            if group_col is None:
+                return MatchData.from_unmatched(
+                    df,
+                    string_col=string_col,
+                    count_col="count" if "count" in cols else None,
+                )
+            if group_col in cols:
+                return MatchData.from_groups(
+                    df,
+                    string_col=string_col,
+                    group_col=group_col,
+                    count_col="count" if "count" in cols else None,
+                )
+        elif cols == set(pair_columns):
+            return MatchData.from_pairs(df, *pair_columns, **kwargs)
+        raise ValueError(
+            f"could not infer a match format from columns {sorted(cols)} "
+            f"(match_data.py:773-774 parity): expected {{{string_col}, "
+            f"{group_col}}} for 'groups', exactly {sorted(pair_columns)} for "
+            f"'pairs', or pass group_col=None to read a bare "
+            f"'{string_col}' column as 'unmatched'"
+        )
 
     # ---------- inspection ----------
 

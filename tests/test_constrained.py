@@ -348,3 +348,29 @@ def test_prefix_filter_rejects_cosine(spark):
     w = token_weights(toks)
     with pytest.raises(ValueError):
         prefix_filtered_pairs(toks, w, 0.5, measure="cosine")
+
+
+def test_giant_component_guard(spark, data):
+    """A threshold low enough to connect the whole universe trips the
+    max_component_size guard with an actionable error, instead of running the
+    entire sequential greedy (O(|V|²) linkage matmul) in one task."""
+    rows, emb, md = data
+    with pytest.raises(ValueError, match="max_component_size"):
+        unite_similar_constrained(
+            md,
+            emb,
+            threshold=1e-9,  # cos_t << any pairwise cosine → one mega-component
+            alpha=ALPHA,
+            candidate_mode="bruteforce",
+            max_component_size=3,
+        )
+    # same call with the guard raised/disabled completes
+    out = unite_similar_constrained(
+        md,
+        emb,
+        threshold=1e-9,
+        alpha=ALPHA,
+        candidate_mode="bruteforce",
+        max_component_size=None,
+    )
+    assert out.df.select("group").distinct().count() >= 1

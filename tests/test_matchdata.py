@@ -53,7 +53,38 @@ def test_detect_dispatch(spark):
     unmatched = spark.createDataFrame([("a",)], ["string"])
     assert _partition(MatchData.detect(pairs)) == {frozenset({"a", "b"})}
     assert _partition(MatchData.detect(groups)) == {frozenset({"a"})}
-    assert _partition(MatchData.detect(unmatched)) == {frozenset({"a"})}
+    # 'unmatched' is explicit-only (group_col=None) — reference parity
+    assert _partition(MatchData.detect(unmatched, group_col=None)) == {
+        frozenset({"a"})
+    }
+
+
+def test_detect_refuses_ambiguous_layouts(spark):
+    """from_df(match_format='detect') parity (match_data.py:757-774): a bare
+    string column without the group column refuses (unmatched must be asked
+    for), pairs columns with extras refuse, and the string column wins over
+    pair columns when both are present."""
+    import pytest as _pytest
+
+    bare = spark.createDataFrame([("a",)], ["string"])
+    with _pytest.raises(ValueError, match="could not infer"):
+        MatchData.detect(bare)
+
+    pairs_extra = spark.createDataFrame(
+        [("a", "b", 1)], ["string0", "string1", "extra"]
+    )
+    with _pytest.raises(ValueError, match="could not infer"):
+        MatchData.detect(pairs_extra)
+
+    nothing = spark.createDataFrame([(1,)], ["x"])
+    with _pytest.raises(ValueError, match="could not infer"):
+        MatchData.detect(nothing)
+
+    # string column probed first: groups wins over pair columns
+    both = spark.createDataFrame(
+        [("a", "g", "x", "y")], ["string", "group", "string0", "string1"]
+    )
+    assert _partition(MatchData.detect(both)) == {frozenset({"a"})}
 
 
 def test_unite_with_column_expr_hash_collision_pass(spark):

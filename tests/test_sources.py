@@ -12,7 +12,9 @@ def test_read_csv_unmatched_and_empty_not_null(spark, tmp_path):
     spark.createDataFrame(
         [("acme", 2), (None, 1), ("beta", None)], ["string", "count"]
     ).coalesce(1).write.option("header", True).mode("overwrite").csv(p)
-    md = read_csv(spark, p)
+    # 'detect' refuses a bare string column (reference match_data.py:773-774
+    # parity — unmatched must be requested explicitly)
+    md = read_csv(spark, p, match_format="unmatched")
     rows = {r["string"]: r["count"] for r in md.df.collect()}
     # NULL string becomes "" (na_filter=False parity); NULL count becomes
     # empty string → cast "" to long fails → treat as 1 via coalesce path
