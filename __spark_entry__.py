@@ -363,6 +363,18 @@ def q_events_sessionize(spark, sf_dir):
     return s.groupBy("user_id").agg(F.max("session_seq").alias("n_sessions"))
 
 
+def q_events_sessionize_window(spark, sf_dir):
+    """session_window-based sessionize (one row per session, batch/stream
+    agnostic expression) — oracle = lag/cumsum sessions re-aggregated:
+    session_start = first event, session_end = last event + gap."""
+    from nama_spark.streaming.windows import sessionize_window
+
+    s = sessionize_window(_t(spark, sf_dir, "events"), gap="30 minutes")
+    return s.select(
+        "user_id", "session_start", "session_end", "n_events", "value_sum"
+    )
+
+
 def q_dedup_exact_docs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.groupBy(F.md5("text").alias("text_md5")).agg(
@@ -713,6 +725,48 @@ def q_multimodal_image_features(spark, sf_dir):
     )
 
 
+def q_multimodal_video_frames(spark, sf_dir):
+    """Video frame-sampling plumbing (sample_video_frames): one row per
+    sampled frame index, indices derived from the media meta JSON
+    (n_frames = n_chars) — pure F.sequence math, fully SQL-expressible, so
+    the explode shape is oracle-checked end to end. The decode step stays the
+    declared stub (no video libs in this container)."""
+    from nama_spark.operators.multimodal import (
+        media_from_documents,
+        sample_video_frames,
+    )
+
+    media = media_from_documents(_t(spark, sf_dir, "documents"), kind="video")
+    out = sample_video_frames(media, every_n=10, fake=True)
+    return out.select("media_id", "frame_idx", "decoded")
+
+
+def q_multimodal_audio_features(spark, sf_dir):
+    """Audio decode plumbing, oracle-checked like the image path: the fake
+    decoder derives sample_rate / n_samples / duration / rms from sha256
+    bytes of the payload (multimodal.py _decode_audio_fake), which DuckDB
+    recomputes with its own sha256. The seeded feature VECTOR is pinned by
+    pytest."""
+    from nama_spark.operators.multimodal import (
+        extract_audio_features,
+        media_from_documents,
+    )
+
+    media = media_from_documents(_t(spark, sf_dir, "documents"), kind="audio")
+    feats = extract_audio_features(media, fake=True, dim=8)
+    return feats.select(
+        "media_id",
+        "sample_rate",
+        "n_samples",
+        # floor-scaled integer µs, not round(…, 6): n/sr ties exactly at
+        # rounding boundaries (e.g. 32513/16000 = 2.0320625) and the two
+        # engines break round-half ties differently; floor of the identical
+        # IEEE double is tie-free
+        F.floor(F.col("duration_sec") * 1e6).cast("long").alias("duration_us"),
+        F.round("rms", 5).alias("rms"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "normalize_simplify": q_normalize_simplify,
@@ -733,6 +787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers_by_revenue": q_top_customers_by_revenue,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
+        "events_sessionize_window": q_events_sessionize_window,
         "dedup_exact_docs": q_dedup_exact_docs,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
@@ -754,6 +809,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dedup_first": q_events_dedup_first,
         "assign_records": q_assign_records,
         "multimodal_image_features": q_multimodal_image_features,
+        "multimodal_video_frames": q_multimodal_video_frames,
+        "multimodal_audio_features": q_multimodal_audio_features,
     }
 
 
@@ -1143,16 +1200,43 @@ def oracle_sql() -> dict[str, str]:
         FROM events GROUP BY 1, 2
     """
 
+    # sub-second gap precision (sessionize casts ts to double seconds;
+    # epoch() is fractional in DuckDB — both µs-exact in double)
     q["events_sessionize"] = """
         WITH flags AS (
             SELECT user_id,
                 CASE WHEN lag(ts) OVER w IS NULL
-                     OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+                     OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
                 THEN 1 ELSE 0 END AS is_new
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts)
         )
         SELECT user_id, cast(sum(is_new) AS BIGINT) AS n_sessions FROM flags GROUP BY 1
+    """
+
+    # session_window parity: sessions merge while the inter-event gap < 30
+    # min (no exact-gap ties in this data at µs precision); window end =
+    # last event + gap
+    q["events_sessionize_window"] = """
+        WITH flags AS (
+            SELECT user_id, ts, value,
+                CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sess AS (
+            SELECT user_id, ts, value,
+                   sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flags
+        )
+        SELECT user_id, min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               count(*) AS n_events,
+               round(sum(value), 6) AS value_sum
+        FROM sess GROUP BY user_id, sid
     """
 
     q["dedup_exact_docs"] = """
@@ -1392,6 +1476,37 @@ def oracle_sql() -> dict[str, str]:
                16 + {_sha_byte(5)} % 240 AS height,
                round({_sha_byte(6)} / 255.0, 5) AS mean_luma
         FROM documents
+    """
+
+    # frame indices = F.sequence(0, n_frames-1, step) over meta n_frames
+    # (= n_chars) — DuckDB range(0, n, step) enumerates the same set
+    q["multimodal_video_frames"] = """
+        SELECT doc_id AS media_id,
+               unnest(range(0, coalesce(n_chars, 30), 10)) AS frame_idx,
+               true AS decoded
+        FROM documents
+    """
+
+    # audio fake decoder byte math (multimodal.py _decode_audio_fake):
+    # sample_rate from byte 7 % 4; n_samples = 1000 + (b8·256 + b9) % 100000;
+    # duration = n_samples / sample_rate (exact-int double division both
+    # engines); rms = b10 / 255
+    q["multimodal_audio_features"] = f"""
+        WITH a AS (
+            SELECT doc_id AS media_id,
+                   CASE ({_sha_byte(7)}) % 4
+                        WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                        WHEN 2 THEN 22050 ELSE 44100 END AS sample_rate,
+                   1000 + (256 * ({_sha_byte(8)}) + ({_sha_byte(9)}))
+                        % 100000 AS n_samples,
+                   {_sha_byte(10)} / 255.0 AS rms0
+            FROM documents
+        )
+        SELECT media_id, sample_rate, cast(n_samples AS BIGINT) AS n_samples,
+               cast(floor(n_samples * 1.0 / sample_rate * 1000000.0)
+                    AS BIGINT) AS duration_us,
+               round(rms0, 5) AS rms
+        FROM a
     """
 
     # iter_scores: Z = max(α(1−dot), ε); loss = Y·Z − xlogy(1−Y, 1−e^(−Z)),

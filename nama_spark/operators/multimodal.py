@@ -41,6 +41,18 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 )
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("duration_sec", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
 def _decode_image_real(data: bytes):
     raise NotImplementedError(
         "image codecs are not available in this container; pass fake=True "
@@ -88,6 +100,64 @@ def extract_image_features(
             )
 
     return imgs.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def _decode_audio_real(data: bytes):
+    raise NotImplementedError(
+        "audio codecs are not available in this container; pass fake=True "
+        "or plug a soundfile/torchaudio-based decoder here"
+    )
+
+
+def _decode_audio_fake(data: bytes, dim: int = 8):
+    """Deterministic fake audio decode, same pattern as _decode_image_fake:
+    scalar 'decode' fields are pure sha256 byte math (so an external SQL
+    engine can recompute them — the driver oracle does), the feature vector
+    is a seeded RNG draw (pinned by pytest)."""
+    h = hashlib.sha256(data or b"").digest()
+    sample_rate = (8000, 16000, 22050, 44100)[h[7] % 4]
+    n_samples = 1000 + int.from_bytes(h[8:10], "big") % 100000
+    duration = n_samples / sample_rate
+    rms = float(h[10]) / 255.0
+    rng = np.random.RandomState(int.from_bytes(h[4:8], "big"))
+    feat = rng.normal(0, 1, dim).astype(np.float32)
+    feat /= max(float(np.linalg.norm(feat)), 1e-9)
+    return sample_rate, n_samples, duration, rms, feat
+
+
+def extract_audio_features(
+    media: DataFrame, fake: bool = False, dim: int = 8,
+    batch_partitions: int | None = None,
+) -> DataFrame:
+    """Decode + featurize audio rows via mapInPandas — the audio counterpart
+    of extract_image_features, so all three modalities share one plumbing
+    pattern (modality filtered before the Python boundary, Arrow batches of
+    binary payloads, typed feature schema)."""
+
+    auds = media.where(F.col("kind") == "audio").select("media_id", "data")
+    if batch_partitions:
+        auds = auds.repartition(batch_partitions, "media_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                payload = bytes(data) if data is not None else b""
+                if fake:
+                    sr, ns, dur, rms, feat = _decode_audio_fake(payload, dim)
+                else:
+                    sr, ns, dur, rms, feat = _decode_audio_real(payload)
+                rows.append(
+                    (int(mid), int(sr), int(ns), float(dur), float(rms),
+                     feat.tolist())
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "sample_rate", "n_samples",
+                         "duration_sec", "rms", "feature"],
+            )
+
+    return auds.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
 
 
 def sample_video_frames(media: DataFrame, every_n: int = 10, fake: bool = False) -> DataFrame:

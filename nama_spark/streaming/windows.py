@@ -8,9 +8,19 @@ runs under Structured Streaming with a watermark:
         .transform(lambda df: event_time_aggregate(df))
         .writeStream...)
 
-``sessionize`` is the batch form (gaps via lag window); the streaming form
-would be ``F.session_window`` / ``applyInPandasWithState`` — noted, not
-needed by the reference (batch-only, SURVEY.md §2.12).
+``sessionize`` is the row-level batch form (gaps via lag window; every event
+keeps its session id). ``sessionize_window`` is the same session partition as
+an ``F.session_window`` aggregation (one row per session) — and because
+session_window works identically in batch and streaming,
+``streaming_sessionize`` runs it under Structured Streaming with a watermark
+(beyond the reference, which is batch-only — SURVEY.md §2.12).
+
+Gap semantics: an event extends the current session iff its distance to the
+previous event is ≤ gap at full (sub-second) timestamp precision — the same
+rule session_window applies, so the two forms partition identically whenever
+no inter-event delta equals the gap EXACTLY (at microsecond resolution a
+measure-zero tie; session_window treats it as a new session, the lag form as
+a continuation).
 """
 
 from __future__ import annotations
@@ -55,9 +65,14 @@ def sessionize(
     gap_sec = _duration_seconds(gap)
     w = Window.partitionBy(user_col).orderBy(ts_col)
     prev_ts = F.lag(F.col(ts_col)).over(w)
+    # cast("double") keeps sub-second precision (unix_timestamp truncates to
+    # seconds and would disagree with session_window near gap boundaries);
+    # TIMESTAMP_NTZ needs the timestamp hop first (NTZ→DOUBLE has no cast)
+    def _sec(c):
+        return c.cast("timestamp").cast("double")
+
     new_session = F.when(
-        prev_ts.isNull()
-        | (F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts) > gap_sec),
+        prev_ts.isNull() | (_sec(F.col(ts_col)) - _sec(prev_ts) > gap_sec),
         1,
     ).otherwise(0)
     df = events.withColumn("__new", new_session)
@@ -68,6 +83,55 @@ def sessionize(
     return df.withColumn(
         "session_id",
         F.concat_ws("#", F.col(user_col).cast("string"), F.col("session_seq").cast("string")),
+    )
+
+
+def sessionize_window(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """The same session partition as ``sessionize`` expressed as an
+    ``F.session_window`` aggregation: one row per (user, session) with the
+    session's event count and value sum. Batch/stream agnostic — this exact
+    expression runs under Structured Streaming (see streaming_sessionize)."""
+    return (
+        events.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("sw"), F.col(user_col)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("value_sum"),
+        )
+        .select(
+            user_col,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def streaming_sessionize(
+    spark,
+    source_dir: str,
+    schema,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """``sessionize_window`` under Structured Streaming: readStream(parquet)
+    → withWatermark → session_window agg. In append output mode a session
+    emits exactly once, when the watermark passes its close (session end +
+    nothing can extend it); late events beyond the watermark are dropped.
+    Returns the streaming DataFrame; callers attach writeStream."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return sessionize_window(
+        stream.withWatermark(ts_col, watermark), gap, ts_col, user_col
     )
 
 

@@ -169,6 +169,39 @@ def test_multimodal_plumbing(spark, docs):
     assert frames.count() >= 3
 
 
+def test_audio_plumbing(spark, docs):
+    """extract_audio_features: same modality-filtered mapInPandas pattern as
+    images — sha256-derived scalars, seeded unit-norm feature vector,
+    deterministic across runs, real decoder an explicit stub."""
+    import hashlib
+
+    import numpy as np
+
+    from nama_spark.operators.multimodal import extract_audio_features
+
+    media = media_from_documents(docs.limit(20), kind="audio")
+    feats = extract_audio_features(media, fake=True, dim=8)
+    rows = feats.collect()
+    assert len(rows) == 20
+    texts = {r["doc_id"]: r["text"] for r in docs.limit(20).collect()}
+    for r in rows:
+        assert len(r["feature"]) == 8
+        assert abs(float(np.linalg.norm(r["feature"])) - 1.0) < 1e-5
+        assert r["sample_rate"] in (8000, 16000, 22050, 44100)
+        # scalar fields match the documented sha256 byte math
+        h = hashlib.sha256(texts[r["media_id"]].encode()).digest()
+        assert r["sample_rate"] == (8000, 16000, 22050, 44100)[h[7] % 4]
+        assert r["n_samples"] == 1000 + int.from_bytes(h[8:10], "big") % 100000
+        assert r["duration_sec"] == pytest.approx(r["n_samples"] / r["sample_rate"])
+        assert r["rms"] == pytest.approx(h[10] / 255.0)
+    again = {r["media_id"]: r["feature"]
+             for r in extract_audio_features(media, fake=True, dim=8).collect()}
+    for r in rows:
+        assert again[r["media_id"]] == r["feature"]
+    with pytest.raises(Exception):
+        extract_audio_features(media, fake=False).collect()
+
+
 def test_event_time_ops(spark):
     events = spark.read.parquet(f"{SF}/events.parquet")
     agg = event_time_aggregate(events, "1 hour")
@@ -230,6 +263,83 @@ def test_streaming_event_time_aggregate_matches_batch(spark, tmp_path):
             want[(r["window_start"], r["event_type"])] = (
                 r["n_events"], r["value_sum"],
             )
+    assert want, "fixture too short for the watermark"
+    assert got == want
+
+
+def test_sessionize_window_matches_lag_sessionize(spark):
+    """sessionize_window (F.session_window agg) partitions events into
+    exactly the sessions the lag/cumsum sessionize builds: same (user,
+    session_start=first event, n_events) triples, end = last event + gap."""
+    from datetime import timedelta
+
+    from nama_spark.streaming.windows import sessionize, sessionize_window
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    lag_sessions = {
+        (r["user_id"], r["session_start"], r["n_events"], r["session_end"])
+        for r in sessionize(events, gap="30 minutes")
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("ts").alias("session_end"),
+        )
+        .collect()
+    }
+    win_sessions = {
+        (
+            r["user_id"],
+            r["session_start"],
+            r["n_events"],
+            r["session_end"] - timedelta(minutes=30),
+        )
+        for r in sessionize_window(events, gap="30 minutes").collect()
+    }
+    assert lag_sessions == win_sessions
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """Real Structured Streaming session windows: readStream → watermark →
+    session_window agg → memory sink (append). A session emits once its
+    window can no longer grow (watermark past its end), so the streamed
+    output equals the batch sessionize_window restricted to sessions closed
+    before (max_ts − watermark)."""
+    import shutil
+    from datetime import timedelta
+
+    from nama_spark.streaming.windows import sessionize_window, streaming_sessionize
+
+    src = tmp_path / "events_sess_stream"
+    src.mkdir()
+    shutil.copy(f"{SF}/events.parquet", src / "part-0.parquet")
+
+    batch = spark.read.parquet(f"{SF}/events.parquet")
+    stream = streaming_sessionize(
+        spark, str(src), batch.schema, gap="30 minutes", watermark="2 hours"
+    )
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ev_sess_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["value_sum"])
+        for r in spark.table("ev_sess_test").collect()
+    }
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    cutoff = max_ts - timedelta(hours=2)
+    want = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["value_sum"])
+        for r in sessionize_window(batch, gap="30 minutes").collect()
+        if r["session_end"].replace(tzinfo=None) <= cutoff
+    }
     assert want, "fixture too short for the watermark"
     assert got == want
 
