@@ -13,9 +13,26 @@ Usage (north rule: "ships as spark-submit --py-files jobs"):
         --passes exact_key,token_sim,embedding \
         --token-threshold 0.7 --embed-threshold 0.5
 
-On a cluster the same command runs unchanged with an Iceberg table id as
---input (spark.read.table) plus the iceberg-spark-runtime package on the
-submit line. Resume: re-running with the same --checkpoint-dir skips
+On a cluster the same command runs unchanged against an Iceberg catalog
+(SURVEY.md §1.6). Exact invocation — add the runtime package and register
+the catalog on the submit line, then name it with --catalog:
+
+    spark-submit \
+        --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:1.10.0 \
+        --conf spark.sql.catalog.lake=org.apache.iceberg.spark.SparkCatalog \
+        --conf spark.sql.catalog.lake.type=rest \
+        --conf spark.sql.catalog.lake.uri=https://catalog.example.com \
+        --py-files /tmp/nama_spark.zip jobs/run_pipeline.py \
+        --catalog lake --input db.repo_files \
+        --string-col repo --output s3://bucket/clusters ...
+
+(for a Hadoop-warehouse catalog use ...lake.type=hadoop plus
+spark.sql.catalog.lake.warehouse=s3://bucket/warehouse). --catalog routes
+through readers.read_records → spark.read.table("<catalog>.<input>"), so
+Iceberg partition pruning / hidden partitioning / snapshot isolation apply
+to the same DataFrame plan; the sandbox has no Iceberg jar, so tests
+exercise the identical dispatch against a registered session-catalog
+parquet table. Resume: re-running with the same --checkpoint-dir skips
 completed passes.
 """
 
@@ -30,6 +47,11 @@ import time
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="nama_spark matching pipeline")
     p.add_argument("--input", required=True, help="parquet path or table id")
+    p.add_argument("--catalog", default=None,
+                   help="named Spark catalog (e.g. an Iceberg catalog "
+                        "registered via spark.sql.catalog.<name> confs); "
+                        "--input/--reference-input are then read as "
+                        "<catalog>.<table> identifiers")
     p.add_argument("--reference-input", default=None,
                    help="reference copy for the per-row sha256(content) invariant")
     p.add_argument("--string-col", default="repo")
@@ -102,10 +124,10 @@ def main(argv=None):
     spark = SparkSession.builder.appName("nama_spark_pipeline").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    records = read_records(spark, args.input)
+    records = read_records(spark, args.input, catalog=args.catalog)
 
     if args.reference_input:
-        ref = read_records(spark, args.reference_input)
+        ref = read_records(spark, args.reference_input, catalog=args.catalog)
         n_bad = sha256_invariant_violations(records, ref).count()
         if n_bad:
             raise SystemExit(f"sha256 invariant violated on {n_bad} rows")

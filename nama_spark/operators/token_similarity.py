@@ -169,12 +169,22 @@ class TokenSimilarity:
         objective: str = "F1",
         grid: list[float] | None = None,
         use_counts: bool = False,
+        strategy: str = "grid",
+        coarse_step: int = 10,
     ):
         """Fit on the gold universe, score candidates once, evaluate the
         objective per grid threshold, keep the argmax (last max on ties —
         token_similarity[html] learn_threshold). Returns the sweep rows.
         Default grid = np.linspace(0.5, 1, 100), the reference's own default
-        (token_similarity[html]:253-256)."""
+        (token_similarity[html]:253-256).
+
+        ``strategy="coarse_to_fine"`` evaluates every ``coarse_step``-th grid
+        point (plus the last), then every unevaluated point within one coarse
+        step of the coarse argmax — ~3× fewer Spark jobs than the full sweep
+        (each evaluation is a CC + confusion-matrix job). The chosen
+        threshold is identical to the full grid's whenever the objective is
+        unimodal over the grid (the usual precision/recall trade-off shape);
+        returned rows cover only the evaluated points."""
         import numpy as np
 
         if grid is None:
@@ -182,12 +192,28 @@ class TokenSimilarity:
         self.fit(gold.df, string_col="string")
         scores = self.pair_scores().cache()
         scores.count()  # materialize once
-        rows = []
-        for t in grid:
-            pred = self.predict(gold, threshold=t, scores=scores)
-            s = score_predicted(pred, gold, use_counts=use_counts)
-            s["threshold"] = t
-            rows.append(s)
+
+        def evaluate(idxs):
+            out = []
+            for i in idxs:
+                pred = self.predict(gold, threshold=grid[i], scores=scores)
+                s = score_predicted(pred, gold, use_counts=use_counts)
+                s["threshold"] = grid[i]
+                out.append((i, s))
+            return out
+
+        if strategy == "coarse_to_fine" and len(grid) > coarse_step:
+            coarse_idx = sorted(set(range(0, len(grid), coarse_step)) | {len(grid) - 1})
+            evaluated = dict(evaluate(coarse_idx))
+            # last max on ties — the same rule as the full grid
+            best_i = max(coarse_idx, key=lambda i: (evaluated[i][objective], i))
+            lo = max(0, best_i - coarse_step)
+            hi = min(len(grid) - 1, best_i + coarse_step)
+            fine_idx = [i for i in range(lo, hi + 1) if i not in evaluated]
+            evaluated.update(dict(evaluate(fine_idx)))
+            rows = [evaluated[i] for i in sorted(evaluated)]
+        else:
+            rows = [s for _, s in evaluate(range(len(grid)))]
         best = max(rows, key=lambda r: (r[objective], grid.index(r["threshold"])))
         self.threshold = best["threshold"]
         scores.unpersist()

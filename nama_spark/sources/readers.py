@@ -60,10 +60,23 @@ def _dispatch(df: DataFrame, match_format: str) -> MatchData:
     raise ValueError(f"unknown match_format: {match_format}")
 
 
-def read_records(spark: SparkSession, source: str) -> DataFrame:
+def read_records(spark: SparkSession, source: str, catalog: str | None = None) -> DataFrame:
     """North-rule input: an Iceberg/catalog table name or a parquet path.
-    Heuristic: paths contain '/' or end in .parquet; otherwise treated as a
-    table identifier."""
+
+    ``catalog`` pins the table to a named Spark catalog —
+    ``spark.read.table(f"{catalog}.{source}")`` — the production Iceberg path
+    (SURVEY.md §1.6): register the catalog on the submit line with
+    ``--packages org.apache.iceberg:iceberg-spark-runtime-*`` plus
+    ``spark.sql.catalog.<name>`` confs (exact invocation in
+    jobs/run_pipeline.py's docstring), then pass ``--catalog <name>
+    --input db.repo_files``. Catalog reads get Iceberg's partition pruning,
+    hidden-partition transforms and snapshot isolation for free through the
+    same DataFrame plan.
+
+    Without ``catalog``: paths (contain '/' or end in .parquet) read as
+    parquet; bare names resolve in the session catalog."""
+    if catalog:
+        return spark.read.table(f"{catalog}.{source}")
     if "/" in source or source.endswith(".parquet"):
         return spark.read.parquet(source)
     return spark.read.table(source)

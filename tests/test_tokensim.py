@@ -159,3 +159,24 @@ def test_learn_threshold_picks_f1_argmax(spark):
     assert ts.threshold in {0.2, 0.4, 0.6, 0.8}
     best = max(r["F1"] for r in rows)
     assert any(r["threshold"] == ts.threshold and r["F1"] == best for r in rows)
+
+
+def test_learn_threshold_coarse_to_fine_same_argmax(spark):
+    """The two-stage sweep picks the SAME threshold as the full 100-pt grid
+    on the fixture (unimodal F1 curve) while evaluating ~3x fewer points."""
+    rng = random.Random(3)
+    strings = _messy_names(rng, n_entities=10)
+    gold_df = [(s, 1, s.replace("-", " ").split()[0]) for s in strings]
+    gold = MatchData(
+        spark.createDataFrame(gold_df, ["string", "count", "group"])
+    )
+    full = TokenSimilarity()
+    full_rows = full.learn_threshold(gold)
+    ctf = TokenSimilarity()
+    ctf_rows = ctf.learn_threshold(gold, strategy="coarse_to_fine")
+    assert ctf.threshold == full.threshold
+    assert len(ctf_rows) < len(full_rows) / 2
+    # evaluated points report the same scores as the full sweep
+    full_by_t = {r["threshold"]: r["F1"] for r in full_rows}
+    for r in ctf_rows:
+        assert r["F1"] == full_by_t[r["threshold"]]
