@@ -144,7 +144,11 @@ def _greedy_component(
             never.pop(g1, None)
         else:
             # drop every queued pair connecting these two groups as composed
-            # now (embeddings.py:425-427)
+            # now (embeddings.py:425-427). This full-queue scan is the
+            # reference's own rule (O(Q) per refusal, O(Q²) worst case) —
+            # tolerable because Q is bounded by the caller's
+            # max_component_size guard; an alive-index per group pair would
+            # only help degenerate low-threshold inputs the guard rejects.
             gset = {g0, g1}
             for k in range(qi, len(queue)):
                 if alive[k]:
