@@ -10,5 +10,8 @@ both batch and Structured Streaming (the functions take any DataFrame;
 from nama_spark.streaming.windows import (  # noqa: F401
     event_time_aggregate,
     sessionize,
+    sessionize_window,
     streaming_dedup_key,
+    streaming_event_time_aggregate,
+    streaming_sessionize,
 )
