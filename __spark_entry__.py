@@ -725,6 +725,21 @@ def q_multimodal_image_features(spark, sf_dir):
     )
 
 
+def q_sorted_neighborhood_pairs(spark, sf_dir):
+    """Sorted-neighborhood blocking (Hernández & Stolfo SIGMOD'95) over the
+    name universe keyed by simplify_corp, window 3 — every string paired with
+    its 2 successors in (key, string) sort order. The Spark side ranks via
+    range partitioning + offset prefix-sum (never Exchange SinglePartition —
+    plan-tested); the oracle is the plain global row_number, which must agree
+    because the composite (key, string) order is total."""
+    from nama_spark.functions.normalize import simplify_corp
+    from nama_spark.operators.block import sorted_neighborhood_pairs
+
+    u = _name_universe(spark, sf_dir)
+    out = sorted_neighborhood_pairs(u, simplify_corp, window=3)
+    return out.select("s0", "s1", "rank_distance")
+
+
 def q_multimodal_video_frames(spark, sf_dir):
     """Video frame-sampling plumbing (sample_video_frames): one row per
     sampled frame index, indices derived from the media meta JSON
@@ -808,6 +823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unite_nearest_voronoi": q_unite_nearest_voronoi,
         "events_dedup_first": q_events_dedup_first,
         "assign_records": q_assign_records,
+        "sorted_neighborhood_pairs": q_sorted_neighborhood_pairs,
         "multimodal_image_features": q_multimodal_image_features,
         "multimodal_video_frames": q_multimodal_video_frames,
         "multimodal_audio_features": q_multimodal_audio_features,
@@ -1458,6 +1474,17 @@ def oracle_sql() -> dict[str, str]:
         JOIN fsizes z0 ON z0.doc_id = i.id0
         JOIN fsizes z1 ON z1.doc_id = i.id1
         WHERE i.n_inter * 1.0 / (z0.n_fp + z1.n_fp - i.n_inter) >= 0.2
+    """
+
+    q["sorted_neighborhood_pairs"] = f"""
+        WITH u AS (SELECT DISTINCT p_name AS string FROM part),
+        k AS (SELECT string, {_sql_simplify_corp('string')} AS key FROM u),
+        r AS (SELECT string,
+                     row_number() OVER (ORDER BY key, string) - 1 AS rnk
+              FROM k)
+        SELECT a.string AS s0, b.string AS s1,
+               cast(b.rnk - a.rnk AS INT) AS rank_distance
+        FROM r a JOIN r b ON b.rnk - a.rnk BETWEEN 1 AND 2
     """
 
     # multimodal fake decoder byte math: payload = utf-8 text; h = sha256;

@@ -25,7 +25,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from nama_spark.functions.tokenize import token_weights, tokens_table
@@ -207,3 +207,90 @@ def build_token_blocking(
     elig = eligible_tokens(weights, min_block_size, max_block_size)
     pairs = token_block_pairs(tokens, elig, max_block_size)
     return tokens, weights, pairs
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list,
+    num_partitions: int | None = None,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Contiguous 0-based global rank by ``order_cols`` WITHOUT the
+    single-partition global window (`row_number() OVER (ORDER BY ...)` forces
+    Exchange SinglePartition — one task holds the whole table).
+
+    Distributed realization: repartitionByRange on the order columns (range
+    partitions are themselves ordered), a PARTITION-LOCAL row_number (every
+    partition ranks in parallel), then each partition's offset = prefix sum
+    of partition sizes — a num_partitions-row collect — broadcast back. The
+    composite order must be total (pass a tie-breaking unique column last) so
+    the rank is deterministic and engine-portable.
+    """
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+    w = Window.partitionBy(F.spark_partition_id()).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    local = ranged.withColumn("__pid", F.spark_partition_id()).withColumn(
+        "__rn", F.row_number().over(w)
+    )
+    # one tiny action: partition sizes → offsets (prefix sum on the driver)
+    sizes = {
+        r["__pid"]: r["n"]
+        for r in local.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    off_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], ["__pid", "__off"]
+    )
+    return (
+        local.join(F.broadcast(off_df), "__pid")
+        .withColumn(rank_col, (F.col("__rn") - 1 + F.col("__off")).cast("long"))
+        .drop("__pid", "__rn", "__off")
+    )
+
+
+def sorted_neighborhood_pairs(
+    strings_df: DataFrame,
+    key_col,
+    window: int = 3,
+    string_col: str = "string",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo, SIGMOD'95 — the
+    classic merge/purge method): sort the universe by a blocking key and pair
+    every string with its ``window−1`` successors in sort order. Catches
+    near-misses that share a key PREFIX but no exact key or token (where
+    exact-key and token blocking both fail), at a guaranteed linear
+    (window−1)·n pair budget — no block can blow up, hot keys included.
+
+    Spark realization: ``global_rank`` (range-partitioned parallel ranking,
+    never Exchange SinglePartition) then an equi-join of rank against
+    rank+d for d ∈ [1, window): one shuffle on the rank, fanout window−1.
+    Returns (s0, s1, rank_distance) with s0 the sort-order predecessor.
+    """
+    if window < 2:
+        raise ValueError("window must be >= 2 (w-1 successors per string)")
+    spark = strings_df.sparkSession
+    keyed = strings_df.select(
+        F.col(string_col).alias("string"),
+        (key_col if not callable(key_col) else key_col(F.col(string_col))).alias(
+            "__key"
+        ),
+    )
+    ranked = global_rank(
+        keyed, ["__key", "string"], num_partitions=num_partitions
+    )
+    a = ranked.select(F.col("string").alias("s0"), F.col("rank").alias("__r0"))
+    b = ranked.select(F.col("string").alias("s1"), F.col("rank").alias("__r1"))
+    deltas = spark.range(1, window).select(F.col("id").alias("__d"))
+    return (
+        a.crossJoin(F.broadcast(deltas))
+        .withColumn("__r1", F.col("__r0") + F.col("__d"))
+        .join(b, "__r1")
+        .select("s0", "s1", F.col("__d").cast("int").alias("rank_distance"))
+    )

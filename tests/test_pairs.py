@@ -132,3 +132,43 @@ def test_salt_pairs_breaks_hot_key_skew(spark):
     assert len(counts) == n_parts
     mean = sum(counts) / len(counts)
     assert max(counts) <= 1.5 * mean, counts
+
+
+def test_sorted_neighborhood_matches_python_oracle(spark):
+    """sorted_neighborhood_pairs == pair-every-string-with-its-(w−1)
+    sort-order successors, for the total (key, string) order."""
+    from nama_spark.operators.block import sorted_neighborhood_pairs
+
+    names = ["delta one", "alpha two", "alpha one", "charlie", "bravo x",
+             "bravo a", "echo", "alpha three"]
+    df = spark.createDataFrame([(s,) for s in names], ["string"])
+    w = 3
+    got = {
+        (r["s0"], r["s1"], r["rank_distance"])
+        for r in sorted_neighborhood_pairs(
+            df, F.col("string"), window=w, num_partitions=4
+        ).collect()
+    }
+    ordered = sorted(names)  # key == string here
+    want = {
+        (ordered[i], ordered[i + d], d)
+        for i in range(len(ordered))
+        for d in range(1, w)
+        if i + d < len(ordered)
+    }
+    assert got == want
+
+
+def test_sorted_neighborhood_plan_no_single_partition(spark):
+    """The distributed rank must not collapse to Exchange SinglePartition
+    (the global-window anti-pattern this operator exists to avoid)."""
+    from nama_spark.operators.block import sorted_neighborhood_pairs
+
+    df = spark.range(200).select(F.concat(F.lit("s"), F.col("id")).alias("string"))
+    out = sorted_neighborhood_pairs(df, F.col("string"), window=3, num_partitions=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert out.count() == (200 - 1) + (200 - 2)
+
+    with pytest.raises(ValueError):
+        sorted_neighborhood_pairs(df, F.col("string"), window=1)
