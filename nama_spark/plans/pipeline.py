@@ -227,6 +227,11 @@ class MatchPipeline:
             if stage_dir:
                 md.df.write.mode("overwrite").parquet(stage_dir)
                 md = MatchData(spark.read.parquet(stage_dir), _relabel=False)
+            else:
+                # pin the partition: it feeds the groups count, the partition
+                # stats AND the next pass — unpinned, each consumer re-runs
+                # the whole pass chain from the source
+                md = MatchData(md.df.localCheckpoint(), _relabel=False)
             wall = time.time() - t0
             n_groups = md.df.select("group").distinct().count()
             lineage.add(p.name, "wall_sec", wall, checkpoint=stage_dir)
@@ -254,6 +259,12 @@ class MatchPipeline:
                 if stage_dir:
                     edges.write.mode("overwrite").parquet(stage_dir)
                     edges = spark.read.parquet(stage_dir)
+                else:
+                    # no durable checkpoint → pin the edge set once; it is
+                    # consumed twice more (partition stats collect + the
+                    # fused-CC union) and would otherwise recompute the
+                    # whole pass per consumer
+                    edges = edges.localCheckpoint()
                 lineage.add(p.name, "wall_sec", time.time() - t0, checkpoint=stage_dir)
                 lineage.add_partition_stats(edges, p.name)
             all_edges = edges if all_edges is None else all_edges.union(edges)
@@ -282,6 +293,11 @@ class MatchPipeline:
         if final_dir:
             md.df.write.mode("overwrite").parquet(final_dir)
             md = MatchData(spark.read.parquet(final_dir), _relabel=False)
+        else:
+            # pin the clustered partition for the groups count, partition
+            # stats and whatever the caller does next (label-election window
+            # + join would otherwise re-run per action)
+            md = MatchData(md.df.localCheckpoint(), _relabel=False)
         lineage.add("fused_cc", "wall_sec", time.time() - t0, checkpoint=final_dir)
         lineage.add("fused_cc", "groups", md.df.select("group").distinct().count())
         lineage.add_partition_stats(md.df, "fused_cc")
