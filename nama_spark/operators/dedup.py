@@ -84,7 +84,10 @@ def ngram_jaccard_pairs(
     (the skew cap); the exact Jaccard |∩|/|∪| is then computed from
     intersection counts + per-doc set sizes, all relationally.
     """
-    sh = word_shingles(df, text_col, id_col, k).cache()
+    # compute-once pin for the multi-join consumers below; localCheckpoint
+    # (not cache) so nothing stays pinned in executor storage after the
+    # returned frame is consumed (same rationale as winnow_near_pairs)
+    sh = word_shingles(df, text_col, id_col, k).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     elig = dfreq.where((F.col("df") >= 2) & (F.col("df") <= max_df)).select("shingle")
@@ -154,7 +157,10 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sh = word_shingles(df, text_col, id_col, k).cache()
+    # compute-once pin for the multi-join consumers below; localCheckpoint
+    # (not cache) so nothing stays pinned in executor storage after the
+    # returned frame is consumed (same rationale as winnow_near_pairs)
+    sh = word_shingles(df, text_col, id_col, k).localCheckpoint(eager=False)
     sig = minhash_signatures(sh, num_hashes)
     band_arr = F.array(
         *[
