@@ -229,12 +229,12 @@ def global_rank(
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     ranged = df.repartitionByRange(n, *[F.col(c) for c in order_cols])
-    w = Window.partitionBy(F.spark_partition_id()).orderBy(
-        *[F.col(c) for c in order_cols]
-    )
-    local = ranged.withColumn("__pid", F.spark_partition_id()).withColumn(
-        "__rn", F.row_number().over(w)
-    )
+    # pin the range-partition id as a column FIRST, then window over that
+    # column — windowing directly on spark_partition_id() would re-evaluate
+    # the expression relative to whatever stage the window planner puts it in
+    local = ranged.withColumn("__pid", F.spark_partition_id())
+    w = Window.partitionBy("__pid").orderBy(*[F.col(c) for c in order_cols])
+    local = local.withColumn("__rn", F.row_number().over(w))
     # one tiny action: partition sizes → offsets (prefix sum on the driver)
     sizes = {
         r["__pid"]: r["n"]
