@@ -425,7 +425,9 @@ def separate(
     split every affected group, then re-predict its members with the separated
     strings as pairwise never_match constraints."""
     s_list = sorted(set(strings))
-    affected = matchdata.matched_to(s_list).cache()
+    # compute-once pin; localCheckpoint (not cache) so the blocks are
+    # reclaimed once the returned frame's lineage is dropped
+    affected = matchdata.matched_to(s_list).localCheckpoint(eager=False)
     affected_strings = {r["string"] for r in affected.select("string").collect()}
     rest = matchdata.drop(affected_strings)
 

@@ -117,6 +117,15 @@ class TokenSimilarity:
 
     # ---------- predict ----------
 
+    def unpersist(self) -> "TokenSimilarity":
+        """Release the fitted token/weight caches. fit() pins both for reuse
+        across predict/threshold sweeps — call this when the model is done in
+        a long-lived session so executor storage is reclaimed."""
+        for df in (self._tokens, self._weights):
+            if df is not None:
+                df.unpersist()
+        return self
+
     def predict(
         self,
         matchdata: MatchData | DataFrame | None = None,
