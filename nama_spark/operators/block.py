@@ -285,6 +285,9 @@ def sorted_neighborhood_pairs(
     ranked = global_rank(
         keyed, ["__key", "string"], num_partitions=num_partitions
     )
+    # both join sides read `ranked`; pin it once or the whole distributed
+    # rank (range exchange + window + offset join) re-runs per side
+    ranked = ranked.localCheckpoint(eager=False)
     a = ranked.select(F.col("string").alias("s0"), F.col("rank").alias("__r0"))
     b = ranked.select(F.col("string").alias("s1"), F.col("rank").alias("__r1"))
     deltas = spark.range(1, window).select(F.col("id").alias("__d"))
