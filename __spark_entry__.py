@@ -363,6 +363,33 @@ def q_events_sessionize(spark, sf_dir):
     return s.groupBy("user_id").agg(F.max("session_seq").alias("n_sessions"))
 
 
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup over the DOCUMENTS table (the brief's fifth
+    dedup family): documents join their embedding vectors (doc_id = vec_id),
+    dot ≥ 0.3 pairs (vectors stored unit-norm → dot = cosine) close into
+    clusters via the shared CC operator. Bruteforce pair scan at this scale
+    for oracle exactness; the LSH scale path for the same edge set is
+    embed.lsh_candidates (recall-tested). Oracle = recursive-CTE closure over
+    DuckDB's list_dot_product edges."""
+    from nama_spark.operators.dedup import near_dup_clusters
+    from nama_spark.operators.embed import bruteforce_candidates
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("vec")
+    )
+    doc_emb = docs.join(emb, docs["doc_id"] == emb["vec_id"]).select(
+        F.col("doc_id").cast("string").alias("string"), "vec"
+    )
+    pairs = bruteforce_candidates(doc_emb, 0.3).select(
+        F.col("s0").alias("id0"), F.col("s1").alias("id1")
+    )
+    out = near_dup_clusters(
+        pairs, doc_emb.select(F.col("string").alias("doc_id"))
+    )
+    return out.select("doc_id", "cluster_id")
+
+
 def q_events_sessionize_window(spark, sf_dir):
     """session_window-based sessionize (one row per session, batch/stream
     agnostic expression) — oracle = lag/cumsum sessions re-aggregated:
@@ -806,6 +833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_docs": q_dedup_exact_docs,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "text_quality_profile": q_text_quality_profile,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_threshold_pairs": q_embedding_threshold_pairs,
@@ -1690,6 +1718,29 @@ def oracle_sql() -> dict[str, str]:
         ),
         nodes AS (SELECT cast(doc_id AS VARCHAR) AS node FROM documents),
         {_sql_cc_reach('nodes', 'edges')}
+        SELECT cast(node AS BIGINT) AS doc_id, cast(min(r) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY node
+    """
+
+    # doc_id↔vec_id join, dot ≥ 0.3 edges, CC closure; labels are the
+    # LEXICOGRAPHIC min of the stringified ids (the CC operator's min-string
+    # label election), hence the VARCHAR reach domain — same as
+    # near_dup_clusters_cc
+    q["dedup_embedding_cosine"] = f"""
+        WITH RECURSIVE
+        j AS (
+            SELECT d.doc_id, e.embedding
+            FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        ),
+        sim AS (
+            SELECT cast(a.doc_id AS VARCHAR) AS u, cast(b.doc_id AS VARCHAR) AS v
+            FROM j a, j b
+            WHERE a.doc_id < b.doc_id
+              AND list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                  >= 0.3
+        ),
+        nodes AS (SELECT cast(doc_id AS VARCHAR) AS node FROM j),
+        {_sql_cc_reach('nodes', 'sim')}
         SELECT cast(node AS BIGINT) AS doc_id, cast(min(r) AS BIGINT) AS cluster_id
         FROM reach GROUP BY node
     """

@@ -259,6 +259,26 @@ def bench_embed_lsh(spark, sf_dir, n_entities):
     return time.time() - t0, {"lsh_pairs": n}
 
 
+def bench_sorted_neighborhood(spark, sf_dir, n_entities):
+    """Distributed global rank + rank equi-join over the fixture name
+    universe (the driver query's own universe is only ~64 names — too small
+    to time)."""
+    from fixtures.make_fixtures import fixture_dataframes, make_fixture
+    from nama_spark.functions.normalize import simplify_corp
+    from nama_spark.operators.block import sorted_neighborhood_pairs
+    from pyspark.sql import functions as F
+
+    fx = make_fixture(seed=7, n_entities=n_entities, max_files=3)
+    records, _, _ = fixture_dataframes(spark, fx)
+    names = records.select(F.col("repo").alias("string")).distinct().cache()
+    names.count()
+    t0 = time.time()
+    n = sorted_neighborhood_pairs(names, simplify_corp, window=5).count()
+    wall = time.time() - t0
+    names.unpersist()
+    return wall, {"snb_pairs": n}
+
+
 def bench_sql(spark, sf_dir, name):
     import __spark_entry__ as entrymod
 
@@ -331,6 +351,8 @@ def main():
     run("embed_lsh", bench_embed_lsh, sf_dir, n_entities)
     run("tpch_q1", bench_sql, sf_dir, "tpch_q1_pricing_summary")
     run("events_hourly", bench_sql, sf_dir, "events_hourly")
+    run("sessionize_window", bench_sql, sf_dir, "events_sessionize_window")
+    run("sorted_neighborhood", bench_sorted_neighborhood, sf_dir, n_entities)
 
     pairs_per_sec = (
         extras.get("candidate_pairs", 0) / queries["candidate_scoring"]
