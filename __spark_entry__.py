@@ -363,6 +363,64 @@ def q_events_sessionize(spark, sf_dir):
     return s.groupBy("user_id").agg(F.max("session_seq").alias("n_sessions"))
 
 
+def q_predict_incremental(spark, sf_dir):
+    """Incremental matching (predict_incremental): pluralized name variants
+    arrive as NEW strings and unite into the existing (singleton) partition
+    through new-touching token-sim edges only — old×old pairs never
+    materialize (token_block_pairs_against restricts the block join's left
+    side before the join). Oracle = closure over the union-universe tf-idf
+    word-token jaccard edges restricted to pairs touching a new string."""
+    from nama_spark.operators.matchdata import MatchData
+    from nama_spark.operators.token_similarity import TokenSimilarity
+
+    old = _name_universe(spark, sf_dir)
+    md = MatchData.from_unmatched(old)
+    part = _t(spark, sf_dir, "part")
+    new = (
+        part.where(F.col("p_partkey") % 7 == 0)
+        .select(F.concat(F.col("p_name"), F.lit("s")).alias("string"))
+        .distinct()
+        .join(old, "string", "left_anti")
+    )
+    ts = TokenSimilarity(tokenizer="words")
+    out = ts.predict_incremental(md, new, threshold=0.5)
+    return out.df
+
+
+def q_blocking_stats(spark, sf_dir):
+    """Blocking-quality metrics for the token blocker against a p_brand gold
+    partition: pair completeness (blocker recall) + reduction ratio — gold
+    pairs counted per-group as Σ s(s−1)/2, never materialized."""
+    from nama_spark.functions.tokenize import token_weights, tokens_table
+    from nama_spark.operators.block import eligible_tokens, token_block_pairs
+    from nama_spark.operators.evaluate import blocking_stats
+    from nama_spark.operators.matchdata import MatchData
+
+    part = _t(spark, sf_dir, "part")
+    gold = MatchData.from_groups(
+        part.groupBy(F.col("p_name").alias("string")).agg(
+            F.min("p_brand").alias("group")
+        )
+    )
+    toks = tokens_table(_name_universe(spark, sf_dir), tokenizer="words")
+    w = token_weights(toks, weighting="tf-idf")
+    pairs = token_block_pairs(toks, eligible_tokens(w, 2, 100))
+    s = blocking_stats(pairs, gold)
+    return spark.createDataFrame(
+        [
+            (
+                s["n_strings"],
+                s["n_candidates"],
+                s["n_gold_pairs"],
+                round(s["pair_completeness"], 6),
+                round(s["reduction_ratio"], 6),
+            )
+        ],
+        ["n_strings", "n_candidates", "n_gold_pairs",
+         "pair_completeness", "reduction_ratio"],
+    )
+
+
 def q_dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup over the DOCUMENTS table (the brief's fifth
     dedup family): documents join their embedding vectors (doc_id = vec_id),
@@ -822,6 +880,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_stats": q_group_stats,
         "merge_dfs_group_join": q_merge_dfs_group_join,
         "confusion_cells": q_confusion_cells,
+        "blocking_stats": q_blocking_stats,
+        "predict_incremental": q_predict_incremental,
         "score_metrics": q_score_metrics,
         "top_scored_pairs": q_top_scored_pairs,
         "fallback_scores": q_fallback_scores,
@@ -1180,6 +1240,94 @@ def oracle_sql() -> dict[str, str]:
     """
 
     q["confusion_cells"] = f"WITH {confusion_base} SELECT TP, FP, FN, TN FROM summed"
+
+    # union-universe refit (d == f quirk), pairs restricted to new-touching,
+    # weighted word-jaccard ≥ 0.5, recursive-CTE closure, min-string labels
+    q["predict_incremental"] = r"""
+        WITH RECURSIVE
+        old AS (SELECT DISTINCT p_name AS string FROM part),
+        newer AS (
+            -- NOT IN, not EXCEPT: set ops other than UNION are rejected
+            -- inside a WITH RECURSIVE block by DuckDB's parser
+            SELECT DISTINCT p_name || 's' AS string FROM part
+            WHERE p_partkey % 7 = 0
+              AND p_name || 's' NOT IN (SELECT p_name FROM part)
+        ),
+        uni AS (SELECT string FROM old UNION SELECT string FROM newer),
+        toks_all AS (
+            SELECT string, unnest(list_filter(
+                string_split_regex(string, '[^A-Za-z0-9]+'), x -> x != ''))
+                AS token
+            FROM uni
+        ),
+        tf AS (SELECT string, token, count(*) AS tf FROM toks_all GROUP BY 1, 2),
+        agg AS (SELECT token, cast(sum(tf) AS BIGINT) AS f FROM tf GROUP BY 1),
+        weights AS (SELECT token, f AS d, f / ln(1 + f) AS weight FROM agg),
+        elig AS (SELECT token FROM weights WHERE d BETWEEN 2 AND 100),
+        sets AS (SELECT DISTINCT string, token FROM tf),
+        pairs AS (
+            SELECT DISTINCT least(a.string, b.string) AS s0,
+                            greatest(a.string, b.string) AS s1
+            FROM (SELECT s.* FROM sets s JOIN elig USING (token)
+                  WHERE s.string IN (SELECT string FROM newer)) a
+            JOIN (SELECT s.* FROM sets s JOIN elig USING (token)) b
+              USING (token)
+            WHERE a.string != b.string
+        ),
+        norms AS (
+            SELECT string, sum(weight) AS w_sum
+            FROM sets JOIN weights USING (token) GROUP BY 1
+        ),
+        inter AS (
+            SELECT p.s0, p.s1, sum(w.weight) AS iw
+            FROM pairs p
+            JOIN sets t0 ON t0.string = p.s0
+            JOIN sets t1 ON t1.string = p.s1 AND t1.token = t0.token
+            JOIN weights w ON w.token = t0.token
+            GROUP BY 1, 2
+        ),
+        edges AS (
+            SELECT p.s0 AS u, p.s1 AS v
+            FROM pairs p
+            LEFT JOIN inter i ON i.s0 = p.s0 AND i.s1 = p.s1
+            JOIN norms n0 ON n0.string = p.s0
+            JOIN norms n1 ON n1.string = p.s1
+            WHERE coalesce(i.iw, 0)
+                  / (n0.w_sum + n1.w_sum - coalesce(i.iw, 0)) >= 0.5
+        ),
+        nodes AS (SELECT string AS node FROM uni),
+        bi AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+        reach(node, r) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT reach.node, bi.v FROM reach JOIN bi ON bi.u = reach.r
+        )
+        SELECT node AS string, 1::BIGINT AS count, min(r) AS "group"
+        FROM reach GROUP BY node
+    """
+
+    q["blocking_stats"] = f"""
+        WITH {_SQL_TOKEN_BASE},
+        g0 AS (SELECT p_name AS string, min(p_brand) AS grp
+               FROM part GROUP BY 1),
+        nn AS (SELECT count(*) AS n FROM g0),
+        gp AS (SELECT cast(sum(s * (s - 1) / 2) AS BIGINT) AS gold_pairs
+               FROM (SELECT count(*) AS s FROM g0 GROUP BY grp)),
+        nc AS (SELECT count(*) AS n_cand FROM pairs),
+        ret AS (
+            SELECT count(*) AS retained
+            FROM pairs p
+            JOIN g0 a ON a.string = p.s0
+            JOIN g0 b ON b.string = p.s1
+            WHERE a.grp = b.grp
+        )
+        SELECT n AS n_strings, n_cand AS n_candidates,
+               gold_pairs AS n_gold_pairs,
+               round(retained * 1.0 / gold_pairs, 6) AS pair_completeness,
+               round(1.0 - n_cand * 1.0 / (n * (n - 1) / 2.0), 6)
+                   AS reduction_ratio
+        FROM nn, gp, nc, ret
+    """
 
     q["score_metrics"] = f"""
         WITH {confusion_base},

@@ -86,6 +86,33 @@ def token_block_pairs(
     return pairs
 
 
+def token_block_pairs_against(
+    tokens: DataFrame,
+    new_strings: DataFrame,
+    eligible: DataFrame,
+    string_col: str = "string",
+) -> DataFrame:
+    """Incremental B2: candidate pairs where AT LEAST ONE side is a NEW
+    string — the block join's left side is restricted to the new strings'
+    tokens BEFORE the join, so arrival of Δn new names costs O(Δn·block)
+    instead of re-enumerating the full all×all candidate set. new×new pairs
+    are included; old×old pairs never materialize. Output is canonical
+    (s0 < s1) and deduped, same contract as token_block_pairs."""
+    nw = new_strings.select(F.col(string_col).alias("string")).distinct()
+    t = tokens.join(eligible, "token", "left_semi")
+    tn = t.join(nw, "string", "left_semi")
+    a = tn.select(F.col("token"), F.col("string").alias("sn"))
+    b = t.select(F.col("token"), F.col("string").alias("so"))
+    return (
+        a.join(b, "token")
+        .where(F.col("sn") != F.col("so"))
+        .select(
+            F.least("sn", "so").alias("s0"), F.greatest("sn", "so").alias("s1")
+        )
+        .distinct()
+    )
+
+
 def anti_join_same_group(pairs: DataFrame, matchdata_df: DataFrame) -> DataFrame:
     """Drop pairs already co-grouped in the current partition — between-pass
     optimization (SURVEY.md §4 'already-same-group skip')."""

@@ -127,3 +127,52 @@ def kfold_on_groups(md: MatchData, k: int = 4, seed: int = 0):
         test = MatchData(tagged.where(F.col("__fold") == fold).drop("__fold"),
                          _relabel=False)
         yield train, test
+
+
+def blocking_stats(
+    pairs: DataFrame,
+    gold: MatchData,
+    s0: str = "s0",
+    s1: str = "s1",
+) -> dict:
+    """Blocking-quality metrics (standard ER evaluation — e.g. Christen,
+    "Data Matching", ch. 7; beyond the reference, which never evaluates its
+    blocking):
+
+    - ``pair_completeness``: fraction of gold same-group pairs the candidate
+      set retains (recall of the blocker);
+    - ``reduction_ratio``: 1 − |candidates| / C(n, 2) over the gold universe
+      (how much of the quadratic scan the blocker avoided);
+    - raw counts (n_candidates, n_gold_pairs, n_strings).
+
+    All relational: gold pairs are counted per-group via Σ s·(s−1)/2 (never
+    materialized), retained pairs via one join of the candidate pairs onto
+    the gold (string → group) map. Candidate pairs outside the gold universe
+    are ignored for completeness and counted in n_candidates.
+    """
+    g = gold.df.select("string", "group")
+    n = g.count()
+    gold_pairs = (
+        g.groupBy("group")
+        .agg(F.count(F.lit(1)).alias("s"))
+        .agg(F.sum(F.col("s") * (F.col("s") - 1) / 2).alias("gp"))
+        .collect()[0]["gp"]
+    )
+    gold_pairs = int(gold_pairs or 0)
+    n_cand = pairs.count()
+    retained = (
+        pairs.join(
+            g.select(F.col("string").alias(s0), F.col("group").alias("__g0")), s0
+        )
+        .join(g.select(F.col("string").alias(s1), F.col("group").alias("__g1")), s1)
+        .where(F.col("__g0") == F.col("__g1"))
+        .count()
+    )
+    total = n * (n - 1) / 2
+    return {
+        "n_strings": n,
+        "n_candidates": n_cand,
+        "n_gold_pairs": gold_pairs,
+        "pair_completeness": retained / gold_pairs if gold_pairs else 1.0,
+        "reduction_ratio": 1.0 - n_cand / total if total else 0.0,
+    }

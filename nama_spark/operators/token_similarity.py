@@ -170,6 +170,59 @@ class TokenSimilarity:
         )
         return MatchData(out)
 
+    def predict_incremental(
+        self,
+        matchdata: MatchData,
+        new_strings: DataFrame,
+        threshold: float | None = None,
+        string_col: str = "string",
+        count_col: str | None = None,
+    ) -> MatchData:
+        """Unite NEWLY-ARRIVED strings into an existing partition without
+        re-enumerating the old×old candidate set (the daily-increment path:
+        Δn new names against an n-name universe costs O(Δn·block), not
+        O(n·block)).
+
+        Semantics: result = transitive closure of (current partition ∪
+        ≥-threshold edges touching a new string). Uniting is monotone, so
+        existing groups never split — they can only merge through a new
+        string. This matches running full unite-after-unite with the new
+        edge set; it is NOT byte-identical to a full from-scratch re-predict,
+        because token weights are refit on the union universe and old×old
+        pairs are deliberately not re-scored (document-level weights drift
+        as the corpus grows — re-predict from scratch when that matters).
+
+        Beyond the reference (nama has no incremental path; its unite is
+        already incremental only because everything is in one dict)."""
+        from nama_spark.operators.block import token_block_pairs_against
+        from nama_spark.operators.score import (
+            token_similarity_scores,
+            token_similarity_scores_map,
+        )
+
+        if threshold is None:
+            threshold = self.threshold
+        if threshold is None:
+            raise ValueError(
+                "set a threshold via learn_threshold() or pass one explicitly"
+            )
+        nw = new_strings.select(F.col(string_col).alias("string")).distinct()
+        md2 = matchdata.add_strings(
+            new_strings, string_col=string_col, count_col=count_col
+        )
+        # refit tokens/weights on the union universe
+        self.fit(md2.df, string_col="string")
+        elig = eligible_tokens(self._weights, 2, self.max_block_size)
+        pairs = salt_pairs(token_block_pairs_against(self._tokens, nw, elig))
+        scorer = (
+            token_similarity_scores_map
+            if self.score_impl == "map"
+            else token_similarity_scores
+        )
+        scores = scorer(pairs, self._tokens, self._weights, measure=self.measure)
+        edges = scores.where(F.col("score") >= threshold).select("s0", "s1")
+        return md2.unite(edges)
+
     # ---------- threshold sweep ----------
 
     def learn_threshold(

@@ -100,3 +100,29 @@ def test_kfold_on_groups_partitions(spark):
         assert gtr.isdisjoint(gte)
         seen.append(test.df.count())
     assert sum(seen) == md.df.count()
+
+
+def test_blocking_stats(spark):
+    """pair_completeness / reduction_ratio against a hand-computed case."""
+    from nama_spark.operators.evaluate import blocking_stats
+    from nama_spark.operators.matchdata import MatchData
+
+    gold = MatchData(
+        spark.createDataFrame(
+            [("a", 1, "g1"), ("b", 1, "g1"), ("c", 1, "g1"),
+             ("d", 1, "g2"), ("e", 1, "g2"), ("f", 1, "g3")],
+            ["string", "count", "group"],
+        ),
+        _relabel=False,
+    )
+    # gold pairs: C(3,2) + C(2,2-ish) = 3 + 1 = 4; universe C(6,2) = 15
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e"), ("a", "f")], ["s0", "s1"]
+    )
+    s = blocking_stats(pairs, gold)
+    assert s["n_strings"] == 6
+    assert s["n_gold_pairs"] == 4
+    assert s["n_candidates"] == 4
+    # retained gold pairs: ab, bc, de (af crosses groups) → 3/4
+    assert s["pair_completeness"] == 0.75
+    assert abs(s["reduction_ratio"] - (1 - 4 / 15)) < 1e-12

@@ -180,3 +180,63 @@ def test_learn_threshold_coarse_to_fine_same_argmax(spark):
     full_by_t = {r["threshold"]: r["F1"] for r in full_rows}
     for r in ctf_rows:
         assert r["F1"] == full_by_t[r["threshold"]]
+
+
+def test_predict_incremental_matches_python_oracle(spark):
+    """predict_incremental == transitive closure of (existing partition ∪
+    ≥-threshold edges touching a new string), with tokens/weights refit on
+    the union universe — checked against a from-spec python oracle. Existing
+    groups never split."""
+    import networkx as nx
+
+    from tests.oracle_tokensim import (
+        oracle_candidate_pairs,
+        oracle_fit,
+        oracle_jaccard,
+    )
+
+    old = ["acme labs", "acme labz", "globex corp", "globex corpn",
+           "initech llc", "umbrella co"]
+    # existing partition: two merged groups + singletons
+    existing = {
+        "acme labs": "acme labs", "acme labz": "acme labs",
+        "globex corp": "globex corp", "globex corpn": "globex corp",
+        "initech llc": "initech llc", "umbrella co": "umbrella co",
+    }
+    new = ["acme labsy", "initech lllc", "totally different"]
+    threshold = 0.35
+
+    md = MatchData(
+        spark.createDataFrame(
+            [(s, 1, g) for s, g in existing.items()], ["string", "count", "group"]
+        )
+    )
+    ts = TokenSimilarity()
+    got_md = ts.predict_incremental(
+        md, spark.createDataFrame([(s,) for s in new], ["string"]),
+        threshold=threshold,
+    )
+    groups = {}
+    for r in got_md.df.collect():
+        groups.setdefault(r["group"], set()).add(r["string"])
+    got = {frozenset(v) for v in groups.values()}
+
+    # python oracle: refit on union, keep only new-touching scored edges
+    union = old + new
+    tok_sets, weights, doc = oracle_fit(union)
+    pairs = oracle_candidate_pairs(tok_sets, doc)
+    g = nx.Graph()
+    g.add_nodes_from(union)
+    for a, b in ((a, b) for a, b in existing.items() if a != b):
+        g.add_edge(a, b)
+    for a, b in pairs:
+        if (a in new or b in new) and oracle_jaccard(
+            tok_sets[a], tok_sets[b], weights
+        ) >= threshold:
+            g.add_edge(a, b)
+    want = {frozenset(c) for c in nx.connected_components(g)}
+    assert got == want
+
+    # monotone: every existing group sits whole inside one result group
+    for grp in ({"acme labs", "acme labz"}, {"globex corp", "globex corpn"}):
+        assert any(grp <= res for res in got)
