@@ -363,6 +363,21 @@ def q_events_sessionize(spark, sf_dir):
     return s.groupBy("user_id").agg(F.max("session_seq").alias("n_sessions"))
 
 
+def q_link_tables_mutual(spark, sf_dir):
+    """Cross-table record linkage (link_tables, mode='mutual'): the name
+    universe links to its 'the '-prefixed counterpart table; a pair survives
+    only if each side is the other's best ≥-threshold match (symmetric best
+    match — the relational core of one-to-one assignment). Ranking uses
+    9-decimal-rounded scores so mathematically-tied candidates break ties on
+    the string deterministically in both engines."""
+    from nama_spark.operators.linkage import link_tables
+
+    left = _name_universe(spark, sf_dir)
+    right = left.select(F.concat(F.lit("the "), F.col("string")).alias("string"))
+    out = link_tables(left, right, threshold=0.4, mode="mutual")
+    return out.select("s0", "s1", F.round("score", 5).alias("score"))
+
+
 def q_predict_incremental(spark, sf_dir):
     """Incremental matching (predict_incremental): pluralized name variants
     arrive as NEW strings and unite into the existing (singleton) partition
@@ -882,6 +897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "confusion_cells": q_confusion_cells,
         "blocking_stats": q_blocking_stats,
         "predict_incremental": q_predict_incremental,
+        "link_tables_mutual": q_link_tables_mutual,
         "score_metrics": q_score_metrics,
         "top_scored_pairs": q_top_scored_pairs,
         "fallback_scores": q_fallback_scores,
@@ -1240,6 +1256,67 @@ def oracle_sql() -> dict[str, str]:
     """
 
     q["confusion_cells"] = f"WITH {confusion_base} SELECT TP, FP, FN, TN FROM summed"
+
+    # cross-table linkage: union-universe weights, left-tokens × right-tokens
+    # candidates, jaccard ≥ 0.4, mutual best match ranked on round(score, 9)
+    q["link_tables_mutual"] = r"""
+        WITH
+        l AS (SELECT DISTINCT p_name AS string FROM part),
+        r AS (SELECT DISTINCT 'the ' || p_name AS string FROM part),
+        uni AS (SELECT string FROM l UNION SELECT string FROM r),
+        toks_all AS (
+            SELECT string, unnest(list_filter(
+                string_split_regex(string, '[^A-Za-z0-9]+'), x -> x != ''))
+                AS token
+            FROM uni
+        ),
+        tf AS (SELECT string, token, count(*) AS tf FROM toks_all GROUP BY 1, 2),
+        agg AS (SELECT token, cast(sum(tf) AS BIGINT) AS f FROM tf GROUP BY 1),
+        weights AS (SELECT token, f AS d, f / ln(1 + f) AS weight FROM agg),
+        elig AS (SELECT token FROM weights WHERE d BETWEEN 2 AND 100),
+        sets AS (SELECT DISTINCT string, token FROM tf),
+        pairs AS (
+            SELECT DISTINCT a.string AS s0, b.string AS s1
+            FROM (SELECT s.* FROM sets s JOIN elig USING (token)
+                  WHERE s.string IN (SELECT string FROM l)) a
+            JOIN (SELECT s.* FROM sets s JOIN elig USING (token)
+                  WHERE s.string IN (SELECT string FROM r)) b
+              USING (token)
+            WHERE a.string != b.string
+        ),
+        norms AS (
+            SELECT string, sum(weight) AS w_sum
+            FROM sets JOIN weights USING (token) GROUP BY 1
+        ),
+        inter AS (
+            SELECT p.s0, p.s1, sum(w.weight) AS iw
+            FROM pairs p
+            JOIN sets t0 ON t0.string = p.s0
+            JOIN sets t1 ON t1.string = p.s1 AND t1.token = t0.token
+            JOIN weights w ON w.token = t0.token
+            GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT p.s0, p.s1,
+                   coalesce(i.iw, 0)
+                   / (n0.w_sum + n1.w_sum - coalesce(i.iw, 0)) AS score
+            FROM pairs p
+            LEFT JOIN inter i ON i.s0 = p.s0 AND i.s1 = p.s1
+            JOIN norms n0 ON n0.string = p.s0
+            JOIN norms n1 ON n1.string = p.s1
+        ),
+        thr AS (SELECT * FROM scored WHERE score >= 0.4),
+        ranked AS (
+            SELECT s0, s1, score,
+                   row_number() OVER (PARTITION BY s0
+                       ORDER BY round(score, 9) DESC, s1) AS rl,
+                   row_number() OVER (PARTITION BY s1
+                       ORDER BY round(score, 9) DESC, s0) AS rr
+            FROM thr
+        )
+        SELECT s0, s1, round(score, 5) AS score
+        FROM ranked WHERE rl = 1 AND rr = 1
+    """
 
     # union-universe refit (d == f quirk), pairs restricted to new-touching,
     # weighted word-jaccard ≥ 0.5, recursive-CTE closure, min-string labels

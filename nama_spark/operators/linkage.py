@@ -1,0 +1,95 @@
+"""Cross-table record linkage — bipartite A→B matching.
+
+The reference is a self-matching engine (one string universe united into
+groups); linking TWO tables (e.g. vendor names ↔ registry names) is the other
+classic ER task. Reuses the same token machinery: weights fit on the UNION
+universe (idf over both sides), candidates from an A-tokens ⋈ B-tokens block
+join on eligible tokens (never A×B), weighted set-similarity scores, then a
+selection rule:
+
+- ``mode="best_left"``: the best-scoring B per A (row_number window,
+  deterministic ties: score desc, right string asc);
+- ``mode="mutual"``: symmetric best match — kept only if B is A's best AND A
+  is B's best. The standard scalable approximation of one-to-one assignment
+  (a true global greedy is sequential; mutual-best is its relational core and
+  never produces a conflicting assignment).
+
+Scale: one shuffle for the block join (eligible-token cap bounds every
+block), two windows for the selection — no cross join anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from nama_spark.functions.tokenize import token_weights, tokens_table
+from nama_spark.operators.block import eligible_tokens
+from nama_spark.operators.score import token_similarity_scores
+
+
+def link_candidates(
+    left: DataFrame,
+    right: DataFrame,
+    tokenizer: str = "words",
+    weighting: str = "tf-idf",
+    measure: str = "jaccard",
+    max_block_size: int = 100,
+    left_col: str = "string",
+    right_col: str = "string",
+) -> DataFrame:
+    """(s0 = left string, s1 = right string, score) for every cross-table
+    candidate pair sharing an eligible token. Weights are fit once on the
+    union universe so both sides score in the same token space."""
+    l = left.select(F.col(left_col).alias("string")).distinct()
+    r = right.select(F.col(right_col).alias("string")).distinct()
+    uni = l.union(r).distinct()
+    toks = tokens_table(uni, tokenizer=tokenizer)
+    w = token_weights(toks, weighting=weighting)
+    elig = eligible_tokens(w, 2, max_block_size)
+    te = toks.join(elig, "token", "left_semi")
+    ta = te.join(l, "string", "left_semi").select(
+        "token", F.col("string").alias("s0")
+    )
+    tb = te.join(r, "string", "left_semi").select(
+        "token", F.col("string").alias("s1")
+    )
+    pairs = (
+        ta.join(tb, "token")
+        .where(F.col("s0") != F.col("s1"))
+        .select("s0", "s1")
+        .distinct()
+    )
+    return token_similarity_scores(pairs, toks, w, measure=measure)
+
+
+def link_tables(
+    left: DataFrame,
+    right: DataFrame,
+    threshold: float = 0.5,
+    mode: str = "best_left",
+    **candidate_kwargs,
+) -> DataFrame:
+    """(s0, s1, score) linked rows per the selection rule. Left strings with
+    no ≥-threshold candidate are absent (callers outer-join back if they
+    need unmatched rows)."""
+    assert mode in ("best_left", "mutual")
+    scored = link_candidates(left, right, **candidate_kwargs).where(
+        F.col("score") >= threshold
+    )
+    # rank on a ROUNDED score: two candidates with mathematically-equal
+    # scores (same token-set overlap — common with permuted word orders) can
+    # differ by ~1e-16 depending on summation order, which would make the
+    # string tie-break nondeterministic across runs/engines. 9 decimals is
+    # far below any meaningful similarity difference.
+    rscore = F.round(F.col("score"), 9)
+    wl = Window.partitionBy("s0").orderBy(rscore.desc(), F.col("s1").asc())
+    out = scored.withColumn("__rl", F.row_number().over(wl))
+    if mode == "best_left":
+        return out.where(F.col("__rl") == 1).select("s0", "s1", "score")
+    wr = Window.partitionBy("s1").orderBy(rscore.desc(), F.col("s0").asc())
+    out = out.withColumn("__rr", F.row_number().over(wr))
+    return (
+        out.where((F.col("__rl") == 1) & (F.col("__rr") == 1))
+        .select("s0", "s1", "score")
+    )

@@ -172,3 +172,58 @@ def test_sorted_neighborhood_plan_no_single_partition(spark):
 
     with pytest.raises(ValueError):
         sorted_neighborhood_pairs(df, F.col("string"), window=1)
+
+
+def test_link_tables_best_and_mutual(spark):
+    """Cross-table linkage vs a hand-built python oracle: best-per-left and
+    mutual-best selections over union-universe tf-idf word jaccard, with the
+    deterministic string tie-break on equal scores."""
+    import math
+    from collections import Counter
+
+    from nama_spark.operators.linkage import link_tables
+
+    left = ["acme rocket labs", "globex power corp", "lonely name"]
+    right = ["acme rocket labs inc", "acme rocket labs llc",
+             "globex power corp sa", "unrelated thing"]
+    ldf = spark.createDataFrame([(s,) for s in left], ["string"])
+    rdf = spark.createDataFrame([(s,) for s in right], ["string"])
+
+    # python oracle (same math as the engine's words/tf-idf/jaccard)
+    uni = left + right
+    tok_lists = {s: s.split() for s in uni}
+    f = Counter(t for lst in tok_lists.values() for t in lst)
+    w = {t: c / math.log(1 + c) for t, c in f.items()}
+    elig = {t for t, c in f.items() if 2 <= c <= 100}
+
+    def jac(a, b):
+        sa, sb = set(tok_lists[a]), set(tok_lists[b])
+        inter = sum(w[t] for t in sa & sb)
+        union = sum(w[t] for t in sa | sb)
+        return inter / union if union else 0.0
+
+    cand = [
+        (a, b) for a in left for b in right
+        if set(tok_lists[a]) & set(tok_lists[b]) & elig
+    ]
+    thr = [(a, b, jac(a, b)) for a, b in cand if jac(a, b) >= 0.4]
+    best_left = {}
+    for a, b, s in sorted(thr, key=lambda x: (x[0], -round(x[2], 9), x[1])):
+        best_left.setdefault(a, (b, s))
+    best_right = {}
+    for a, b, s in sorted(thr, key=lambda x: (x[1], -round(x[2], 9), x[0])):
+        best_right.setdefault(b, (a, s))
+
+    got_bl = {(r["s0"], r["s1"]) for r in
+              link_tables(ldf, rdf, threshold=0.4, mode="best_left").collect()}
+    assert got_bl == {(a, bs[0]) for a, bs in best_left.items()}
+
+    got_mu = {(r["s0"], r["s1"]) for r in
+              link_tables(ldf, rdf, threshold=0.4, mode="mutual").collect()}
+    want_mu = {
+        (a, bs[0]) for a, bs in best_left.items()
+        if best_right.get(bs[0], (None,))[0] == a
+    }
+    assert got_mu == want_mu
+    # the two acme rights compete for one left: mutual keeps exactly one
+    assert len([p for p in got_mu if p[0] == "acme rocket labs"]) == 1
