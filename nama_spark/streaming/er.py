@@ -1,0 +1,95 @@
+"""Streaming entity resolution — incremental matching over a name stream.
+
+Beyond the reference (batch-only): names arrive as a stream; each micro-batch
+unites into the running partition via ``TokenSimilarity.predict_incremental``
+(new-vs-all blocking — old×old pairs never re-enumerate), inside
+``foreachBatch``.
+
+State design (the part that must survive failures):
+- the partition lives as parquet under ``<state_dir>/v<batch_id>`` — one
+  immutable VERSION per micro-batch, never overwritten in place (a lazy
+  read-then-overwrite of one path corrupts the very files being read);
+- a replayed batch (checkpoint recovery re-runs the last epoch) rewrites its
+  own version directory from the same predecessor → idempotent, the
+  foreachBatch contract;
+- the current state is simply the highest complete version (parquet's
+  _SUCCESS marker), so readers never see a half-written partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def _versions(spark, state_dir: str) -> list[int]:
+    """Complete state versions under state_dir (Hadoop FS — works on local
+    paths and distributed filesystems alike)."""
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    path = jvm.org.apache.hadoop.fs.Path(state_dir)
+    fs = path.getFileSystem(sc._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return []
+    out = []
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if name.startswith("v") and name[1:].isdigit():
+            if fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")):
+                out.append(int(name[1:]))
+    return sorted(out)
+
+
+def load_state(spark, state_dir: str):
+    """Current MatchData state (highest complete version), or None."""
+    from nama_spark.operators.matchdata import MatchData
+
+    vs = _versions(spark, state_dir)
+    if not vs:
+        return None
+    return MatchData(
+        spark.read.parquet(f"{state_dir}/v{vs[-1]:010d}"), _relabel=False
+    )
+
+
+def streaming_unite_names(
+    spark,
+    source_dir: str,
+    schema,
+    state_dir: str,
+    threshold: float = 0.5,
+    string_col: str = "string",
+    tokenizer: str = "words",
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int = 1,
+):
+    """readStream(parquet names) → foreachBatch(incremental unite) →
+    versioned parquet state. Returns the started StreamingQuery; callers
+    stop it / processAllAvailable as needed. The first batch is a full
+    predict; every later batch a predict_incremental against the previous
+    version — each micro-batch costs O(Δn·block), not a recluster."""
+    from nama_spark.operators.matchdata import MatchData
+    from nama_spark.operators.token_similarity import TokenSimilarity
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        prev = load_state(spark, state_dir)
+        names = batch_df.select(string_col)
+        ts = TokenSimilarity(tokenizer=tokenizer)
+        if prev is None:
+            md = MatchData.from_unmatched(names, string_col=string_col)
+            md = ts.fit(md.df).predict(md, threshold=threshold)
+        else:
+            md = ts.predict_incremental(
+                prev, names, threshold=threshold, string_col=string_col
+            )
+        md.df.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id:010d}")
+        ts.unpersist()
+
+    reader = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    writer = reader.writeStream.foreachBatch(process)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -389,3 +389,74 @@ def test_winnow_fingerprints_guarantee_and_oracle(spark):
         for r in winnow_near_pairs(df, k=k, window=w, threshold=0.05).collect()
     }
     assert (0, 1) in pairs
+
+
+def test_streaming_incremental_er(spark, tmp_path):
+    """Streaming entity resolution: micro-batches of names unite into a
+    versioned parquet state via foreachBatch + predict_incremental. The
+    state after batch 2 equals applying predict_incremental to the state
+    after batch 1 (order controlled by feeding file 2 only after batch 1
+    is processed)."""
+    from nama_spark.operators.matchdata import MatchData
+    from nama_spark.operators.token_similarity import TokenSimilarity
+    from nama_spark.streaming.er import load_state, streaming_unite_names
+
+    src = tmp_path / "names_stream"
+    state = str(tmp_path / "er_state")
+    ckpt = str(tmp_path / "er_ckpt")
+    src.mkdir()
+
+    batch1 = ["acme rocket labs", "acme rocket labz", "globex power corp",
+              "umbrella holdings"]
+    batch2 = ["acme rocket labsy", "globex power corps", "brand new name"]
+    df1 = spark.createDataFrame([(s,) for s in batch1], ["string"])
+    df2 = spark.createDataFrame([(s,) for s in batch2], ["string"])
+
+    def drop_file(df, name):
+        # the file source wants FILES at the top level, not parquet dirs
+        import glob
+        import shutil
+
+        tmp = str(tmp_path / f"__w_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        shutil.copy(glob.glob(f"{tmp}/part-*.parquet")[0], str(src / name))
+
+    drop_file(df1, "b1.parquet")
+
+    q = streaming_unite_names(
+        spark, str(src), df1.schema, state, threshold=0.4,
+        checkpoint_dir=ckpt,
+    )
+    try:
+        q.processAllAvailable()
+        got1 = load_state(spark, state)
+        assert got1 is not None
+
+        # expected after batch 1: a plain full predict
+        md1 = MatchData.from_unmatched(df1)
+        want1 = TokenSimilarity(tokenizer="words").fit(md1.df).predict(
+            md1, threshold=0.4
+        )
+
+        def partition(md):
+            groups = {}
+            for r in md.df.collect():
+                groups.setdefault(r["group"], set()).add(r["string"])
+            return {frozenset(v) for v in groups.values()}
+
+        assert partition(got1) == partition(want1)
+
+        drop_file(df2, "b2.parquet")
+        q.processAllAvailable()
+        got2 = load_state(spark, state)
+
+        want2 = TokenSimilarity(tokenizer="words").predict_incremental(
+            want1, df2, threshold=0.4
+        )
+        assert partition(got2) == partition(want2)
+        # the new variants united with their stems
+        p2 = partition(got2)
+        assert any({"acme rocket labs", "acme rocket labsy"} <= g for g in p2)
+        assert any(g == {"brand new name"} for g in p2)
+    finally:
+        q.stop()
