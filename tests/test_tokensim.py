@@ -170,10 +170,15 @@ def test_learn_threshold_coarse_to_fine_same_argmax(spark):
     gold = MatchData(
         spark.createDataFrame(gold_df, ["string", "count", "group"])
     )
+    import numpy as np
+
+    # 40-pt grid: same property as the 100-pt default at 2.5× less suite
+    # wall (each grid point is a CC + confusion Spark job)
+    grid = [round(x, 6) for x in np.linspace(0.5, 1, 40)]
     full = TokenSimilarity()
-    full_rows = full.learn_threshold(gold)
+    full_rows = full.learn_threshold(gold, grid=grid)
     ctf = TokenSimilarity()
-    ctf_rows = ctf.learn_threshold(gold, strategy="coarse_to_fine")
+    ctf_rows = ctf.learn_threshold(gold, grid=grid, strategy="coarse_to_fine")
     assert ctf.threshold == full.threshold
     assert len(ctf_rows) < len(full_rows) / 2
     # evaluated points report the same scores as the full sweep
