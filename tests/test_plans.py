@@ -139,3 +139,104 @@ def test_new_operators_have_no_cartesian_product(spark):
     plan = _plan(winnow_near_pairs(docs, k=4, window=2, threshold=0.1))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    """Force sort-merge joins so Exchange presence/absence is what's tested
+    (BroadcastExchange would mask the bucketed layout on small test tables)."""
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ]
+    old = {k: spark.conf.get(k, None) for k in keys}
+    for k in keys:
+        spark.conf.set(k, "-1")
+    yield
+    for k, v in old.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
+
+def test_bucketed_join_and_agg_are_exchange_free(spark, tmp_path, no_broadcast):
+    """Two tables bucketed by `string` with the same bucket count must join
+    with NO Exchange on either side, and a groupBy on the bucket key must
+    aggregate in place — the stored layout replaces the shuffle. The same
+    join over plain parquet shows the Exchanges the bucketing removes."""
+    from nama_spark.sources.bucketed import read_bucketed, write_bucketed
+
+    groups = spark.createDataFrame(
+        [(f"name {i}", i % 7) for i in range(100)], ["string", "group"]
+    )
+    records = spark.createDataFrame(
+        [(f"name {i % 100}", i) for i in range(300)], ["string", "file_id"]
+    )
+    try:
+        write_bucketed(
+            groups, "bt_groups", "string", n_buckets=4,
+            path=str(tmp_path / "bt_groups"),
+        )
+        write_bucketed(
+            records, "bt_records", "string", n_buckets=4,
+            path=str(tmp_path / "bt_records"),
+        )
+        bg, br = read_bucketed(spark, "bt_groups"), read_bucketed(spark, "bt_records")
+
+        joined = br.join(bg, "string")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        # the layout is real, not just plan cosmetics: values round-trip
+        assert joined.count() == 300
+
+        agg = br.groupBy("string").count()
+        assert "Exchange" not in _plan(agg), _plan(agg)
+
+        # contrast: the identical join over plain parquet shuffles both sides
+        records.write.mode("overwrite").parquet(str(tmp_path / "flat_records"))
+        groups.write.mode("overwrite").parquet(str(tmp_path / "flat_groups"))
+        flat = spark.read.parquet(str(tmp_path / "flat_records")).join(
+            spark.read.parquet(str(tmp_path / "flat_groups")), "string"
+        )
+        assert "Exchange" in _plan(flat)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_groups")
+        spark.sql("DROP TABLE IF EXISTS bt_records")
+
+
+def test_write_matchdata_bucketed_roundtrip(spark, tmp_path, no_broadcast):
+    """MatchData persisted bucketed by string joins a same-bucketed record
+    table exchange-free — the merge_dfs hot path at record scale."""
+    from nama_spark.operators.matchdata import MatchData
+    from nama_spark.sources.bucketed import (
+        read_bucketed,
+        write_bucketed,
+        write_matchdata_bucketed,
+    )
+
+    md = MatchData.from_unmatched(
+        spark.createDataFrame([(f"co {i}",) for i in range(50)], ["string"])
+    )
+    try:
+        write_matchdata_bucketed(
+            md, "bt_md", n_buckets=4, path=str(tmp_path / "bt_md")
+        )
+        back = read_bucketed(spark, "bt_md")
+        assert set(back.columns) == {"string", "count", "group"}
+        assert back.count() == 50
+
+        recs = spark.createDataFrame(
+            [(f"co {i % 50}", i) for i in range(200)], ["string", "rid"]
+        )
+        write_bucketed(
+            recs, "bt_md_recs", "string", n_buckets=4,
+            path=str(tmp_path / "bt_md_recs"),
+        )
+        j = read_bucketed(spark, "bt_md_recs").join(back, "string")
+        assert "Exchange" not in _plan(j), _plan(j)
+        assert j.count() == 200
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_md")
+        spark.sql("DROP TABLE IF EXISTS bt_md_recs")
