@@ -285,6 +285,16 @@ def winnow_fingerprints(
     array_min → explode) — no Python, engine-portable hashes (md5 hex, min
     is lexicographic on both Spark and DuckDB). Documents shorter than k
     fingerprint as their own whole-text hash.
+
+    The k-gram hash array is materialized as its OWN projection before the
+    sliding-min pass. Folded into one expression, the `grams` subtree sits
+    inside the sliding window's lambda body, and Spark's subexpression
+    elimination does not reach into higher-order-function lambdas — every
+    window position re-hashed the whole document: O(len²) md5s/doc.
+    Measured on the full near-pairs query at sf0.01 (500 docs): 90.7 s →
+    21.8 s from this split alone (the fingerprint stage itself: 1.3 s).
+    Catalyst's CollapseProject keeps the barrier because `__grams` is
+    non-cheap and referenced more than once.
     """
     s = F.lower(F.trim(F.col(text_col)))
     n = F.length(s)
@@ -296,17 +306,23 @@ def winnow_fingerprints(
             lambda i: F.md5(s.substr(i, F.lit(k))),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    n_g = F.size(grams)
+    hashed = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(s).alias("__whole"),
+        grams.alias("__grams"),
+    )
+    g = F.col("__grams")
+    n_g = F.size(g)
     mins = F.when(
         n_g >= window,
         F.transform(
             F.sequence(F.lit(1), n_g - F.lit(window - 1)),
-            lambda j: F.array_min(F.slice(grams, j, window)),
+            lambda j: F.array_min(F.slice(g, j, window)),
         ),
-    ).otherwise(F.when(n_g > 0, grams).otherwise(F.array(F.md5(s))))
+    ).otherwise(F.when(n_g > 0, g).otherwise(F.array(F.col("__whole"))))
     return (
-        df.select(
-            F.col(id_col).alias("doc_id"),
+        hashed.select(
+            "doc_id",
             F.explode(F.array_distinct(mins)).alias("fp"),
         ).distinct()
     )
