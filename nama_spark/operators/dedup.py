@@ -52,18 +52,26 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 def word_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   k: int = 3) -> DataFrame:
     """(doc_id, shingle): distinct k-word shingles, lowercase, whitespace
-    tokenized. Array exprs only."""
+    tokenized. Array exprs only.
+
+    Tokenization is materialized as its own projection before the shingling
+    pass: subexpression elimination does not reach into higher-order-function
+    lambdas, so a split() captured in the slice lambda would re-tokenize the
+    whole document at every shingle position — O(words²) per doc (the same
+    hazard measured at 4× wall on winnow_fingerprints)."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    n = F.size(toks)
+    tokenized = df.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
+    t = F.col("__toks")
+    n = F.size(t)
     shingles = F.when(
         n >= k,
         F.transform(
             F.sequence(F.lit(0), n - F.lit(k)),
-            lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+            lambda i: F.array_join(F.slice(t, i + 1, k), " "),
         ),
-    ).otherwise(F.array(F.array_join(toks, " ")))
+    ).otherwise(F.array(F.array_join(t, " ")))
     return (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(shingles).alias("shingle"))
+        tokenized.select("doc_id", F.explode(shingles).alias("shingle"))
         .distinct()
     )
 
