@@ -141,6 +141,23 @@ def test_new_operators_have_no_cartesian_product(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_shingle_and_winnow_tokenization_materialized_once(spark):
+    """Spark's subexpression elimination does not reach into
+    higher-order-function lambdas: a split()/md5-array subtree captured in a
+    sliding-window lambda is re-evaluated at EVERY window position —
+    O(len²) per doc (measured 4× wall on winnowing at sf0.01). The guard is
+    a materialization barrier: the tokenization must survive as its own
+    projection (CollapseProject would erase the alias if it re-inlined)."""
+    from nama_spark.operators.dedup import winnow_fingerprints, word_shingles
+
+    docs = spark.createDataFrame([(1, "a b c d e f g")], ["doc_id", "text"])
+    p = _plan(word_shingles(docs))
+    assert "__toks" in p, p
+    assert p.count("split(") == 1, p
+    p = _plan(winnow_fingerprints(docs))
+    assert "__grams" in p, p
+
+
 @pytest.fixture()
 def no_broadcast(spark):
     """Force sort-merge joins so Exchange presence/absence is what's tested
