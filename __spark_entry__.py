@@ -475,6 +475,20 @@ def q_events_sessionize_window(spark, sf_dir):
     )
 
 
+def q_events_sessionize_capped(spark, sf_dir):
+    """Capped sessionization — gap 30 min AND a 2-event cap per session\n    (max session size in the fixture is 3, so the cap genuinely splits).
+    The cap depends on the running event count, which no built-in window
+    expresses: this is the custom stateful operator
+    (applyInPandasWithState when streaming; this batch form runs the SAME
+    fold via applyInPandas — tested equal). Oracle: DuckDB recursive CTE
+    stepping each user's events in (ts, event_id) order."""
+    from nama_spark.streaming.stateful import sessionize_capped
+
+    return sessionize_capped(
+        _t(spark, sf_dir, "events"), gap="30 minutes", max_events=2
+    )
+
+
 def q_dedup_exact_docs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.groupBy(F.md5("text").alias("text_md5")).agg(
@@ -906,6 +920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "events_sessionize_window": q_events_sessionize_window,
+        "events_sessionize_capped": q_events_sessionize_capped,
         "dedup_exact_docs": q_dedup_exact_docs,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
@@ -1506,6 +1521,36 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_events,
                round(sum(value), 6) AS value_sum
         FROM sess GROUP BY user_id, sid
+    """
+
+    # capped sessionize: the session split depends on the RUNNING event
+    # count, so the oracle steps events one rank at a time (recursive CTE,
+    # all users advance in lockstep; depth = max events per user)
+    q["events_sessionize_capped"] = """
+        WITH RECURSIVE ev AS (
+            SELECT user_id, event_id, ts,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ),
+        step AS (
+            SELECT user_id, rn, ts, 1 AS n_in, 1 AS seq
+            FROM ev WHERE rn = 1
+            UNION ALL
+            SELECT e.user_id, e.rn, e.ts,
+                   CASE WHEN date_diff('microsecond', s.ts, e.ts) > 1800000000
+                             OR s.n_in >= 2
+                        THEN 1 ELSE s.n_in + 1 END,
+                   CASE WHEN date_diff('microsecond', s.ts, e.ts) > 1800000000
+                             OR s.n_in >= 2
+                        THEN s.seq + 1 ELSE s.seq END
+            FROM step s JOIN ev e
+              ON e.user_id = s.user_id AND e.rn = s.rn + 1
+        )
+        SELECT user_id, CAST(seq AS BIGINT) AS session_seq,
+               min(ts) AS session_start, max(ts) AS session_end,
+               count(*) AS n_events
+        FROM step GROUP BY user_id, seq
     """
 
     q["dedup_exact_docs"] = """

@@ -11,6 +11,10 @@ from nama_spark.streaming.er import (  # noqa: F401
     load_state,
     streaming_unite_names,
 )
+from nama_spark.streaming.stateful import (  # noqa: F401
+    sessionize_capped,
+    streaming_sessionize_capped,
+)
 from nama_spark.streaming.windows import (  # noqa: F401
     event_time_aggregate,
     sessionize,

@@ -1,0 +1,181 @@
+"""Custom stateful streaming operator: capped sessionization.
+
+``F.session_window`` expresses gap-only sessions; a session that must ALSO
+split after ``max_events`` rows (bot-splitting, payload-size bounds for
+training shards) is not expressible with built-in windows — the split point
+depends on the running event count, which is exactly the "custom stateful
+operator" case ``applyInPandasWithState`` exists for.
+
+Both forms share one fold (``_fold_sessions``) so batch and streaming cannot
+drift:
+
+- ``sessionize_capped``            — batch, ``applyInPandas`` per user
+  (sequential per key, parallel across keys — the state is one open session
+  per user, O(1) memory, so a 100-TB event log shards by user hash).
+- ``streaming_sessionize_capped``  — Structured Streaming,
+  ``applyInPandasWithState`` with event-time timeout: a session closes
+  (emits) when a new event overflows the gap or the cap, or when the
+  watermark passes its gap horizon (timeout path); state per user is the
+  open session only, evicted on timeout → bounded by active users, not
+  history.
+
+Tie order is (ts, event_id), matching the DuckDB recursive-CTE oracle.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_seq", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+    ]
+)
+_STATE_SCHEMA = StructType(
+    [
+        StructField("start", LongType()),
+        StructField("last", LongType()),
+        StructField("n", LongType()),
+        StructField("seq", LongType()),
+    ]
+)
+
+
+def _fold_sessions(ts_us, gap_us: int, cap: int, state=None):
+    """Fold sorted epoch-microsecond timestamps into capped sessions.
+    ``state``/return-state is the open session (start, last, n, seq) or
+    None; returns (closed_sessions, state)."""
+    closed = []
+    for t in ts_us:
+        t = int(t)
+        if state is None:
+            state = (t, t, 1, 1)
+            continue
+        s, last, n, seq = state
+        if t - last > gap_us or n >= cap:
+            closed.append(state)
+            state = (t, t, 1, seq + 1)
+        else:
+            state = (s, t, n + 1, seq)
+    return closed, state
+
+
+def _sessions_frame(user: int, sessions) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "user_id": pd.Series([user] * len(sessions), dtype="int64"),
+            "session_seq": pd.Series([s[3] for s in sessions], dtype="int64"),
+            "session_start": pd.to_datetime([s[0] for s in sessions], unit="us"),
+            "session_end": pd.to_datetime([s[1] for s in sessions], unit="us"),
+            "n_events": pd.Series([s[2] for s in sessions], dtype="int64"),
+        }
+    )
+
+
+def _sorted_us(pdf: pd.DataFrame, ts_col: str, id_col: str):
+    pdf = pdf.sort_values([ts_col, id_col])
+    return pdf[ts_col].astype("int64") // 1000  # ns → µs
+
+
+def sessionize_capped(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    max_events: int = 10,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Batch capped sessions: one row per (user, session_seq)."""
+    from nama_spark.streaming.windows import _duration_seconds
+
+    gap_us = _duration_seconds(gap) * 1_000_000
+    cap = int(max_events)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        user = int(pdf[user_col].iloc[0])
+        closed, open_s = _fold_sessions(
+            _sorted_us(pdf, ts_col, id_col), gap_us, cap
+        )
+        if open_s is not None:
+            closed.append(open_s)
+        return _sessions_frame(user, closed)
+
+    return (
+        events.select(user_col, ts_col, id_col)
+        .groupBy(user_col)
+        .applyInPandas(fn, OUT_SCHEMA)
+    )
+
+
+def streaming_sessionize_capped(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    gap: str = "30 minutes",
+    max_events: int = 10,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """Streaming capped sessions (append mode): a session emits when an
+    arriving event closes it (gap overflow or cap) or when the event-time
+    timeout fires (watermark passed its gap horizon — nothing can extend
+    it). Late events beyond the watermark are dropped by the runtime."""
+    from nama_spark.streaming.windows import _duration_seconds
+
+    gap_us = _duration_seconds(gap) * 1_000_000
+    gap_ms = gap_us // 1000
+    cap = int(max_events)
+
+    def fn(key, pdfs, state: GroupState):
+        user = int(key[0])
+        open_s = tuple(state.get) if state.exists else None
+        if state.hasTimedOut:
+            state.remove()
+            if open_s is not None:
+                yield _sessions_frame(user, [open_s])
+            return
+        parts = [p for p in pdfs]
+        pdf = pd.concat(parts) if parts else pd.DataFrame(columns=[ts_col, id_col])
+        closed, open_s = _fold_sessions(
+            _sorted_us(pdf, ts_col, id_col), gap_us, cap, state=open_s
+        )
+        if open_s is not None:
+            state.update(open_s)
+            # fire once the watermark passes the open session's gap horizon;
+            # must stay ahead of the current watermark or the runtime rejects
+            horizon = open_s[1] // 1000 + gap_ms
+            state.setTimeoutTimestamp(max(horizon, state.getCurrentWatermarkMs() + 1))
+        if closed:
+            yield _sessions_frame(user, closed)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        # watermarks require TIMESTAMP (with timezone); parquet often lands
+        # as TIMESTAMP_NTZ (same convention as windows.py)
+        .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .select(user_col, ts_col, id_col)
+    )
+    return stream.groupBy(user_col).applyInPandasWithState(
+        fn,
+        OUT_SCHEMA,
+        _STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )

@@ -460,3 +460,123 @@ def test_streaming_incremental_er(spark, tmp_path):
         assert any(g == {"brand new name"} for g in p2)
     finally:
         q.stop()
+
+
+def _capped_sessions_oracle(ts_sorted_us, gap_us, cap):
+    """Independent re-statement of capped-session semantics for the test."""
+    sessions = []
+    cur = None  # [start, last, n]
+    for t in ts_sorted_us:
+        if cur is not None and (t - cur[1] > gap_us or cur[2] == cap):
+            sessions.append(tuple(cur))
+            cur = None
+        if cur is None:
+            cur = [t, t, 1]
+        else:
+            cur[1], cur[2] = t, cur[2] + 1
+    if cur is not None:
+        sessions.append(tuple(cur))
+    return sessions
+
+
+def test_sessionize_capped_batch_semantics(spark):
+    """Batch capped sessions equal a from-scratch per-user fold (gap OR
+    running-count split), including session_seq numbering."""
+    from nama_spark.streaming.stateful import sessionize_capped
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    got = {}
+    for r in sessionize_capped(events, gap="30 minutes", max_events=3).collect():
+        got[(r["user_id"], r["session_seq"])] = (
+            r["session_start"], r["session_end"], r["n_events"]
+        )
+    rows = events.select("user_id", "ts", "event_id").orderBy(
+        "user_id", "ts", "event_id"
+    ).collect()
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r["user_id"], []).append(r["ts"])
+    want = {}
+    for u, ts_list in per_user.items():
+        us = [int(t.timestamp() * 1_000_000) for t in ts_list]
+        for seq, (s, last, n) in enumerate(
+            _capped_sessions_oracle(us, 1800 * 1_000_000, 3), start=1
+        ):
+            want[(u, seq)] = (s, last, n)
+    assert set(got) == set(want)
+    for k, (s, e, n) in got.items():
+        ws, we, wn = want[k]
+        assert int(s.timestamp() * 1_000_000) == ws, k
+        assert int(e.timestamp() * 1_000_000) == we, k
+        assert n == wn, k
+
+
+def test_streaming_sessionize_capped_matches_batch(spark, tmp_path):
+    """applyInPandasWithState capped sessions: every real session is emitted
+    — by arrival-close (gap/cap overflow from a newer event, incl. the
+    far-future sentinel written as a SECOND micro-batch) or by event-time
+    timeout. Emitted set == the batch fold over the real events."""
+    import shutil
+    from datetime import datetime
+
+    from nama_spark.streaming.stateful import (
+        sessionize_capped,
+        streaming_sessionize_capped,
+    )
+
+    src = tmp_path / "events_capped_stream"
+    src.mkdir()
+    shutil.copy(f"{SF}/events.parquet", src / "part-0.parquet")
+    batch = spark.read.parquet(f"{SF}/events.parquet")
+
+    stream = streaming_sessionize_capped(
+        spark, str(src), batch.schema, gap="30 minutes", max_events=3,
+        watermark="1 minute",
+    )
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ev_capped_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: one far-future sentinel per user closes each open session
+        # on arrival (same key gets data → the arrival-close path)
+        users = [r["user_id"] for r in batch.select("user_id").distinct().collect()]
+        sentinel = spark.createDataFrame(
+            [
+                (10_000_000 + i, datetime(2031, 1, 1), u, "sentinel", 0.0, "")
+                for i, u in enumerate(users)
+            ],
+            batch.schema,
+        )
+        sentinel.write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+        # batch 3: a sentinel for a brand-new user pushes the watermark past
+        # 2031 with NO data for existing keys → their 2031 sessions flush via
+        # the hasTimedOut path
+        spark.createDataFrame(
+            [(10_999_999, datetime(2032, 1, 1), 999_999, "sentinel", 0.0, "")],
+            batch.schema,
+        ).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    emitted = spark.table("ev_capped_test").collect()
+    got_real = {
+        (r["user_id"], r["session_seq"]): (r["session_start"], r["n_events"])
+        for r in emitted
+        if r["session_start"] < datetime(2030, 1, 1)
+    }
+    want = {
+        (r["user_id"], r["session_seq"]): (r["session_start"], r["n_events"])
+        for r in sessionize_capped(batch, gap="30 minutes", max_events=3).collect()
+    }
+    assert got_real == want
+    # the timeout path really fired: every user's 2031 sentinel session was
+    # flushed by the 2032 watermark despite receiving no further events
+    flushed = {r["user_id"] for r in emitted if r["session_start"].year == 2031}
+    assert flushed == set(users)
