@@ -352,6 +352,8 @@ def main():
     run("tpch_q1", bench_sql, sf_dir, "tpch_q1_pricing_summary")
     run("events_hourly", bench_sql, sf_dir, "events_hourly")
     run("sessionize_window", bench_sql, sf_dir, "events_sessionize_window")
+    run("sessionize_capped", bench_sql, sf_dir, "events_sessionize_capped")
+    run("winnow_dedup", bench_sql, sf_dir, "winnow_near_pairs")
     run("sorted_neighborhood", bench_sorted_neighborhood, sf_dir, n_entities)
 
     pairs_per_sec = (
