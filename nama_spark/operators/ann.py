@@ -31,6 +31,22 @@ def cosine_sim_expr(a, b):
     return dot / (_norm(a) * _norm(b))
 
 
+def _empty_topk(df: DataFrame, id_col: str) -> DataFrame:
+    """Zero-row (query_id, neighbor_id, cos, rank) frame with the id type
+    taken from the input — MLlib fit() (LSH planes, k-means) throws on an
+    empty dataset, and an empty corpus/delta is routine at scale, so the
+    fit-based variants short-circuit to this."""
+    return (
+        df.select(
+            F.col(id_col).alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.lit(0.0).alias("cos"),
+            F.lit(0).alias("rank"),
+        )
+        .where(F.lit(False))
+    )
+
+
 def cosine_topk_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -74,6 +90,9 @@ def lsh_topk(
     """Approximate top-k via LSH candidate join + exact cosine re-rank."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
+
+    if corpus.isEmpty() or queries.isEmpty():
+        return _empty_topk(corpus, id_col)
 
     feat_c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -124,6 +143,12 @@ def ivf_topk(
     exactly inside those cells. Candidate join is equi on cell id."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    n_corpus = corpus.count()
+    if n_corpus == 0 or queries.isEmpty():
+        return _empty_topk(corpus, id_col)
+    # k-means requires k ≤ points; a small delta/partition must still work
+    n_cells = min(n_cells, n_corpus)
 
     feat = corpus.select(
         F.col(id_col).alias("neighbor_id"),

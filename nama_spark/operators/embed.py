@@ -273,6 +273,15 @@ def lsh_candidates(
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
+    if embeddings.isEmpty():
+        # LSH fit() throws on an empty dataset; an empty universe/delta is a
+        # routine input at scale
+        return embeddings.select(
+            F.col("string").alias("s0"),
+            F.col("string").alias("s1"),
+            F.lit(0.0).alias("cos"),
+        ).where(F.lit(False))
+
     dist = math.sqrt(max(0.0, 2.0 - 2.0 * cos_threshold))
     feat = embeddings.select(
         "string", array_to_vector(F.col("vec").cast("array<double>")).alias("features")

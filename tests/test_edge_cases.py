@@ -1,0 +1,178 @@
+"""Degenerate-input behavior: empty universes, singletons, and
+normalize-to-nothing strings must flow through every operator family without
+crashing — at 100 TB an empty partition, an empty daily delta, or a filter
+that matches nothing is routine, not exceptional."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from nama_spark.operators.matchdata import MatchData
+
+NAMES = StructType([StructField("string", StringType())])
+DOCS = StructType(
+    [StructField("doc_id", LongType()), StructField("text", StringType())]
+)
+EMB = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(DoubleType())),
+    ]
+)
+
+
+def _empty(spark, schema):
+    return spark.createDataFrame([], schema)
+
+
+def test_empty_universe_through_matchdata_and_tokensim(spark):
+    from nama_spark.operators.token_similarity import TokenSimilarity
+
+    md = MatchData.from_unmatched(_empty(spark, NAMES))
+    assert md.df.count() == 0
+    assert md.to_df().count() == 0
+    ts = TokenSimilarity()
+    ts.fit(md.df.select("string"))
+    out = ts.predict(md, threshold=0.5)
+    assert out.df.count() == 0
+
+
+def test_single_string_universe(spark):
+    from nama_spark.operators.token_similarity import TokenSimilarity
+
+    md = MatchData.from_unmatched(
+        spark.createDataFrame([("acme corp",)], ["string"])
+    )
+    ts = TokenSimilarity()
+    ts.fit(md.df.select("string"))
+    rows = ts.predict(md, threshold=0.5).df.collect()
+    assert len(rows) == 1
+    assert rows[0]["group"] is not None
+
+
+def test_empty_documents_through_dedup_family(spark):
+    from nama_spark.operators.dedup import (
+        exact_dup_groups,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_near_pairs,
+        winnow_near_pairs,
+        word_shingles,
+    )
+
+    docs = _empty(spark, DOCS)
+    assert word_shingles(docs).count() == 0
+    assert exact_dup_groups(docs).count() == 0
+    assert ngram_jaccard_pairs(docs).count() == 0
+    assert minhash_lsh_pairs(docs).count() == 0
+    assert simhash_near_pairs(docs).count() == 0
+    assert winnow_near_pairs(docs).count() == 0
+
+
+def test_empty_embeddings_through_ann(spark):
+    from nama_spark.operators.ann import cosine_topk_bruteforce, ivf_topk, lsh_topk
+
+    emb = _empty(spark, EMB)
+    assert cosine_topk_bruteforce(emb, emb, k=5).count() == 0
+    assert lsh_topk(emb, emb, k=5).count() == 0
+    assert ivf_topk(emb, emb, k=5).count() == 0
+
+
+def test_ivf_corpus_smaller_than_cells(spark):
+    """k-means throws when k > points — ivf_topk must clamp, not crash."""
+    from nama_spark.operators.ann import ivf_topk
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    out = ivf_topk(emb, emb, k=2, n_cells=16, nprobe=16).collect()
+    assert len(out) > 0
+
+
+def test_empty_universe_through_embedding_lsh(spark):
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    from nama_spark.operators.embed import lsh_candidates
+
+    emb = _empty(
+        spark,
+        StructType(
+            [
+                StructField("string", StringType()),
+                StructField("vec", ArrayType(DoubleType())),
+            ]
+        ),
+    )
+    assert lsh_candidates(emb, 0.8).count() == 0
+
+
+def test_empty_events_through_sessionize(spark):
+    from nama_spark.streaming.stateful import sessionize_capped
+    from nama_spark.streaming.windows import sessionize, sessionize_window
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    ev = _empty(spark, schema)
+    assert sessionize(ev).count() == 0
+    assert sessionize_window(ev).count() == 0
+    assert sessionize_capped(ev).count() == 0
+
+
+def test_single_event_session(spark):
+    from datetime import datetime
+
+    from nama_spark.streaming.stateful import sessionize_capped
+
+    ev = spark.createDataFrame(
+        [(1, datetime(2026, 1, 1, 12, 0, 0), 7, 1.0)],
+        ["event_id", "ts", "user_id", "value"],
+    )
+    rows = sessionize_capped(ev, max_events=1).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_events"] == 1 and rows[0]["session_seq"] == 1
+
+
+def test_linkage_disjoint_token_spaces(spark):
+    from nama_spark.operators.linkage import link_tables
+
+    left = spark.createDataFrame([("alpha beta",), ("gamma delta",)], ["string"])
+    right = spark.createDataFrame([("epsilon zeta",)], ["string"])
+    assert link_tables(left, right, threshold=0.1).count() == 0
+
+
+def test_all_strings_normalize_to_empty(spark):
+    from nama_spark.functions.normalize import simplify
+
+    md = MatchData.from_unmatched(
+        spark.createDataFrame([("!!!",), ("???",), ("...",)], ["string"])
+    )
+    out = md.unite(simplify)
+    # ''-keys never merge (the hottest key in any corpus by construction):
+    # all three stay singletons
+    assert out.df.select("group").distinct().count() == 3
+
+
+def test_empty_edge_set_unite_is_identity(spark):
+    md = MatchData.from_unmatched(
+        spark.createDataFrame([("a",), ("b",)], ["string"])
+    )
+    edges = spark.createDataFrame(
+        [], StructType([StructField("src", StringType()), StructField("dst", StringType())])
+    )
+    out = md.unite(edges)
+    assert out.df.select("group").distinct().count() == 2
