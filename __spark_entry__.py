@@ -363,6 +363,17 @@ def q_events_sessionize(spark, sf_dir):
     return s.groupBy("user_id").agg(F.max("session_seq").alias("n_sessions"))
 
 
+def q_link_tables_best(spark, sf_dir):
+    """link_tables(mode='best_left'): the best-scoring right string per left
+    string (same blocking/scoring as the mutual query; selection rule only)."""
+    from nama_spark.operators.linkage import link_tables
+
+    left = _name_universe(spark, sf_dir)
+    right = left.select(F.concat(F.lit("the "), F.col("string")).alias("string"))
+    out = link_tables(left, right, threshold=0.4, mode="best_left")
+    return out.select("s0", "s1", F.round("score", 5).alias("score"))
+
+
 def q_link_tables_mutual(spark, sf_dir):
     """Cross-table record linkage (link_tables, mode='mutual'): the name
     universe links to its 'the '-prefixed counterpart table; a pair survives
@@ -912,6 +923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocking_stats": q_blocking_stats,
         "predict_incremental": q_predict_incremental,
         "link_tables_mutual": q_link_tables_mutual,
+        "link_tables_best": q_link_tables_best,
         "score_metrics": q_score_metrics,
         "top_scored_pairs": q_top_scored_pairs,
         "fallback_scores": q_fallback_scores,
@@ -1332,6 +1344,11 @@ def oracle_sql() -> dict[str, str]:
         SELECT s0, s1, round(score, 5) AS score
         FROM ranked WHERE rl = 1 AND rr = 1
     """
+    # best-left mode: same candidate/scoring CTEs, only the selection rule
+    # differs (drop the right-side rank filter)
+    q["link_tables_best"] = q["link_tables_mutual"].replace(
+        "WHERE rl = 1 AND rr = 1", "WHERE rl = 1"
+    )
 
     # union-universe refit (d == f quirk), pairs restricted to new-touching,
     # weighted word-jaccard ≥ 0.5, recursive-CTE closure, min-string labels
