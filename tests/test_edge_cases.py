@@ -176,3 +176,43 @@ def test_empty_edge_set_unite_is_identity(spark):
     )
     out = md.unite(edges)
     assert out.df.select("group").distinct().count() == 2
+
+
+def test_sessionize_capped_random_with_ties(spark):
+    """Seeded random events with many duplicate timestamps per user: the
+    distributed fold must agree with a driver-side replay under the
+    (ts, event_id) tie order."""
+    import numpy as np
+    from datetime import datetime, timedelta
+
+    from nama_spark.streaming.stateful import sessionize_capped
+
+    rng = np.random.default_rng(7)
+    base = datetime(2026, 3, 1)
+    rows = []
+    eid = 0
+    for u in range(40):
+        t = 0
+        for _ in range(int(rng.integers(1, 30))):
+            # 30% exact ties, else gaps up to 2 h
+            t += 0 if rng.random() < 0.3 else int(rng.integers(1, 7200))
+            rows.append((eid, base + timedelta(seconds=t), u, 0.0))
+            eid += 1
+    ev = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "value"])
+    got = {
+        (r["user_id"], r["session_seq"]): r["n_events"]
+        for r in sessionize_capped(ev, gap="30 minutes", max_events=4).collect()
+    }
+    want = {}
+    per_user = {}
+    for e, ts, u, _ in sorted(rows, key=lambda r: (r[2], r[1], r[0])):
+        per_user.setdefault(u, []).append(ts)
+    for u, ts_list in per_user.items():
+        seq, n, last = 1, 0, None
+        for ts in ts_list:
+            if n > 0 and ((ts - last).total_seconds() > 1800 or n == 4):
+                want[(u, seq)] = n
+                seq, n = seq + 1, 0
+            n, last = n + 1, ts
+        want[(u, seq)] = n
+    assert got == want
