@@ -158,6 +158,39 @@ def test_shingle_and_winnow_tokenization_materialized_once(spark):
     assert "__grams" in p, p
 
 
+def test_plan_audit_cheap_queries_clean(spark):
+    """tools/plan_audit.py over the cheap pure-relational driver queries:
+    zero non-whitelisted scale anti-patterns (cartesian products,
+    single-partition exchanges, row-at-a-time Python). The full sweep runs
+    as `python tools/plan_audit.py`."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    try:
+        from plan_audit import audit
+    finally:
+        sys.path.pop(0)
+
+    cheap = {
+        "normalize_simplify", "normalize_simplify_corp",
+        "matchdata_from_unmatched", "exact_key_clusters",
+        "token_doc_counts", "tokens_tfidf_weights", "token_block_pairs",
+        "pair_jaccard_scores", "group_stats", "merge_dfs_group_join",
+        "top_scored_pairs", "tpch_q1_pricing_summary",
+        "top_customers_by_revenue", "events_hourly", "events_sessionize",
+        "events_sessionize_window", "events_sessionize_capped",
+        "dedup_exact_docs", "text_quality_profile",
+        "sorted_neighborhood_pairs", "multimodal_video_frames",
+    }
+    results = audit(spark, "/root/testdata/sf0.001", only=cheap)
+    assert len(results) == len(cheap)
+    bad = {
+        k: v for k, v in results.items()
+        if v.get("violations") or v.get("error")
+    }
+    assert not bad, bad
+
+
 @pytest.fixture()
 def no_broadcast(spark):
     """Force sort-merge joins so Exchange presence/absence is what's tested
