@@ -100,3 +100,30 @@ def test_run_dedup_job_minhash_and_exact(spark, tmp_path):
     ])
     assert rc == 0
     assert spark.read.parquet(out2 + "/groups").count() > 0
+
+
+def test_run_dedup_job_embedding(spark, tmp_path):
+    """run_dedup.py --method embedding: LSH-bucketed cosine pairs over the
+    embeddings table, clusters + keep-list over the documents universe."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    try:
+        import run_dedup
+    finally:
+        sys.path.pop(0)
+
+    out = str(tmp_path / "dd_emb")
+    rc = run_dedup.main([
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--method", "embedding", "--threshold", "0.9",
+        "--embeddings", "/root/testdata/sf0.001/embeddings.parquet",
+        "--output", out,
+    ])
+    assert rc == 0
+    pairs = spark.read.parquet(out + "/pairs")
+    assert set(pairs.columns) == {"id0", "id1", "score"}
+    n_docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).count()
+    assert spark.read.parquet(out + "/clusters").count() == n_docs
