@@ -1,0 +1,142 @@
+"""spark-submit entry point: documents → training-corpus shards.
+
+The standard LLM-data preparation chain, composed from the engine's
+operators — each stage is the bucketed/scale path, not a baseline:
+
+    1. exact dedup        md5(text) groups → keep min doc_id
+    2. near-dup removal   MinHash + banded LSH pairs → CC clusters →
+                          keep min doc_id per cluster
+    3. quality filter     quality_score ≥ --min-quality
+                          (length/punct/stopword profile)
+    4. language filter    lang-ID ∈ --langs (marker-token n-gram heuristic)
+    5. annotate           token counts + rolling-hash fingerprint
+    6. shard              write parquet partitioned by language
+                          (partition pruning for per-language consumers)
+
+Usage:
+
+    cd /root/repo && zip -qr /tmp/nama_spark.zip nama_spark
+    spark-submit --py-files /tmp/nama_spark.zip jobs/run_corpus_pipeline.py \
+        --input /path/to/documents.parquet \
+        --output /path/to/corpus \
+        --near-dup-threshold 0.8 --min-quality 0.3 --langs en,de,fr,es
+
+Prints one JSON summary line with per-stage survivor counts (the funnel —
+silent attrition is how training corpora go wrong).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="nama_spark corpus pipeline")
+    p.add_argument("--input", required=True)
+    p.add_argument("--catalog", default=None)
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--output", required=True)
+    p.add_argument("--near-dup-threshold", type=float, default=0.8)
+    p.add_argument("--shingle-k", type=int, default=3)
+    p.add_argument("--min-quality", type=float, default=0.0,
+                   help="0 disables the quality gate")
+    p.add_argument("--langs", default="",
+                   help="comma list to keep (empty = keep all, incl. 'und')")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from nama_spark.functions.text import (
+        fingerprint,
+        lang_id,
+        quality_score,
+        token_count,
+        word_token_count,
+    )
+    from nama_spark.operators.dedup import (
+        exact_dup_groups,
+        minhash_lsh_pairs,
+        near_dup_clusters,
+    )
+    from nama_spark.sources.readers import read_records
+
+    spark = SparkSession.builder.appName("nama_spark_corpus").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    docs = read_records(spark, args.input, catalog=args.catalog)
+    t0 = time.time()
+    funnel = {"input": docs.count()}
+
+    # 1. exact dedup — keep one doc per identical text (the canonical id)
+    keep_exact = (
+        exact_dup_groups(docs, args.text_col, args.id_col)
+        .select(F.col("canonical_id").alias(args.id_col))
+        .distinct()
+    )
+    docs = docs.join(keep_exact, args.id_col, "left_semi").localCheckpoint(
+        eager=False
+    )
+    funnel["after_exact_dedup"] = docs.count()
+
+    # 2. near-dup removal — MinHash LSH pairs → CC → min-id survivor
+    pairs = minhash_lsh_pairs(
+        docs, args.text_col, args.id_col, k=args.shingle_k,
+        verify_threshold=args.near_dup_threshold,
+    )
+    all_ids = docs.select(F.col(args.id_col).alias("doc_id")).distinct()
+    clusters = near_dup_clusters(
+        pairs.select("id0", "id1"), all_ids
+    )
+    keep_near = clusters.groupBy("cluster_id").agg(
+        F.min("doc_id").alias(args.id_col)
+    ).select(args.id_col)
+    docs = docs.join(keep_near, args.id_col, "left_semi").localCheckpoint(
+        eager=False
+    )
+    funnel["after_near_dedup"] = docs.count()
+
+    # 3-5. profile columns, then gate on them
+    t = F.col(args.text_col)
+    docs = docs.withColumns(
+        {
+            "quality": quality_score(t),
+            "lang": lang_id(t),
+            "n_tokens": token_count(t),
+            "n_words": word_token_count(t),
+            "fp": fingerprint(t),
+        }
+    )
+    if args.min_quality > 0:
+        docs = docs.where(F.col("quality") >= args.min_quality)
+    langs = [x for x in args.langs.split(",") if x]
+    if langs:
+        docs = docs.where(F.col("lang").isin(langs))
+    docs = docs.localCheckpoint(eager=False)
+    funnel["after_filters"] = docs.count()
+
+    # 6. language-partitioned shards — consumers prune to their language
+    docs.write.mode("overwrite").partitionBy("lang").parquet(
+        args.output + "/shards"
+    )
+    tok_total = docs.agg(F.sum("n_tokens").alias("t")).collect()[0]["t"] or 0
+
+    summary = {
+        "funnel": funnel,
+        "total_tokens": int(tok_total),
+        "wall_sec": round(time.time() - t0, 2),
+    }
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -127,3 +127,38 @@ def test_run_dedup_job_embedding(spark, tmp_path):
         "/root/testdata/sf0.001/documents.parquet"
     ).count()
     assert spark.read.parquet(out + "/clusters").count() == n_docs
+
+
+def test_run_corpus_pipeline_job(spark, tmp_path):
+    """jobs/run_corpus_pipeline.py: dedup → filter → annotate → language
+    shards; the funnel is monotone non-increasing and shards are
+    partitioned by lang."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    try:
+        import run_corpus_pipeline
+    finally:
+        sys.path.pop(0)
+
+    out = str(tmp_path / "corpus")
+    rc = run_corpus_pipeline.main([
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", out,
+        "--near-dup-threshold", "0.5",
+        "--langs", "en,de,fr,es,und",
+    ])
+    assert rc == 0
+    shards = spark.read.parquet(out + "/shards")
+    assert "lang" in shards.columns and "quality" in shards.columns
+    n = shards.count()
+    n_in = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).count()
+    assert 0 < n <= n_in
+    # partitioned layout on disk: lang=<x> directories exist
+    import os
+    assert any(
+        d.startswith("lang=") for d in os.listdir(out + "/shards")
+    )
