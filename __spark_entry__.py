@@ -488,14 +488,16 @@ def q_events_sessionize_window(spark, sf_dir):
 
 def q_events_sessionize_capped(spark, sf_dir):
     """Capped sessionization — gap 30 min AND a 2-event cap per session\n    (max session size in the fixture is 3, so the cap genuinely splits).
-    The cap depends on the running event count, which no built-in window
-    expresses: this is the custom stateful operator
-    (applyInPandasWithState when streaming; this batch form runs the SAME
-    fold via applyInPandas — tested equal). Oracle: DuckDB recursive CTE
-    stepping each user's events in (ts, event_id) order."""
-    from nama_spark.streaming.stateful import sessionize_capped
+    The cap depends on the running event count; streaming runs it as the
+    applyInPandasWithState custom stateful operator. This batch form is the
+    fully-relational equivalent (gap breaks via lag+cumsum, cap splits are
+    pure chunking inside gap-free segments — three windows over one user
+    shuffle, no Python; tested equal to the shared fold AND to streaming).
+    Oracle: DuckDB recursive CTE stepping each user's events in
+    (ts, event_id) order."""
+    from nama_spark.streaming.stateful import sessionize_capped_sql
 
-    return sessionize_capped(
+    return sessionize_capped_sql(
         _t(spark, sf_dir, "events"), gap="30 minutes", max_events=2
     )
 

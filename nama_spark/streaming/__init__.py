@@ -13,6 +13,7 @@ from nama_spark.streaming.er import (  # noqa: F401
 )
 from nama_spark.streaming.stateful import (  # noqa: F401
     sessionize_capped,
+    sessionize_capped_sql,
     streaming_sessionize_capped,
 )
 from nama_spark.streaming.windows import (  # noqa: F401

@@ -216,3 +216,43 @@ def test_sessionize_capped_random_with_ties(spark):
             n, last = n + 1, ts
         want[(u, seq)] = n
     assert got == want
+
+
+def test_sessionize_capped_sql_equals_fold(spark):
+    """The relational capped-sessionize (windows-only, no Python) must agree
+    with the fold-based form on the fixture AND on a tie-heavy random set."""
+    import numpy as np
+    from datetime import datetime, timedelta
+
+    from nama_spark.streaming.stateful import (
+        sessionize_capped,
+        sessionize_capped_sql,
+    )
+
+    def as_set(df):
+        return {
+            (r["user_id"], r["session_seq"]): (
+                r["session_start"], r["session_end"], r["n_events"]
+            )
+            for r in df.collect()
+        }
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    for cap in (1, 2, 3, 100):
+        a = as_set(sessionize_capped(ev, gap="30 minutes", max_events=cap))
+        b = as_set(sessionize_capped_sql(ev, gap="30 minutes", max_events=cap))
+        assert a == b, cap
+
+    rng = np.random.default_rng(11)
+    base = datetime(2026, 4, 1)
+    rows, eid = [], 0
+    for u in range(25):
+        t = 0
+        for _ in range(int(rng.integers(1, 40))):
+            t += 0 if rng.random() < 0.4 else int(rng.integers(1, 5400))
+            rows.append((eid, base + timedelta(seconds=t), u, 0.0))
+            eid += 1
+    ev2 = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "value"])
+    a = as_set(sessionize_capped(ev2, gap="30 minutes", max_events=4))
+    b = as_set(sessionize_capped_sql(ev2, gap="30 minutes", max_events=4))
+    assert a == b
