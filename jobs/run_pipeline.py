@@ -68,6 +68,10 @@ def parse_args(argv=None):
     p.add_argument("--embed-threshold", type=float, default=0.5)
     p.add_argument("--embed-dim", type=int, default=64)
     p.add_argument("--embed-candidates", default="lsh", choices=["lsh", "bruteforce"])
+    p.add_argument("--embed-vectors", default=None,
+                   help="parquet of precomputed (string, vec) from a real "
+                        "encoder; replaces the built-in embedder for the "
+                        "embedding pass")
     p.add_argument("--assign-records", action="store_true",
                    help="also write file-level rows with entity_group")
     p.add_argument("--cc-driver-edge-cap", type=int, default=100_000,
@@ -102,6 +106,7 @@ def build_passes(args):
                     dim=args.embed_dim,
                     candidate_mode=args.embed_candidates,
                     normalize=args.norm_key,
+                    vectors_path=args.embed_vectors,
                 )
             )
         else:

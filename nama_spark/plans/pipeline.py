@@ -120,6 +120,11 @@ class EmbeddingPass:
     # "md5" = engine-portable md5 feature hashing (embed_strings_md5 —
     # SQL-reproducible, so the whole pass can be oracle-checked)
     model: str = "rp"
+    # production path: parquet of precomputed (string, vec) from a real
+    # encoder run offline (the reference's trained transformer —
+    # similarity_model.py embed). When set, `model` is ignored; universe
+    # strings without a vector are skipped (count in lineage).
+    vectors_path: str | None = None
     name: str = "embedding"
 
     def edges(self, md: MatchData, lineage: LineageLog) -> DataFrame:
@@ -141,7 +146,17 @@ class EmbeddingPass:
         else:
             keyed = md.df.select("string", F.col("string").alias("norm"))
             universe = md.df.select("string")
-        if self.model == "md5":
+        if self.vectors_path:
+            spark = md.df.sparkSession
+            emb = spark.read.parquet(self.vectors_path).select("string", "vec")
+            emb = emb.join(universe, "string", "left_semi")
+            n_universe = universe.count()
+            n_vec = emb.count()
+            lineage.add(self.name, "strings_with_vectors", n_vec)
+            if n_vec < n_universe:
+                lineage.add(self.name, "strings_missing_vectors",
+                            n_universe - n_vec)
+        elif self.model == "md5":
             emb = embed_strings_md5(universe, count_col=None, dim=self.dim)
         else:
             emb = embed_strings(universe, count_col=None, dim=self.dim, seed=self.seed)

@@ -153,3 +153,58 @@ def test_resume_from_checkpoint(spark, fixture_run):
     # lineage parquet written with per-partition stats
     lin = spark.read.parquet(f"{ckpt}/lineage.parquet")
     assert lin.where(F.col("metric") == "partition_rows").count() > 0
+
+
+def test_embedding_pass_precomputed_vectors(spark, tmp_path):
+    """EmbeddingPass(vectors_path=...) — the production encoder path: edges
+    from precomputed (string, vec) parquet equal the inline-embedder edges,
+    and missing vectors are counted, not fatal."""
+    from fixtures.make_fixtures import fixture_dataframes, make_fixture
+    from nama_spark.operators.embed import embed_strings
+    from nama_spark.operators.matchdata import MatchData
+    from nama_spark.plans.lineage import LineageLog
+    from nama_spark.plans.pipeline import EmbeddingPass
+
+    fx = make_fixture(seed=5, n_entities=40, max_files=2)
+    records, _, _ = fixture_dataframes(spark, fx)
+    names = records.select(F.col("repo").alias("string")).distinct()
+    md = MatchData.from_unmatched(names)
+
+    vec_path = str(tmp_path / "vectors.parquet")
+    embed_strings(
+        md.df.select("string"), count_col=None, dim=32, seed=9
+    ).write.parquet(vec_path)
+
+    inline = EmbeddingPass(
+        threshold=0.5, dim=32, seed=9, normalize=None,
+        candidate_mode="bruteforce",
+    )
+    precomp = EmbeddingPass(
+        threshold=0.5, normalize=None, candidate_mode="bruteforce",
+        vectors_path=vec_path,
+    )
+    e_inline = {
+        (r["src"], r["dst"])
+        for r in inline.edges(md, LineageLog(spark, None)).collect()
+    }
+    e_pre = {
+        (r["src"], r["dst"])
+        for r in precomp.edges(md, LineageLog(spark, None)).collect()
+    }
+    assert e_inline == e_pre and len(e_pre) > 0
+
+    # drop some vectors: the pass skips those strings and logs the gap
+    part = spark.read.parquet(vec_path).limit(30)
+    vec2 = str(tmp_path / "vectors_partial.parquet")
+    part.write.parquet(vec2)
+    lin = LineageLog(spark, None)
+    partial = EmbeddingPass(
+        threshold=0.5, normalize=None, candidate_mode="bruteforce",
+        vectors_path=vec2,
+    )
+    partial.edges(md, lin).count()
+    metrics = {
+        (r["stage"], r["metric"]): r["value"] for r in lin.to_df().collect()
+    }
+    assert metrics[("embedding", "strings_with_vectors")] == 30.0
+    assert ("embedding", "strings_missing_vectors") in metrics
