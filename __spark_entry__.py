@@ -522,6 +522,24 @@ def q_minhash_lsh_dedup(spark, sf_dir):
     return out.select("id0", "id1", F.round("jaccard", 5).alias("jaccard"))
 
 
+def q_minhash_dedup_delta(spark, sf_dir):
+    """Incremental MinHash dedup: odd doc_ids are the arriving delta, even
+    ids the indexed corpus (minhash_band_index). Pairs touching a delta doc,
+    exact-Jaccard verified — equals the full run restricted to those pairs
+    (band-sharing is symmetric), which is exactly what the oracle computes."""
+    from nama_spark.operators.dedup import minhash_band_index, minhash_lsh_pairs_delta
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    idx = minhash_band_index(old, k=3, num_hashes=16, bands=4)
+    out = minhash_lsh_pairs_delta(
+        new, idx, corpus_df=old, k=3, num_hashes=16, bands=4,
+        verify_threshold=0.5,
+    )
+    return out.select("id0", "id1", F.round("jaccard", 5).alias("jaccard"))
+
+
 def q_text_quality_profile(spark, sf_dir):
     from nama_spark.functions.text import (
         fingerprint,
@@ -938,6 +956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_docs": q_dedup_exact_docs,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
+        "minhash_dedup_delta": q_minhash_dedup_delta,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "text_quality_profile": q_text_quality_profile,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1615,6 +1634,13 @@ def oracle_sql() -> dict[str, str]:
         JOIN sh_sizes z1 ON z1.doc_id = i.id1
         WHERE i.n_inter * 1.0 / (z0.n_sh + z1.n_sh - i.n_inter) >= 0.5
     """
+    # delta dedup = the full pair set restricted to pairs touching an odd
+    # (delta) doc_id — band-sharing is symmetric, so the incremental
+    # band-index join finds exactly these
+    q["minhash_dedup_delta"] = (
+        q["minhash_lsh_dedup"]
+        + " AND (i.id0 % 2 = 1 OR i.id1 % 2 = 1)"
+    )
 
     lang_cases = []
     for lang in ["en", "de", "fr", "es"]:

@@ -211,6 +211,117 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_band_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """(doc_id, band, bsig) — the persistable LSH index of a corpus.
+
+    Write this once per corpus (ideally bucketed on (band, bsig) —
+    sources/bucketed.py); daily deltas then dedup against it WITHOUT
+    re-scanning corpus text: ``minhash_lsh_pairs_delta``."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sh = word_shingles(df, text_col, id_col, k)
+    sig = minhash_signatures(sh, num_hashes)
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|", *[F.col("sig")[b * r + i] for i in range(r)]
+                ).alias("bsig"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select("doc_id", F.explode(band_arr).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bsig").alias("bsig")
+    )
+
+
+def minhash_lsh_pairs_delta(
+    new_df: DataFrame,
+    corpus_index: DataFrame,
+    corpus_df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    verify_threshold: float | None = 0.5,
+) -> DataFrame:
+    """Incremental MinHash dedup: near-dup pairs TOUCHING the delta —
+    new-vs-corpus via an equi-join of the delta's banded signatures against
+    the stored ``corpus_index``, plus new-vs-new within the delta. Δn
+    arrivals cost O(Δn · bucket); the corpus is never re-shingled wholesale.
+
+    With ``corpus_df`` (and a verify_threshold), exact shingle Jaccard is
+    verified — but only the candidate corpus docs are re-shingled (semi-join
+    first), keeping the verify cost proportional to the candidate set.
+    Output (id0, id1[, jaccard]) with id0 < id1; params must match the ones
+    the index was built with."""
+    new_banded = minhash_band_index(
+        new_df, text_col, id_col, k, num_hashes, bands
+    ).localCheckpoint(eager=False)
+    both = new_banded.unionByName(corpus_index)
+    a = new_banded.select("band", "bsig", F.col("doc_id").alias("ida"))
+    b = both.select("band", "bsig", F.col("doc_id").alias("idb"))
+    cand = (
+        a.join(b, ["band", "bsig"])
+        .where(F.col("ida") != F.col("idb"))
+        .select(
+            F.least("ida", "idb").alias("id0"),
+            F.greatest("ida", "idb").alias("id1"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    if verify_threshold is None:
+        return cand
+    if corpus_df is None:
+        raise ValueError("corpus_df is required when verify_threshold is set")
+    cand_ids = cand.select(F.col("id0").alias("doc_id")).union(
+        cand.select(F.col("id1").alias("doc_id"))
+    ).distinct()
+    # re-shingle ONLY docs that appear in a candidate pair
+    texts = new_df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).unionByName(
+        corpus_df.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        )
+    ).join(cand_ids, "doc_id", "left_semi")
+    sh = word_shingles(texts, "text", "doc_id", k).localCheckpoint(eager=False)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("id0"), "shingle"), "id0")
+        .join(sh.select(F.col("doc_id").alias("id1"), "shingle"), ["id1", "shingle"])
+        .groupBy("id0", "id1")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("id0"), F.col("n_sh").alias("n0")),
+            "id0",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id1"), F.col("n_sh").alias("n1")),
+            "id1",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n0") + F.col("n1") - F.col("n_inter")),
+        )
+        .where(F.col("jaccard") >= verify_threshold)
+        .select("id0", "id1", "jaccard")
+    )
+
+
 # ---------- SimHash ----------
 
 def simhash_64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -580,3 +580,36 @@ def test_streaming_sessionize_capped_matches_batch(spark, tmp_path):
     # flushed by the 2032 watermark despite receiving no further events
     flushed = {r["user_id"] for r in emitted if r["session_start"].year == 2031}
     assert flushed == set(users)
+
+
+def test_minhash_delta_equals_full_restricted(spark):
+    """Incremental MinHash (delta vs stored band index) must equal the full
+    pairwise run restricted to pairs touching a delta doc — band-sharing is
+    symmetric, so indexing the corpus once loses nothing."""
+    from nama_spark.operators.dedup import (
+        minhash_band_index,
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_delta,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+
+    idx = minhash_band_index(old)
+    got = {
+        (r["id0"], r["id1"], round(r["jaccard"], 9))
+        for r in minhash_lsh_pairs_delta(
+            new, idx, corpus_df=old, verify_threshold=0.5
+        ).collect()
+    }
+    want = {
+        (r["id0"], r["id1"], round(r["jaccard"], 9))
+        for r in minhash_lsh_pairs(docs, verify_threshold=0.5).collect()
+        if r["id0"] % 2 == 1 or r["id1"] % 2 == 1
+    }
+    assert got == want and len(got) > 0
+
+    # candidates-only mode (no corpus text needed at all)
+    cand = minhash_lsh_pairs_delta(new, idx, verify_threshold=None)
+    assert cand.count() >= len(got)
