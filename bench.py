@@ -232,6 +232,17 @@ def bench_ngram_jaccard(spark, sf_dir):
     return wall, {"jaccard_pairs": n}
 
 
+def bench_winnow_dedup(spark, sf_dir):
+    """Full-corpus winnowing near-dup pairs at library defaults (the driver
+    query subsets to doc_id<250 for oracle cost — too small to time)."""
+    from nama_spark.operators.dedup import winnow_near_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t0 = time.time()
+    n = winnow_near_pairs(docs, k=8, window=4, threshold=0.2).count()
+    return time.time() - t0, {"winnow_pairs": n}
+
+
 def bench_ann(spark, sf_dir):
     from nama_spark.operators.ann import cosine_topk_bruteforce
     from pyspark.sql import functions as F
@@ -353,7 +364,7 @@ def main():
     run("events_hourly", bench_sql, sf_dir, "events_hourly")
     run("sessionize_window", bench_sql, sf_dir, "events_sessionize_window")
     run("sessionize_capped", bench_sql, sf_dir, "events_sessionize_capped")
-    run("winnow_dedup", bench_sql, sf_dir, "winnow_near_pairs")
+    run("winnow_dedup", bench_winnow_dedup, sf_dir)
     run("sorted_neighborhood", bench_sorted_neighborhood, sf_dir, n_entities)
 
     pairs_per_sec = (

