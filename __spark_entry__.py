@@ -540,6 +540,44 @@ def q_minhash_dedup_delta(spark, sf_dir):
     return out.select("id0", "id1", F.round("jaccard", 5).alias("jaccard"))
 
 
+def q_dedup_blocking_stats(spark, sf_dir):
+    """Blocking-quality metrics for the MinHash-LSH blocker vs the exact-dup
+    gold (md5(text) groups): pair completeness must be 1.0 — identical texts
+    have identical signatures, hence share every band — and the reduction
+    ratio says how much of the quadratic scan the bands avoided."""
+    from nama_spark.operators.dedup import minhash_lsh_pairs
+    from nama_spark.operators.evaluate import blocking_stats
+    from nama_spark.operators.matchdata import MatchData
+
+    docs = _t(spark, sf_dir, "documents")
+    gold = MatchData(
+        docs.select(
+            F.col("doc_id").cast("string").alias("string"),
+            F.lit(1).cast("long").alias("count"),
+            F.md5("text").alias("group"),
+        ),
+        _relabel=False,
+    )
+    cand = minhash_lsh_pairs(docs, verify_threshold=None).select(
+        F.col("id0").cast("string").alias("s0"),
+        F.col("id1").cast("string").alias("s1"),
+    )
+    s = blocking_stats(cand, gold)
+    return spark.createDataFrame(
+        [
+            (
+                s["n_strings"],
+                s["n_candidates"],
+                s["n_gold_pairs"],
+                round(s["pair_completeness"], 6),
+                round(s["reduction_ratio"], 6),
+            )
+        ],
+        "n_strings long, n_candidates long, n_gold_pairs long, "
+        "pair_completeness double, reduction_ratio double",
+    )
+
+
 def q_text_quality_profile(spark, sf_dir):
     from nama_spark.functions.text import (
         fingerprint,
@@ -957,6 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "minhash_dedup_delta": q_minhash_dedup_delta,
+        "dedup_blocking_stats": q_dedup_blocking_stats,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "text_quality_profile": q_text_quality_profile,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1634,6 +1673,39 @@ def oracle_sql() -> dict[str, str]:
         JOIN sh_sizes z1 ON z1.doc_id = i.id1
         WHERE i.n_inter * 1.0 / (z0.n_sh + z1.n_sh - i.n_inter) >= 0.5
     """
+    q["dedup_blocking_stats"] = f"""
+        WITH {_SQL_SHINGLES},
+        sig AS (SELECT doc_id, {minhash_cols} FROM shingles GROUP BY doc_id),
+        banded AS ({band_selects}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id0, b.doc_id AS id1
+            FROM banded a JOIN banded b USING (band, bsig)
+            WHERE a.doc_id < b.doc_id
+        ),
+        gold AS (SELECT doc_id, md5(text) AS grp FROM documents),
+        gp AS (
+            SELECT CAST(coalesce(sum(s * (s - 1) / 2), 0) AS BIGINT) AS gold_pairs
+            FROM (SELECT count(*) AS s FROM gold GROUP BY grp)
+        ),
+        ret AS (
+            SELECT CAST(count(*) AS BIGINT) AS retained
+            FROM cand c
+            JOIN gold g0 ON g0.doc_id = c.id0
+            JOIN gold g1 ON g1.doc_id = c.id1
+            WHERE g0.grp = g1.grp
+        ),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand)
+        SELECT nn.n AS n_strings, nc.n_cand AS n_candidates,
+               gp.gold_pairs AS n_gold_pairs,
+               round(CASE WHEN gp.gold_pairs > 0
+                          THEN ret.retained * 1.0 / gp.gold_pairs
+                          ELSE 1.0 END, 6) AS pair_completeness,
+               round(1.0 - nc.n_cand * 1.0 / (nn.n * (nn.n - 1) / 2.0), 6)
+                   AS reduction_ratio
+        FROM nn, nc, gp, ret
+    """
+
     # delta dedup = the full pair set restricted to pairs touching an odd
     # (delta) doc_id — band-sharing is symmetric, so the incremental
     # band-index join finds exactly these
