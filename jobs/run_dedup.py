@@ -25,6 +25,18 @@ cluster assignments (<output>/clusters: doc_id → cluster) and a keep-list
 (<output>/keep: min doc_id per cluster — the standard dedup survivor rule).
 Catalog reads work as in run_pipeline.py (--catalog + spark.sql.catalog.*
 confs on the submit line).
+
+Incremental mode (minhash): index the corpus once, then dedup each arriving
+delta against the index WITHOUT re-shingling the corpus —
+
+    # once per corpus
+    ... run_dedup.py --input corpus.parquet --method minhash \
+        --write-index --output idx_out
+    # per delta
+    ... run_dedup.py --input corpus.parquet --method minhash \
+        --delta new_docs.parquet --index idx_out/band_index \
+        --threshold 0.8 --output day_out
+    # → day_out/{pairs, delta_keep, delta_drop}: which new docs to ingest
 """
 
 from __future__ import annotations
@@ -54,6 +66,17 @@ def parse_args(argv=None):
     p.add_argument("--max-hamming", type=int, default=3)
     p.add_argument("--embeddings", default=None,
                    help="(embedding method) parquet/table with vec_id+embedding")
+    p.add_argument("--write-index", action="store_true",
+                   help="(minhash) only build + write <output>/band_index "
+                        "for --input; daily deltas then run --delta against it")
+    p.add_argument("--delta", default=None,
+                   help="(minhash) parquet/table of newly-arrived docs; "
+                        "dedups the delta against --input (incremental: "
+                        "corpus is band-joined via the index, only candidate "
+                        "corpus docs are re-shingled)")
+    p.add_argument("--index", default=None,
+                   help="precomputed band index parquet (with --delta; "
+                        "default: built from --input on the fly)")
     p.add_argument("--output", required=True)
     return p.parse_args(argv)
 
@@ -119,8 +142,63 @@ def main(argv=None):
     spark = SparkSession.builder.appName("nama_spark_dedup").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    from nama_spark.operators.dedup import minhash_band_index, minhash_lsh_pairs_delta
+
     docs = read_records(spark, args.input, catalog=args.catalog)
     t0 = time.time()
+
+    if args.write_index:
+        if args.method != "minhash":
+            raise SystemExit("--write-index requires --method minhash")
+        idx = minhash_band_index(
+            docs, args.text_col, args.id_col, k=args.shingle_k,
+            num_hashes=args.num_hashes, bands=args.bands,
+        )
+        idx.write.mode("overwrite").parquet(args.output + "/band_index")
+        print(json.dumps({
+            "method": "minhash_index",
+            "index_rows": spark.read.parquet(args.output + "/band_index").count(),
+            "wall_sec": round(time.time() - t0, 2),
+        }))
+        return 0
+
+    if args.delta:
+        if args.method != "minhash":
+            raise SystemExit("--delta requires --method minhash")
+        delta = read_records(spark, args.delta, catalog=args.catalog)
+        idx = (
+            spark.read.parquet(args.index)
+            if args.index
+            else minhash_band_index(
+                docs, args.text_col, args.id_col, k=args.shingle_k,
+                num_hashes=args.num_hashes, bands=args.bands,
+            )
+        )
+        pairs = minhash_lsh_pairs_delta(
+            delta, idx, corpus_df=docs, text_col=args.text_col,
+            id_col=args.id_col, k=args.shingle_k,
+            num_hashes=args.num_hashes, bands=args.bands,
+            verify_threshold=args.threshold,
+        ).localCheckpoint(eager=False)
+        pairs.write.mode("overwrite").parquet(args.output + "/pairs")
+        delta_ids = delta.select(F.col(args.id_col).alias("doc_id")).distinct()
+        # a pair is oriented id0 < id1: the LATER doc duplicates the earlier
+        drop = (
+            pairs.select(F.col("id1").alias("doc_id")).distinct()
+            .join(delta_ids, "doc_id", "left_semi")
+        )
+        keep = delta_ids.join(drop, "doc_id", "left_anti")
+        drop.write.mode("overwrite").parquet(args.output + "/delta_drop")
+        keep.write.mode("overwrite").parquet(args.output + "/delta_keep")
+        print(json.dumps({
+            "method": "minhash_delta",
+            "delta_docs": delta_ids.count(),
+            "pairs": pairs.count(),
+            "dropped": drop.count(),
+            "kept": keep.count(),
+            "wall_sec": round(time.time() - t0, 2),
+        }))
+        return 0
 
     if args.method == "exact":
         groups = exact_dup_groups(docs, args.text_col, args.id_col)

@@ -162,3 +162,41 @@ def test_run_corpus_pipeline_job(spark, tmp_path):
     assert any(
         d.startswith("lang=") for d in os.listdir(out + "/shards")
     )
+
+
+def test_run_dedup_job_incremental(spark, tmp_path):
+    """run_dedup.py incremental mode: --write-index on the corpus, then
+    --delta against it; delta keep/drop partition the delta ids."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    try:
+        import run_dedup
+    finally:
+        sys.path.pop(0)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    old_p = str(tmp_path / "old.parquet")
+    new_p = str(tmp_path / "new.parquet")
+    docs.where(F.col("doc_id") % 2 == 0).write.parquet(old_p)
+    docs.where(F.col("doc_id") % 2 == 1).write.parquet(new_p)
+
+    idx_out = str(tmp_path / "idx")
+    rc = run_dedup.main([
+        "--input", old_p, "--method", "minhash",
+        "--write-index", "--output", idx_out,
+    ])
+    assert rc == 0
+
+    out = str(tmp_path / "delta_out")
+    rc = run_dedup.main([
+        "--input", old_p, "--method", "minhash", "--threshold", "0.5",
+        "--delta", new_p, "--index", idx_out + "/band_index",
+        "--output", out,
+    ])
+    assert rc == 0
+    n_delta = docs.where(F.col("doc_id") % 2 == 1).count()
+    kept = spark.read.parquet(out + "/delta_keep").count()
+    dropped = spark.read.parquet(out + "/delta_drop").count()
+    assert kept + dropped == n_delta
+    assert dropped > 0  # the fixture's dup pairs straddle the parity split
