@@ -74,6 +74,13 @@ def parse_args(argv=None):
                         "embedding pass")
     p.add_argument("--assign-records", action="store_true",
                    help="also write file-level rows with entity_group")
+    p.add_argument("--bucketed-table", default=None,
+                   help="also save the clusters bucketed by string into the "
+                        "catalog (sources/bucketed.write_matchdata_bucketed) "
+                        "so record-scale joins against them are "
+                        "exchange-free; data files land under "
+                        "<output>/clusters_bucketed")
+    p.add_argument("--n-buckets", type=int, default=64)
     p.add_argument("--cc-driver-edge-cap", type=int, default=100_000,
                    help="edge count under which connected components runs "
                         "driver-side union-find instead of the iterative "
@@ -146,6 +153,13 @@ def main(argv=None):
     md, lineage = pipe.run(records, string_col=args.string_col,
                            resume=not args.no_resume)
     md.df.write.mode("overwrite").parquet(args.output + "/clusters")
+    if args.bucketed_table:
+        from nama_spark.sources.bucketed import write_matchdata_bucketed
+
+        write_matchdata_bucketed(
+            md, args.bucketed_table, n_buckets=args.n_buckets,
+            path=args.output + "/clusters_bucketed",
+        )
     if args.assign_records:
         assign_records(records, md, string_col=args.string_col).write.mode(
             "overwrite"

