@@ -540,6 +540,21 @@ def q_minhash_dedup_delta(spark, sf_dir):
     return out.select("id0", "id1", F.round("jaccard", 5).alias("jaccard"))
 
 
+def q_simhash_delta(spark, sf_dir):
+    """Incremental SimHash: odd doc_ids arrive as the delta, even ids are the
+    persisted band index — pairs touching a delta doc at hamming ≤ 3. The
+    16-bit banding is pigeonhole-complete at this radius, so the oracle (true
+    hamming over md5-derived bits, restricted to delta-touching pairs)
+    matches exactly."""
+    from nama_spark.operators.dedup import simhash_band_index, simhash_near_pairs_delta
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    idx = simhash_band_index(old)
+    return simhash_near_pairs_delta(new, idx, max_hamming=3)
+
+
 def q_dedup_blocking_stats(spark, sf_dir):
     """Blocking-quality metrics for the MinHash-LSH blocker vs the exact-dup
     gold (md5(text) groups): pair completeness must be 1.0 — identical texts
@@ -996,6 +1011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "minhash_dedup_delta": q_minhash_dedup_delta,
         "dedup_blocking_stats": q_dedup_blocking_stats,
+        "simhash_delta": q_simhash_delta,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "text_quality_profile": q_text_quality_profile,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -2177,5 +2193,12 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1, 2
         HAVING sum(CASE WHEN p0.bit != p1.bit THEN 1 ELSE 0 END) <= 3
     """
+    # incremental simhash = the same true-hamming pair set restricted to
+    # pairs touching an odd (delta) doc_id
+    q["simhash_delta"] = q["simhash_near_pairs"].replace(
+        "ON p0.i = p1.i AND p0.doc_id < p1.doc_id",
+        "ON p0.i = p1.i AND p0.doc_id < p1.doc_id "
+        "AND (p0.doc_id % 2 = 1 OR p1.doc_id % 2 = 1)",
+    )
 
     return {k: v.strip() for k, v in q.items()}

@@ -384,6 +384,68 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+def simhash_band_index(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, simhash, band, bh) — persistable SimHash band index of a
+    corpus (16-bit bands; pigeonhole-complete for hamming ≤ 3). Same
+    index-once / delta-join-daily pattern as minhash_band_index."""
+    hs = simhash_64(df, text_col, id_col)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), b * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("bh"),
+            )
+            for b in range(4)
+        ]
+    )
+    return hs.select("doc_id", "simhash", F.explode(bands).alias("bb")).select(
+        "doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+
+
+def simhash_near_pairs_delta(
+    new_df: DataFrame,
+    corpus_index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Incremental SimHash near-dups: pairs TOUCHING the delta — the delta's
+    bands equi-join the stored corpus index (plus delta-vs-delta). The
+    signatures ride in the index, so the corpus is never re-hashed and no
+    corpus text is needed at all. Output (id0, id1, hamming), id0 < id1."""
+    new_banded = simhash_band_index(new_df, text_col, id_col).localCheckpoint(
+        eager=False
+    )
+    both = new_banded.unionByName(corpus_index)
+    a = new_banded.select(
+        "band", "bh", F.col("doc_id").alias("ida"), F.col("simhash").alias("ha")
+    )
+    b = both.select(
+        "band", "bh", F.col("doc_id").alias("idb"), F.col("simhash").alias("hb")
+    )
+    cand = (
+        a.join(b, ["band", "bh"])
+        .where(F.col("ida") != F.col("idb"))
+        .select(
+            F.least("ida", "idb").alias("id0"),
+            F.greatest("ida", "idb").alias("id1"),
+            F.when(F.col("ida") < F.col("idb"), F.col("ha")).otherwise(F.col("hb")).alias("h0"),
+            F.when(F.col("ida") < F.col("idb"), F.col("hb")).otherwise(F.col("ha")).alias("h1"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("h0").bitwiseXOR(F.col("h1")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id0", "id1", "hamming")
+    )
+
+
 # ---------- winnowing (MOSS) ----------
 
 def winnow_fingerprints(

@@ -613,3 +613,28 @@ def test_minhash_delta_equals_full_restricted(spark):
     # candidates-only mode (no corpus text needed at all)
     cand = minhash_lsh_pairs_delta(new, idx, verify_threshold=None)
     assert cand.count() >= len(got)
+
+
+def test_simhash_delta_equals_full_restricted(spark):
+    """Incremental SimHash (delta vs stored band index) == the full run
+    restricted to pairs touching a delta doc; no corpus text re-read."""
+    from nama_spark.operators.dedup import (
+        simhash_band_index,
+        simhash_near_pairs,
+        simhash_near_pairs_delta,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    idx = simhash_band_index(old)
+    got = {
+        (r["id0"], r["id1"], r["hamming"])
+        for r in simhash_near_pairs_delta(new, idx, max_hamming=3).collect()
+    }
+    want = {
+        (r["id0"], r["id1"], r["hamming"])
+        for r in simhash_near_pairs(docs, max_hamming=3).collect()
+        if r["id0"] % 2 == 1 or r["id1"] % 2 == 1
+    }
+    assert got == want and len(got) > 0
