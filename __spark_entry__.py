@@ -540,6 +540,19 @@ def q_minhash_dedup_delta(spark, sf_dir):
     return out.select("id0", "id1", F.round("jaccard", 5).alias("jaccard"))
 
 
+def q_phonetic_soundex_keys(spark, sf_dir):
+    """Phonetic (Soundex) blocking keys over the name universe — the classic
+    ER blocker, composable with unite()/norm_key(kind='soundex'). The oracle
+    recomputes Soundex from the published US-census algorithm in pure SQL
+    (translate + H/W deletion + adjacent-duplicate collapse + vowel strip),
+    so Spark's builtin is cross-checked against the spec itself."""
+    from nama_spark.functions.normalize import soundex_key
+
+    return _name_universe(spark, sf_dir).select(
+        "string", soundex_key("string").alias("sx")
+    )
+
+
 def q_simhash_delta(spark, sf_dir):
     """Incremental SimHash: odd doc_ids arrive as the delta, even ids are the
     persisted band index — pairs touching a delta doc at hamming ≤ 3. The
@@ -1012,6 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_delta": q_minhash_dedup_delta,
         "dedup_blocking_stats": q_dedup_blocking_stats,
         "simhash_delta": q_simhash_delta,
+        "phonetic_soundex_keys": q_phonetic_soundex_keys,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "text_quality_profile": q_text_quality_profile,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -2193,6 +2207,38 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1, 2
         HAVING sum(CASE WHEN p0.bit != p1.bit THEN 1 ELSE 0 END) <= 3
     """
+
+    # Soundex from the published algorithm, no backrefs (RE2): translate
+    # letters to codes with H/W deleted, collapse adjacent duplicate codes
+    # (5 halving passes bound runs <= 32), strip vowel 0s, drop the first
+    # letter's own (possibly merged) code iff it is a consonant, pad to 3.
+    q["phonetic_soundex_keys"] = r"""
+        WITH names AS (SELECT DISTINCT p_name AS string FROM part),
+        base AS (
+            SELECT string,
+                   regexp_replace(upper(
+                       list_filter(string_split_regex(trim(string), '\s+'),
+                                   x -> x != '')[1]),
+                       '[^A-Z]', '', 'g') AS u
+            FROM names
+        ),
+        t AS (SELECT string, u,
+                     translate(u, 'ABCDEFGIJKLMNOPQRSTUVXYZHW', '012301202245501262301202') AS raw
+              FROM base),
+        d AS (SELECT string, u,
+                     replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(raw, '00', '0'), '11', '1'), '22', '2'), '33', '3'), '44', '4'), '55', '5'), '66', '6'), '00', '0'), '11', '1'), '22', '2'), '33', '3'), '44', '4'), '55', '5'), '66', '6'), '00', '0'), '11', '1'), '22', '2'), '33', '3'), '44', '4'), '55', '5'), '66', '6'), '00', '0'), '11', '1'), '22', '2'), '33', '3'), '44', '4'), '55', '5'), '66', '6'), '00', '0'), '11', '1'), '22', '2'), '33', '3'), '44', '4'), '55', '5'), '66', '6'), '0', '') AS digits,
+                     translate(substr(u, 1, 1), 'ABCDEFGIJKLMNOPQRSTUVXYZHW', '012301202245501262301202') AS fc
+              FROM t)
+        SELECT string,
+               CASE WHEN u = '' THEN NULL
+                    ELSE substr(u, 1, 1) ||
+                         substr((CASE WHEN fc IN ('1','2','3','4','5','6')
+                                      THEN substr(digits, 2)
+                                      ELSE digits END) || '000', 1, 3)
+               END AS sx
+        FROM d
+    """
+
     # incremental simhash = the same true-hamming pair set restricted to
     # pairs touching an odd (delta) doc_id
     q["simhash_delta"] = q["simhash_near_pairs"].replace(

@@ -133,4 +133,19 @@ def norm_key(c: Column | str, kind: str = "simplify_corp") -> Column:
         return simplify_corp(c)
     if kind == "lower":
         return F.lower(F.trim(_col(c)))
+    if kind == "soundex":
+        return soundex_key(c)
     raise ValueError(f"unknown norm key kind: {kind}")
+
+
+def soundex_key(c: Column | str, word: int = 1) -> Column:
+    """Phonetic blocking key (classic ER blocker — Christen, "Data
+    Matching" ch. 4; beyond the reference): Soundex of the ``word``-th
+    whitespace word, computed on a letters-only uppercase form so the code
+    is defined purely by the published algorithm (Spark's builtin follows
+    the US-census rules incl. the H/W collapse — pinned by test against the
+    spec examples). Empty/no-letter inputs key to NULL (excluded from
+    blocking, like empty normalization keys)."""
+    w = F.element_at(F.split(F.trim(_col(c)), r"\s+"), word)
+    letters = F.regexp_replace(F.upper(w), "[^A-Z]", "")
+    return F.when(letters != "", F.soundex(letters)).otherwise(F.lit(None))

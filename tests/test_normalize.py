@@ -140,3 +140,34 @@ def test_clean_name_reference_cases(spark):
     outs = _apply(spark, clean_name, [c[0] for c in cases])
     for (i, expected), got in zip(cases, outs):
         assert got == expected, f"clean_name({i!r}) = {got!r}, want {expected!r}"
+
+
+def test_soundex_key_spec_examples_and_unite(spark):
+    """soundex_key pins the published US-census examples (incl. the H/W
+    collapse: Ashcraft → A261) and composes with unite() as a phonetic
+    blocking key."""
+    from nama_spark.functions.normalize import norm_key, soundex_key
+    from nama_spark.operators.matchdata import MatchData
+
+    cases = {
+        "Robert": "R163", "Rupert": "R163",
+        "Ashcraft": "A261", "Ashcroft": "A261",
+        "Tymczak": "T522", "Pfister": "P236",
+        "Honeyman": "H555", "Smith": "S530", "Smyth": "S530",
+        "!!!": None,
+    }
+    df = spark.createDataFrame([(s,) for s in cases], ["string"])
+    got = {r["string"]: r["sx"] for r in
+           df.select("string", soundex_key("string").alias("sx")).collect()}
+    assert got == cases
+
+    md = MatchData.from_unmatched(
+        spark.createDataFrame(
+            [("Smith Industries",), ("Smyth Industries",), ("Jackson Co",)],
+            ["string"],
+        )
+    )
+    out = md.unite(lambda c: norm_key(c, "soundex"))
+    groups = {r["string"]: r["group"] for r in out.df.collect()}
+    assert groups["Smith Industries"] == groups["Smyth Industries"]
+    assert groups["Jackson Co"] != groups["Smith Industries"]
