@@ -553,6 +553,22 @@ def q_phonetic_soundex_keys(spark, sf_dir):
     )
 
 
+def q_fingerprint_key_clusters(spark, sf_dir):
+    """Key-collision clustering via the OpenRefine fingerprint (sorted
+    unique lowercase words): word order/repetition collapse. Universe =
+    names plus their reversed-word-order variants, which must co-cluster."""
+    from nama_spark.functions.normalize import fingerprint_key
+    from nama_spark.operators.matchdata import MatchData
+
+    names = _name_universe(spark, sf_dir)
+    rev = names.select(
+        F.array_join(F.reverse(F.split(F.col("string"), " ")), " ").alias("string")
+    )
+    md = MatchData.from_unmatched(names.union(rev).distinct())
+    out = md.unite(fingerprint_key)
+    return out.df.select("string", "group")
+
+
 def q_simhash_delta(spark, sf_dir):
     """Incremental SimHash: odd doc_ids arrive as the delta, even ids are the
     persisted band index — pairs touching a delta doc at hamming ≤ 3. The
@@ -1026,6 +1042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_blocking_stats": q_dedup_blocking_stats,
         "simhash_delta": q_simhash_delta,
         "phonetic_soundex_keys": q_phonetic_soundex_keys,
+        "fingerprint_key_clusters": q_fingerprint_key_clusters,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "text_quality_profile": q_text_quality_profile,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -2237,6 +2254,32 @@ def oracle_sql() -> dict[str, str]:
                                       ELSE digits END) || '000', 1, 3)
                END AS sx
         FROM d
+    """
+
+    q["fingerprint_key_clusters"] = r"""
+        WITH names AS (SELECT DISTINCT p_name AS string FROM part),
+        uni AS (
+            SELECT string FROM names
+            UNION
+            SELECT array_to_string(list_reverse(string_split(string, ' ')), ' ')
+            FROM names
+        ),
+        k AS (
+            SELECT string,
+                   array_to_string(
+                       list_sort(list_distinct(list_filter(
+                           string_split_regex(
+                               regexp_replace(lower(string),
+                                              '[^a-z0-9\s]', ' ', 'g'),
+                               '\s+'),
+                           x -> x != ''))),
+                       ' ') AS key
+            FROM uni
+        )
+        SELECT string,
+               CASE WHEN key = '' THEN string
+                    ELSE min(string) OVER (PARTITION BY key) END AS "group"
+        FROM k
     """
 
     # incremental simhash = the same true-hamming pair set restricted to

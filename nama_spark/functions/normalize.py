@@ -135,6 +135,8 @@ def norm_key(c: Column | str, kind: str = "simplify_corp") -> Column:
         return F.lower(F.trim(_col(c)))
     if kind == "soundex":
         return soundex_key(c)
+    if kind == "fingerprint":
+        return fingerprint_key(c)
     raise ValueError(f"unknown norm key kind: {kind}")
 
 
@@ -149,3 +151,24 @@ def soundex_key(c: Column | str, word: int = 1) -> Column:
     w = F.element_at(F.split(F.trim(_col(c)), r"\s+"), word)
     letters = F.regexp_replace(F.upper(w), "[^A-Z]", "")
     return F.when(letters != "", F.soundex(letters)).otherwise(F.lit(None))
+
+
+def fingerprint_key(c: Column | str) -> Column:
+    """Key-collision clustering fingerprint (the OpenRefine/Google-Refine
+    "fingerprint method"; beyond the reference): lowercase, strip to
+    alphanumerics, split, dedupe, SORT the words, rejoin. Word order and
+    repetition stop mattering — 'acme corp'/'Corp. ACME' collide. Empty
+    results key to NULL (excluded from blocking)."""
+    words_arr = F.array_sort(
+        F.array_distinct(
+            F.filter(
+                F.split(
+                    F.regexp_replace(F.lower(_col(c)), r"[^a-z0-9\s]", " "),
+                    r"\s+",
+                ),
+                lambda w: w != F.lit(""),
+            )
+        )
+    )
+    out = F.array_join(words_arr, " ")
+    return F.when(out != "", out).otherwise(F.lit(None))

@@ -171,3 +171,20 @@ def test_soundex_key_spec_examples_and_unite(spark):
     groups = {r["string"]: r["group"] for r in out.df.collect()}
     assert groups["Smith Industries"] == groups["Smyth Industries"]
     assert groups["Jackson Co"] != groups["Smith Industries"]
+
+
+def test_fingerprint_key_collisions(spark):
+    """OpenRefine fingerprint: word order, case, punctuation and repeats
+    collapse; distinct word sets stay apart."""
+    from nama_spark.functions.normalize import fingerprint_key
+
+    df = spark.createDataFrame(
+        [("Acme Corp",), ("corp. ACME",), ("acme acme corp",),
+         ("Acme Ltd",), ("!!!",)],
+        ["string"],
+    )
+    got = {r["string"]: r["fp"] for r in
+           df.select("string", fingerprint_key("string").alias("fp")).collect()}
+    assert got["Acme Corp"] == got["corp. ACME"] == got["acme acme corp"] == "acme corp"
+    assert got["Acme Ltd"] == "acme ltd"
+    assert got["!!!"] is None
