@@ -569,6 +569,18 @@ def q_fingerprint_key_clusters(spark, sf_dir):
     return out.df.select("string", "group")
 
 
+def q_doc_keywords(spark, sf_dir):
+    """Top-3 TF-IDF keywords per document (rounded; ties broken on the word
+    so the ranking is total in both engines)."""
+    from nama_spark.functions.text import doc_keywords
+
+    out = doc_keywords(_t(spark, sf_dir, "documents"), k=3)
+    return out.select(
+        "doc_id", "keyword", F.round("tfidf", 6).alias("tfidf"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_simhash_delta(spark, sf_dir):
     """Incremental SimHash: odd doc_ids arrive as the delta, even ids are the
     persisted band index — pairs touching a delta doc at hamming ≤ 3. The
@@ -1043,6 +1055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_delta": q_simhash_delta,
         "phonetic_soundex_keys": q_phonetic_soundex_keys,
         "fingerprint_key_clusters": q_fingerprint_key_clusters,
+        "doc_keywords": q_doc_keywords,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "text_quality_profile": q_text_quality_profile,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -2280,6 +2293,30 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN key = '' THEN string
                     ELSE min(string) OVER (PARTITION BY key) END AS "group"
         FROM k
+    """
+
+    q["doc_keywords"] = r"""
+        WITH w AS (
+            SELECT doc_id,
+                   unnest(list_filter(
+                       string_split_regex(lower(trim(text)), '\s+'),
+                       x -> x != '')) AS word
+            FROM documents
+        ),
+        tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+        n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+        scored AS (
+            SELECT t.doc_id, t.word,
+                   t.tf * ln(n.n_docs * 1.0 / d.df) AS tfidf,
+                   row_number() OVER (PARTITION BY t.doc_id
+                       ORDER BY t.tf * ln(n.n_docs * 1.0 / d.df) DESC,
+                                t.word ASC) AS rank
+            FROM tf t JOIN dfreq d USING (word) CROSS JOIN n
+        )
+        SELECT doc_id, word AS keyword, round(tfidf, 6) AS tfidf,
+               CAST(rank AS BIGINT) AS rank
+        FROM scored WHERE rank <= 3
     """
 
     # incremental simhash = the same true-hamming pair set restricted to

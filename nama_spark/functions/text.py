@@ -108,3 +108,35 @@ def fingerprint(c: Column | str) -> Column:
     the same fingerprint)."""
     norm = F.regexp_replace(F.lower(F.trim(_col(c))), r"\s+", " ")
     return F.md5(norm)
+
+
+def doc_keywords(
+    df,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """(doc_id, keyword, tfidf, rank) — top-k TF-IDF keywords per document
+    (corpus profiling / index summarization). tf = in-doc term count,
+    idf = ln(N / df) over distinct-doc frequency; ties break on the word
+    ascending so the ranking is total and engine-portable. Two shuffles:
+    token explode → (doc, word) counts + df agg, then one window per doc."""
+    from pyspark.sql import DataFrame, Window
+
+    words = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_words(F.col(text_col))).alias("word"),
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n")).first()["n"]
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("word").asc()
+    )
+    return (
+        tf.join(dfreq, "word")
+        .withColumn("tfidf", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", F.col("word").alias("keyword"), "tfidf", "rank")
+    )

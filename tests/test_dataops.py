@@ -638,3 +638,17 @@ def test_simhash_delta_equals_full_restricted(spark):
         if r["id0"] % 2 == 1 or r["id1"] % 2 == 1
     }
     assert got == want and len(got) > 0
+
+
+def test_doc_keywords_ranks_discriminative_terms(spark):
+    """A term unique to one doc must outrank corpus-wide terms (idf=0)."""
+    from nama_spark.functions.text import doc_keywords
+
+    docs = spark.createDataFrame(
+        [(1, "alpha common common"), (2, "beta common"), (3, "gamma common")],
+        ["doc_id", "text"],
+    )
+    rows = doc_keywords(docs, k=1).collect()
+    top = {r["doc_id"]: r["keyword"] for r in rows}
+    assert top == {1: "alpha", 2: "beta", 3: "gamma"}
+    assert all(r["rank"] == 1 for r in rows)
