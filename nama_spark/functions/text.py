@@ -128,14 +128,20 @@ def doc_keywords(
         F.explode(_words(F.col(text_col))).alias("word"),
     )
     tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    n_docs = df.select(F.countDistinct(id_col).alias("n")).first()["n"]
+    # 1-row corpus total rides in as a broadcast crossJoin so the whole
+    # operator stays lazy (no job at plan-construction time)
+    n = df.agg(F.countDistinct(id_col).alias("__n_docs"))
     dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tfidf").desc(), F.col("word").asc()
     )
     return (
         tf.join(dfreq, "word")
-        .withColumn("tfidf", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")))
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.col("tf") * F.log(F.col("__n_docs").cast("double") / F.col("df")),
+        )
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("doc_id", F.col("word").alias("keyword"), "tfidf", "rank")

@@ -52,6 +52,12 @@ WHITELIST: dict[str, dict[str, str]] = {
         "CartesianProduct": "reference iter_scores is all-pairs",
         "Exchange SinglePartition": "scalar normalization term",
     },
+    # 1-row corpus-total broadcast crossJoin (the lazy alternative to an
+    # eager driver-side count)
+    "doc_keywords": {
+        "BroadcastNestedLoopJoin": "broadcast 1-row corpus total",
+        "Exchange SinglePartition": "1-row total aggregate",
+    },
     # broadcast-tiny fanout/dimension crossJoins — the heavy join is equi
     "ann_ivf_topk": {
         "BroadcastNestedLoopJoin": "broadcast n_cells centroid rows; "
