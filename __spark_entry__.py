@@ -581,6 +581,55 @@ def q_doc_keywords(spark, sf_dir):
     )
 
 
+def q_calibration_alpha_sweep(spark, sf_dir):
+    """Relational calibration of the scoring model's alpha: consecutive-id
+    embedding pairs labeled by class equality, Z-form XE loss summed per
+    grid alpha in one shuffle (broadcast grid crossJoin). The full sweep is
+    returned — argmin is a trivial driver-side epilogue."""
+    from nama_spark.operators.score import alpha_loss_sweep
+
+    # Vectors are quantized to integer milli-units FIRST: a 64-term FLOAT
+    # dot product sums in engine-specific order (ulp drift that the XE
+    # term's ln(1-exp(-z)) amplifies by 1/z, and that 6-dp rounding can
+    # straddle). Integer dot products are exact and order-free, so both
+    # engines derive bit-identical cosines.
+    vq = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.round(x * 1000).cast("long"),
+    )
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", vq.alias("v"), "label")
+    a = emb.select(F.col("vec_id").alias("i"), F.col("v").alias("v0"),
+                   F.col("label").alias("l0"))
+    b = emb.select((F.col("vec_id") - 1).alias("i"), F.col("v").alias("v1"),
+                   F.col("label").alias("l1"))
+
+    def idot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+
+    dot = idot(F.col("v0"), F.col("v1")).cast("double")
+    n0 = F.sqrt(idot(F.col("v0"), F.col("v0")).cast("double"))
+    n1 = F.sqrt(idot(F.col("v1"), F.col("v1")).cast("double"))
+    pairs = a.join(b, "i").select(
+        (dot / (n0 * n1)).alias("cos"),
+        (F.col("l0") == F.col("l1")).cast("int").alias("is_match"),
+    )
+    # integer micro-unit summation: float totals are order-sensitive across
+    # engines (observed last-ulp drift straddling any fixed rounding), so
+    # the reproducible mode rounds each pair's loss to 1e-6 units and sums
+    # exact BIGINTs
+    # unit=1e-6 makes the y=1 z-terms EXACT integers (integer alpha x 6-dp
+    # cos), so no rounding ties; eps=1e-3 floors z so the y=0 ln(1-exp(-z))
+    # term amplifies engine ulp drift by at most 1e3 (far below half-unit)
+    out = alpha_loss_sweep(
+        pairs, grid=[float(g) for g in range(1, 31)], unit=1e-6, eps=1e-3
+    )
+    return out.select("alpha", "total_loss_u")
+
+
 def q_simhash_delta(spark, sf_dir):
     """Incremental SimHash: odd doc_ids arrive as the delta, even ids are the
     persisted band index — pairs touching a delta doc at hamming ≤ 3. The
@@ -1056,6 +1105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phonetic_soundex_keys": q_phonetic_soundex_keys,
         "fingerprint_key_clusters": q_fingerprint_key_clusters,
         "doc_keywords": q_doc_keywords,
+        "calibration_alpha_sweep": q_calibration_alpha_sweep,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "text_quality_profile": q_text_quality_profile,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -2317,6 +2367,37 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, word AS keyword, round(tfidf, 6) AS tfidf,
                CAST(rank AS BIGINT) AS rank
         FROM scored WHERE rank <= 3
+    """
+
+    q["calibration_alpha_sweep"] = r"""
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                                  x -> CAST(round(x * 1000) AS BIGINT)) AS v,
+                   label
+            FROM embeddings
+        ),
+        p AS (
+            SELECT CAST(list_sum(list_transform(range(1, len(a.v) + 1),
+                             i -> a.v[i] * b.v[i])) AS DOUBLE)
+                   / (sqrt(CAST(list_sum(list_transform(range(1, len(a.v) + 1),
+                             i -> a.v[i] * a.v[i])) AS DOUBLE))
+                      * sqrt(CAST(list_sum(list_transform(range(1, len(b.v) + 1),
+                             i -> b.v[i] * b.v[i])) AS DOUBLE))) AS cos,
+                   CASE WHEN a.label = b.label THEN 1.0 ELSE 0.0 END AS y
+            FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+        ),
+        g AS (SELECT CAST(i AS DOUBLE) AS alpha FROM range(1, 31) t(i)),
+        l AS (
+            SELECT g.alpha,
+                   greatest(g.alpha * (1.0 - p.cos), 1e-3) AS z, p.y
+            FROM p CROSS JOIN g
+        )
+        SELECT alpha,
+               CAST(sum(CAST(round((y * z - CASE WHEN y < 1.0
+                     THEN (1.0 - y) * ln(1.0 - exp(-z)) ELSE 0.0 END)
+                     * 1000000.0) AS BIGINT)) AS BIGINT) AS total_loss_u
+        FROM l GROUP BY alpha
     """
 
     # incremental simhash = the same true-hamming pair set restricted to

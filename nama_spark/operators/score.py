@@ -314,3 +314,71 @@ def combine_scores(
     if lev is not None:
         out = out + lev * F.lit(wl)
     return out / F.lit(total if total else 1.0)
+
+
+def alpha_loss_sweep(
+    pairs: DataFrame,
+    cos_col: str = "cos",
+    label_col: str = "is_match",
+    weight_col: str | None = None,
+    grid: list[float] | None = None,
+    eps: float = 1e-6,
+    unit: float | None = None,
+) -> DataFrame:
+    """(alpha, total_loss) — the Z-form XE loss of ``similarity_loss`` summed
+    over labeled pairs for EVERY candidate alpha, in ONE shuffle: the grid
+    (≤ a few hundred rows) broadcast-crossJoins the pairs, then one groupBy.
+    The weighted path keeps the reference's loss·w·loss squaring.
+
+    ``unit`` (e.g. 1e-6) switches to integer-unit summation: each pair's
+    loss is rounded to ``loss/unit`` and summed as BIGINT ``total_loss_u``.
+    Floating sums are order-sensitive (different partitionings → last-ulp
+    drift), so cross-engine/cross-run reproducible totals need the exact
+    integer path; argmin is unaffected either way at any sane unit."""
+    if grid is None:
+        grid = [round(1.0 + i, 4) for i in range(50)]
+    spark = pairs.sparkSession
+    g = spark.createDataFrame([(float(a),) for a in grid], "alpha double")
+    z = F.greatest(
+        F.col("alpha") * (F.lit(1.0) - F.col(cos_col)), F.lit(float(eps))
+    )
+    y = F.col(label_col).cast("double")
+    xlogy = F.when(
+        y < 1.0, (F.lit(1.0) - y) * F.log(-F.expm1(-z))
+    ).otherwise(F.lit(0.0))
+    loss = y * z - xlogy
+    if weight_col is not None:
+        loss = F.col(weight_col) * loss * loss
+    if unit is not None:
+        u = F.round(loss / F.lit(float(unit))).cast("long")
+        return (
+            pairs.crossJoin(F.broadcast(g))
+            .select("alpha", u.alias("__l"))
+            .groupBy("alpha")
+            .agg(F.sum("__l").alias("total_loss_u"))
+        )
+    return (
+        pairs.crossJoin(F.broadcast(g))
+        .select("alpha", loss.alias("__l"))
+        .groupBy("alpha")
+        .agg(F.sum("__l").alias("total_loss"))
+    )
+
+
+def fit_alpha(
+    pairs: DataFrame,
+    cos_col: str = "cos",
+    label_col: str = "is_match",
+    weight_col: str | None = None,
+    grid: list[float] | None = None,
+) -> tuple[float, DataFrame]:
+    """Calibrate the score model's single trainable scalar α
+    (scoring_model.py:11-15 — the reference learns it jointly with the
+    encoder under torch; with frozen embeddings the α-fit is plain
+    empirical-risk minimization, which is fully relational). Returns
+    (best_alpha, sweep_frame); ties break on the smaller α."""
+    sweep = alpha_loss_sweep(pairs, cos_col, label_col, weight_col, grid)
+    best = sweep.orderBy(
+        F.col("total_loss").asc(), F.col("alpha").asc()
+    ).first()
+    return float(best["alpha"]), sweep

@@ -295,3 +295,29 @@ def test_md5_embedding_pass_wiring(spark):
                 expect.add(tuple(sorted((a, b))))
     assert edges == expect
     assert expect  # non-trivial at this threshold on these names
+
+
+def test_fit_alpha_recovers_generating_alpha(spark):
+    """Labels drawn from p = exp(-a*(1-cos)) at a known a*: the relational
+    grid fit lands on a* (grid resolution 1.0); the weighted path applies
+    the reference's loss-squaring quirk."""
+    import numpy as np
+
+    from nama_spark.operators.score import alpha_loss_sweep, fit_alpha
+
+    rng = np.random.default_rng(3)
+    a_true = 12.0
+    cos = rng.uniform(0.5, 1.0, 4000)
+    y = (rng.uniform(size=4000) < np.exp(-a_true * (1.0 - cos))).astype(int)
+    pairs = spark.createDataFrame(
+        [(float(c), int(t)) for c, t in zip(cos, y)], ["cos", "is_match"]
+    )
+    best, sweep = fit_alpha(pairs, grid=[float(g) for g in range(1, 41)])
+    assert abs(best - a_true) <= 2.0
+    assert sweep.count() == 40
+
+    # weighted: w * loss^2 — ranking can differ, but every loss is finite
+    pw = pairs.withColumn("w", F.lit(2.0))
+    sw = alpha_loss_sweep(pw, weight_col="w")
+    vals = [r["total_loss"] for r in sw.collect()]
+    assert all(np.isfinite(v) for v in vals)
