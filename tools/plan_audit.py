@@ -58,6 +58,10 @@ WHITELIST: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "broadcast 1-row corpus total",
         "Exchange SinglePartition": "1-row total aggregate",
     },
+    # broadcast alpha-grid crossJoin (≤ a few hundred rows by construction)
+    "calibration_alpha_sweep": {
+        "BroadcastNestedLoopJoin": "broadcast alpha grid (30 rows)",
+    },
     # broadcast-tiny fanout/dimension crossJoins — the heavy join is equi
     "ann_ivf_topk": {
         "BroadcastNestedLoopJoin": "broadcast n_cells centroid rows; "
