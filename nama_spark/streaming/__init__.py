@@ -7,6 +7,10 @@ both batch and Structured Streaming (the functions take any DataFrame;
 ``readStream`` + ``writeStream`` wire-up is the caller's five lines).
 """
 
+from nama_spark.streaming.dedup import (  # noqa: F401
+    load_band_index,
+    streaming_dedup_corpus,
+)
 from nama_spark.streaming.er import (  # noqa: F401
     load_state,
     streaming_unite_names,

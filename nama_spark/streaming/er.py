@@ -39,11 +39,19 @@ def _versions(spark, state_dir: str) -> list[int]:
     return sorted(out)
 
 
-def load_state(spark, state_dir: str):
-    """Current MatchData state (highest complete version), or None."""
+def load_state(spark, state_dir: str, before: int | None = None):
+    """Current MatchData state (highest complete version), or None.
+
+    ``before`` bounds the version strictly below a batch id: a REPLAYED
+    micro-batch (checkpoint recovery re-runs the last epoch) must read its
+    PREDECESSOR state, not the version it already wrote itself — loading
+    the unbounded highest would feed the batch its own output (for dedup
+    that self-match would drop every doc; for ER it double-counts)."""
     from nama_spark.operators.matchdata import MatchData
 
     vs = _versions(spark, state_dir)
+    if before is not None:
+        vs = [v for v in vs if v < before]
     if not vs:
         return None
     return MatchData(
@@ -71,7 +79,7 @@ def streaming_unite_names(
     from nama_spark.operators.token_similarity import TokenSimilarity
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        prev = load_state(spark, state_dir)
+        prev = load_state(spark, state_dir, before=batch_id)
         names = batch_df.select(string_col)
         ts = TokenSimilarity(tokenizer=tokenizer)
         if prev is None:

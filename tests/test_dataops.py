@@ -652,3 +652,52 @@ def test_doc_keywords_ranks_discriminative_terms(spark):
     top = {r["doc_id"]: r["keyword"] for r in rows}
     assert top == {1: "alpha", 2: "beta", 3: "gamma"}
     assert all(r["rank"] == 1 for r in rows)
+
+
+def test_streaming_dedup_corpus(spark, tmp_path):
+    """Streaming corpus dedup: batch 1 dedups within itself; batch 2 drops
+    docs duplicating batch-1 SURVIVORS and keeps fresh ones; the state
+    loader's `before` bound makes replay read the predecessor version (a
+    batch can never self-match)."""
+    from nama_spark.streaming.dedup import load_band_index, streaming_dedup_corpus
+
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    state = str(tmp_path / "band_state")
+    dec = str(tmp_path / "decisions")
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),
+         (2, "alpha beta gamma delta epsilon"),   # dup of 1 → drop
+         (3, "totally different words entirely here")],
+        ["doc_id", "text"],
+    )
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+    q = streaming_dedup_corpus(
+        spark, str(src), b1.schema, state, dec, max_files_per_trigger=1,
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(
+            [(4, "alpha beta gamma delta epsilon"),   # dup of survivor 1 → drop
+             (5, "brand new unique document text")],
+            ["doc_id", "text"],
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    import glob
+
+    decisions = spark.read.parquet(*sorted(glob.glob(dec + "/b*")))
+    got = {r["doc_id"]: r["keep"] for r in decisions.collect()}
+    assert got == {1: True, 2: False, 3: True, 4: False, 5: True}
+
+    # survivors-only index: dropped docs contribute no bands
+    idx = load_band_index(spark, state)
+    assert set(r["doc_id"] for r in idx.select("doc_id").distinct().collect()) == {1, 3, 5}
+    # replay guard: batch 1's view (before=1) is v0, not its own output
+    idx_before = load_band_index(spark, state, before=1)
+    assert set(
+        r["doc_id"] for r in idx_before.select("doc_id").distinct().collect()
+    ) == {1, 3}
