@@ -231,3 +231,39 @@ def test_run_pipeline_bucketed_table(spark, tmp_path):
         assert back.count() > 0
     finally:
         spark.sql("DROP TABLE IF EXISTS bt_pipeline_clusters")
+
+
+def test_run_linkage_job(spark, tmp_path):
+    """jobs/run_linkage.py: left names link to their 'the '-prefixed twins
+    under mutual-best selection."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    try:
+        import run_linkage
+    finally:
+        sys.path.pop(0)
+
+    left = spark.createDataFrame(
+        [(f"acme widgets {i}",) for i in range(20)], ["name_l"]
+    )
+    right = left.select(
+        F.concat(F.lit("the "), F.col("name_l")).alias("name_r")
+    )
+    lp, rp = str(tmp_path / "l.parquet"), str(tmp_path / "r.parquet")
+    left.write.parquet(lp)
+    right.write.parquet(rp)
+    out = str(tmp_path / "links_out")
+    rc = run_linkage.main([
+        "--left", lp, "--left-col", "name_l",
+        "--right", rp, "--right-col", "name_r",
+        "--mode", "mutual", "--threshold", "0.3", "--output", out,
+    ])
+    assert rc == 0
+    links = {
+        (r["s0"], r["s1"])
+        for r in spark.read.parquet(out + "/links").collect()
+    }
+    assert links == {
+        (f"acme widgets {i}", f"the acme widgets {i}") for i in range(20)
+    }
