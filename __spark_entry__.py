@@ -795,6 +795,17 @@ def q_near_dup_clusters_cc(spark, sf_dir):
     return near_dup_clusters(pairs, docs.select("doc_id"))
 
 
+def q_corpus_split_leakfree(spark, sf_dir):
+    """Dedup-aware train/val split: near-dup clusters (shingle-jaccard ≥ 0.5
+    CC) land wholly in one split via an md5 hash of the cluster id —
+    documents never leak near-duplicates across the boundary."""
+    from nama_spark.operators.dedup import split_documents_leakfree
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = _doc_shingle_pairs(spark, sf_dir, threshold=0.5)
+    return split_documents_leakfree(docs, pairs, val_fraction=0.2, seed=7)
+
+
 def q_simhash_near_pairs(spark, sf_dir):
     """SimHash near-pairs — oracle-checked: the 16-bit banding is
     pigeonhole-complete for hamming ≤ 3 (4 bands, ≤3 differing bits → ≥1 band
@@ -1106,6 +1117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_key_clusters": q_fingerprint_key_clusters,
         "doc_keywords": q_doc_keywords,
         "calibration_alpha_sweep": q_calibration_alpha_sweep,
+        "corpus_split_leakfree": q_corpus_split_leakfree,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "text_quality_profile": q_text_quality_profile,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -2399,6 +2411,21 @@ def oracle_sql() -> dict[str, str]:
                      * 1000000.0) AS BIGINT)) AS BIGINT) AS total_loss_u
         FROM l GROUP BY alpha
     """
+
+    # leak-free split = the near-dup cluster map + an md5 hash of the
+    # cluster id (first 12 hex digits / 2^48 -> uniform [0,1))
+    q["corpus_split_leakfree"] = q["near_dup_clusters_cc"].replace(
+        """SELECT cast(node AS BIGINT) AS doc_id, cast(min(r) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY node""",
+        """SELECT doc_id, cluster_id,
+               CASE WHEN CAST(CONCAT('0x', substr(
+                        md5(CONCAT(CAST(cluster_id AS VARCHAR), ':7')), 1, 12))
+                        AS BIGINT) / 281474976710656.0 < 0.2
+                    THEN 'val' ELSE 'train' END AS split
+        FROM (SELECT cast(node AS BIGINT) AS doc_id,
+                     cast(min(r) AS BIGINT) AS cluster_id
+              FROM reach GROUP BY node)""",
+    )
 
     # incremental simhash = the same true-hamming pair set restricted to
     # pairs touching an odd (delta) doc_id

@@ -583,3 +583,46 @@ def near_dup_clusters(pairs: DataFrame, all_ids: DataFrame,
         F.col("node").cast("long").alias("doc_id"),
         F.col("component").cast("long").alias("cluster_id"),
     )
+
+
+# ---------- leak-free corpus splits ----------
+
+def split_documents_leakfree(
+    docs: DataFrame,
+    pairs: DataFrame,
+    val_fraction: float = 0.1,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, cluster_id, split) — train/val assignment where every
+    near-dup CLUSTER lands wholly in one split (the dedup-aware analog of
+    evaluate.split_on_groups: splitting at the document level leaks
+    near-duplicates of training docs into validation, inflating every
+    eval metric). ``pairs`` = any near-dup pair set (id0, id1, ...).
+
+    The split hashes the cluster id through md5 (engine-portable, unlike
+    xxhash64) → uniform in [0,1) → val iff u < val_fraction. Deterministic
+    in (cluster_id, seed); adding documents never moves an existing
+    cluster across splits unless the clusters themselves merge."""
+    clusters = near_dup_clusters(
+        pairs.select("id0", "id1"),
+        docs.select(F.col(id_col).alias("doc_id")).distinct(),
+    )
+    # first 12 md5 hex digits → 48-bit uniform (exact in a double)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("cluster_id"), F.lit(str(seed)))),
+                1, 12,
+            ),
+            16, 10,
+        ).cast("double")
+        / F.lit(float(1 << 48))
+    )
+    return clusters.select(
+        "doc_id",
+        "cluster_id",
+        F.when(u < F.lit(float(val_fraction)), F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

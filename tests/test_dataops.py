@@ -701,3 +701,26 @@ def test_streaming_dedup_corpus(spark, tmp_path):
     assert set(
         r["doc_id"] for r in idx_before.select("doc_id").distinct().collect()
     ) == {1, 3}
+
+
+def test_split_documents_leakfree(spark):
+    """Near-dup clusters never straddle the split; fraction lands near the
+    target; deterministic in the seed."""
+    from nama_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        split_documents_leakfree,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pairs = minhash_lsh_pairs(docs, verify_threshold=None)
+    out = split_documents_leakfree(docs, pairs, val_fraction=0.2, seed=1)
+    rows = out.collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())  # no straddling
+    frac = sum(1 for r in rows if r["split"] == "val") / len(rows)
+    assert 0.05 < frac < 0.4
+    again = {(r["doc_id"], r["split"]) for r in
+             split_documents_leakfree(docs, pairs, 0.2, seed=1).collect()}
+    assert again == {(r["doc_id"], r["split"]) for r in rows}
