@@ -10,8 +10,9 @@ operators — each stage is the bucketed/scale path, not a baseline:
                           (length/punct/stopword profile)
     4. language filter    lang-ID ∈ --langs (marker-token n-gram heuristic)
     5. annotate           token counts + rolling-hash fingerprint
-    6. shard              write parquet partitioned by language
-                          (partition pruning for per-language consumers)
+    6. shard              write parquet partitioned by language (and by a
+                          leak-free train/val split with --val-fraction:
+                          near-dup clusters never straddle the boundary)
 
 Usage:
 
@@ -46,6 +47,11 @@ def parse_args(argv=None):
                    help="0 disables the quality gate")
     p.add_argument("--langs", default="",
                    help="comma list to keep (empty = keep all, incl. 'und')")
+    p.add_argument("--val-fraction", type=float, default=0.0,
+                   help="> 0: also assign a leak-free train/val split "
+                        "(near-dup clusters never straddle; shards are then "
+                        "partitioned by (lang, split))")
+    p.add_argument("--split-seed", type=int, default=0)
     return p.parse_args(argv)
 
 
@@ -66,6 +72,7 @@ def main(argv=None):
         exact_dup_groups,
         minhash_lsh_pairs,
         near_dup_clusters,
+        split_documents_leakfree,
     )
     from nama_spark.sources.readers import read_records
 
@@ -91,7 +98,7 @@ def main(argv=None):
     pairs = minhash_lsh_pairs(
         docs, args.text_col, args.id_col, k=args.shingle_k,
         verify_threshold=args.near_dup_threshold,
-    )
+    ).localCheckpoint(eager=False)
     all_ids = docs.select(F.col(args.id_col).alias("doc_id")).distinct()
     clusters = near_dup_clusters(
         pairs.select("id0", "id1"), all_ids
@@ -123,8 +130,20 @@ def main(argv=None):
     docs = docs.localCheckpoint(eager=False)
     funnel["after_filters"] = docs.count()
 
-    # 6. language-partitioned shards — consumers prune to their language
-    docs.write.mode("overwrite").partitionBy("lang").parquet(
+    # 6. shards — partition pruning for per-language (and per-split)
+    # consumers. The split reuses stage 2's near-dup pairs, so clusters of
+    # near-duplicates never straddle train/val (leak-free).
+    part_cols = ["lang"]
+    if args.val_fraction > 0:
+        splits = split_documents_leakfree(
+            docs, pairs, val_fraction=args.val_fraction,
+            seed=args.split_seed, id_col=args.id_col,
+        ).withColumnRenamed("doc_id", args.id_col)
+        docs = docs.join(
+            splits.select(args.id_col, "split"), args.id_col
+        )
+        part_cols.append("split")
+    docs.write.mode("overwrite").partitionBy(*part_cols).parquet(
         args.output + "/shards"
     )
     tok_total = docs.agg(F.sum("n_tokens").alias("t")).collect()[0]["t"] or 0

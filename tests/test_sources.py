@@ -148,6 +148,7 @@ def test_run_corpus_pipeline_job(spark, tmp_path):
         "--output", out,
         "--near-dup-threshold", "0.5",
         "--langs", "en,de,fr,es,und",
+        "--val-fraction", "0.2",
     ])
     assert rc == 0
     shards = spark.read.parquet(out + "/shards")
@@ -162,6 +163,9 @@ def test_run_corpus_pipeline_job(spark, tmp_path):
     assert any(
         d.startswith("lang=") for d in os.listdir(out + "/shards")
     )
+    # leak-free split column rode through; both splits non-empty at 20%
+    assert set(r["split"] for r in shards.select("split").distinct().collect())         <= {"train", "val"}
+    assert shards.where(F.col("split") == "train").count() > 0
 
 
 def test_run_dedup_job_incremental(spark, tmp_path):
