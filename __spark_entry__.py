@@ -806,6 +806,29 @@ def q_corpus_split_leakfree(spark, sf_dir):
     return split_documents_leakfree(docs, pairs, val_fraction=0.2, seed=7)
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Token-window chunking (32-token chunks, 8-token overlap) — training
+    example preparation; pure array exprs with the token array materialized
+    before the windowing transform."""
+    from nama_spark.functions.text import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8
+    )
+
+
+def q_pack_chunks(spark, sf_dir):
+    """Chunk → pack composition: 32/8 token chunks first-fit-packed into
+    512-token training sequences by running count in deterministic
+    (doc_id, chunk_seq) order."""
+    from nama_spark.functions.text import chunk_documents, pack_chunks
+
+    chunks = chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8
+    )
+    return pack_chunks(chunks, budget_tokens=512)
+
+
 def q_simhash_near_pairs(spark, sf_dir):
     """SimHash near-pairs — oracle-checked: the 16-bit banding is
     pigeonhole-complete for hamming ≤ 3 (4 bands, ≤3 differing bits → ≥1 band
@@ -1118,6 +1141,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_keywords": q_doc_keywords,
         "calibration_alpha_sweep": q_calibration_alpha_sweep,
         "corpus_split_leakfree": q_corpus_split_leakfree,
+        "chunk_documents": q_chunk_documents,
+        "pack_chunks": q_pack_chunks,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "text_quality_profile": q_text_quality_profile,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -2426,6 +2451,53 @@ def oracle_sql() -> dict[str, str]:
                      cast(min(r) AS BIGINT) AS cluster_id
               FROM reach GROUP BY node)""",
     )
+
+    q["chunk_documents"] = r"""
+        WITH w AS (
+            SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS ws
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id, ws,
+                   unnest(CASE WHEN len(ws) > 32
+                               THEN range(0, len(ws) - 8, 24)
+                               ELSE [0] END) AS st
+            FROM w
+        )
+        SELECT doc_id,
+               CAST(st // 24 AS BIGINT) AS chunk_seq,
+               array_to_string(ws[st + 1 : st + 32], ' ') AS chunk_text,
+               CAST(least(len(ws) - st, 32) AS BIGINT) AS n_tokens
+        FROM s
+    """
+
+    # pack assignment = floor((running token count − n) / budget) over the
+    # same chunking CTE in (doc_id, chunk_seq) order
+    q["pack_chunks"] = r"""
+        WITH w AS (
+            SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS ws
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id, ws,
+                   unnest(CASE WHEN len(ws) > 32
+                               THEN range(0, len(ws) - 8, 24)
+                               ELSE [0] END) AS st
+            FROM w
+        ),
+        c AS (
+            SELECT doc_id, CAST(st // 24 AS BIGINT) AS chunk_seq,
+                   CAST(least(len(ws) - st, 32) AS BIGINT) AS n_tokens
+            FROM s
+        )
+        SELECT doc_id, chunk_seq,
+               CAST((sum(n_tokens) OVER (ORDER BY doc_id, chunk_seq
+                         ROWS UNBOUNDED PRECEDING) - n_tokens) // 512
+                    AS BIGINT) AS pack_id
+        FROM c
+    """
 
     # incremental simhash = the same true-hamming pair set restricted to
     # pairs touching an odd (delta) doc_id

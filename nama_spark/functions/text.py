@@ -146,3 +146,80 @@ def doc_keywords(
         .where(F.col("rank") <= k)
         .select("doc_id", F.col("word").alias("keyword"), "tfidf", "rank")
     )
+
+
+def chunk_documents(
+    df,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """(doc_id, chunk_seq, chunk_text, n_tokens) — fixed-size token windows
+    with overlap (training-example preparation: context windows stride by
+    chunk_tokens − overlap so no boundary content is lost). Whitespace
+    tokens; the final chunk may be short; an empty document yields one
+    empty chunk (row-count preserving for auditability).
+
+    The token array is materialized as its own projection before the
+    windowing transform — the split() would otherwise re-evaluate at every
+    chunk start (higher-order-lambda subexpression hazard, see
+    dedup.word_shingles)."""
+    from pyspark.sql import functions as F
+
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    tokenized = df.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
+    t = F.col("__toks")
+    n = F.size(t)
+    starts = F.when(
+        n > chunk_tokens,
+        F.sequence(F.lit(0), n - F.lit(overlap) - F.lit(1), F.lit(step)),
+    ).otherwise(F.array(F.lit(0)))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            (s / F.lit(step)).cast("long").alias("chunk_seq"),
+            F.array_join(F.slice(t, s + 1, chunk_tokens), " ").alias("chunk_text"),
+            F.least(n - s, F.lit(chunk_tokens)).cast("long").alias("n_tokens"),
+        ),
+    )
+    return tokenized.select("doc_id", F.explode(chunks).alias("c")).select(
+        "doc_id",
+        F.col("c.chunk_seq").alias("chunk_seq"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.n_tokens").alias("n_tokens"),
+    )
+
+
+def pack_chunks(
+    chunks,
+    budget_tokens: int = 2048,
+    id_col: str = "doc_id",
+    seq_col: str = "chunk_seq",
+    tokens_col: str = "n_tokens",
+):
+    """(doc_id, chunk_seq, pack_id) — assign chunks to fixed-budget training
+    sequences by running token count in deterministic (doc_id, chunk_seq)
+    order: pack_id = floor((cumsum − n) / budget). The streaming-friendly
+    first-fit approximation (a chunk may straddle two packs' budget line;
+    exact bin packing is NP-hard and order-destroying): average pack fill is
+    ≥ 1 − max_chunk/budget. The running sum is the DISTRIBUTED global
+    cumsum (block.global_cumsum: range partition + local window + offset
+    prefix — never Exchange SinglePartition)."""
+    from pyspark.sql import functions as F
+
+    from nama_spark.operators.block import global_cumsum
+
+    cs = global_cumsum(
+        chunks, [id_col, seq_col], tokens_col, out_col="__cum"
+    )
+    return cs.select(
+        id_col,
+        seq_col,
+        ((F.col("__cum") - F.col(tokens_col)) / F.lit(int(budget_tokens)))
+        .cast("long")
+        .alias("pack_id"),
+    )

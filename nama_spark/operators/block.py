@@ -281,6 +281,49 @@ def global_rank(
     )
 
 
+def global_cumsum(
+    df: DataFrame,
+    order_cols: list,
+    weight_col: str,
+    num_partitions: int | None = None,
+    out_col: str = "cumsum",
+) -> DataFrame:
+    """Global running sum of ``weight_col`` in ``order_cols`` order WITHOUT
+    the single-partition global window — the weighted generalization of
+    ``global_rank`` (same recipe: range partition → partition-local cumsum
+    → per-partition offset = prefix sum of partition TOTALS, a
+    num_partitions-row collect, broadcast back). Integer weights sum
+    exactly, so the result is identical to the single-partition window."""
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+    local = ranged.withColumn("__pid", F.spark_partition_id())
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = local.withColumn("__cs", F.sum(weight_col).over(w))
+    totals = {
+        r["__pid"]: r["t"]
+        for r in local.groupBy("__pid")
+        .agg(F.sum(weight_col).alias("t"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    off_df = spark.createDataFrame(
+        [(pid, int(off)) for pid, off in offsets.items()], ["__pid", "__off"]
+    )
+    return (
+        local.join(F.broadcast(off_df), "__pid")
+        .withColumn(out_col, (F.col("__cs") + F.col("__off")).cast("long"))
+        .drop("__pid", "__cs", "__off")
+    )
+
+
 def sorted_neighborhood_pairs(
     strings_df: DataFrame,
     key_col,

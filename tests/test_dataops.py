@@ -724,3 +724,50 @@ def test_split_documents_leakfree(spark):
     again = {(r["doc_id"], r["split"]) for r in
              split_documents_leakfree(docs, pairs, 0.2, seed=1).collect()}
     assert again == {(r["doc_id"], r["split"]) for r in rows}
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    """Every token appears in some chunk; consecutive chunks overlap by
+    exactly `overlap`; short/empty docs yield one chunk."""
+    from nama_spark.functions.text import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(300))
+    docs = spark.createDataFrame(
+        [(1, text), (2, "tiny doc"), (3, "")], ["doc_id", "text"]
+    )
+    rows = chunk_documents(docs, chunk_tokens=128, overlap=16).collect()
+    d1 = sorted(
+        (r["chunk_seq"], r["chunk_text"].split()) for r in rows
+        if r["doc_id"] == 1
+    )
+    covered = set()
+    for _, words in d1:
+        covered.update(words)
+    assert covered == {f"w{i}" for i in range(300)}
+    for (s0, w0), (s1, w1) in zip(d1, d1[1:]):
+        assert s1 == s0 + 1
+        assert w0[-16:] == w1[:16]  # exact overlap
+        assert len(w0) == 128
+    assert [r["chunk_text"] for r in rows if r["doc_id"] == 2] == ["tiny doc"]
+    assert [r["n_tokens"] for r in rows if r["doc_id"] == 3] == [1]
+
+
+def test_pack_chunks_budget(spark):
+    """Packs fill to the budget (first-fit by running sum): no pack except
+    possibly the last starts beyond the budget line, order deterministic."""
+    from nama_spark.functions.text import chunk_documents, pack_chunks
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(100))) for i in range(20)],
+        ["doc_id", "text"],
+    )
+    chunks = chunk_documents(docs, chunk_tokens=32, overlap=0)
+    packed = pack_chunks(chunks, budget_tokens=100)
+    rows = packed.orderBy("doc_id", "chunk_seq").collect()
+    sizes = {}
+    for r in rows:
+        sizes[r["pack_id"]] = sizes.get(r["pack_id"], 0) + 1
+    # 20 docs × 100 tokens = 2000 tokens at 100/pack → 20-21 packs,
+    # consecutive ids from 0
+    assert min(sizes) == 0 and max(sizes) <= 21
+    assert sorted(sizes) == list(range(len(sizes)))
