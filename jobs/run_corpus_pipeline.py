@@ -52,6 +52,10 @@ def parse_args(argv=None):
                         "(near-dup clusters never straddle; shards are then "
                         "partitioned by (lang, split))")
     p.add_argument("--split-seed", type=int, default=0)
+    p.add_argument("--chunk-tokens", type=int, default=0,
+                   help="> 0: also write <output>/chunks (token-window "
+                        "training examples, --chunk-overlap stride)")
+    p.add_argument("--chunk-overlap", type=int, default=16)
     return p.parse_args(argv)
 
 
@@ -146,6 +150,16 @@ def main(argv=None):
     docs.write.mode("overwrite").partitionBy(*part_cols).parquet(
         args.output + "/shards"
     )
+    if args.chunk_tokens > 0:
+        from nama_spark.functions.text import chunk_documents
+
+        chunks = chunk_documents(
+            docs, chunk_tokens=args.chunk_tokens,
+            overlap=args.chunk_overlap,
+            text_col=args.text_col, id_col=args.id_col,
+        )
+        chunks.write.mode("overwrite").parquet(args.output + "/chunks")
+        funnel["chunks"] = spark.read.parquet(args.output + "/chunks").count()
     tok_total = docs.agg(F.sum("n_tokens").alias("t")).collect()[0]["t"] or 0
 
     summary = {

@@ -149,6 +149,7 @@ def test_run_corpus_pipeline_job(spark, tmp_path):
         "--near-dup-threshold", "0.5",
         "--langs", "en,de,fr,es,und",
         "--val-fraction", "0.2",
+        "--chunk-tokens", "32",
     ])
     assert rc == 0
     shards = spark.read.parquet(out + "/shards")
@@ -166,6 +167,8 @@ def test_run_corpus_pipeline_job(spark, tmp_path):
     # leak-free split column rode through; both splits non-empty at 20%
     assert set(r["split"] for r in shards.select("split").distinct().collect())         <= {"train", "val"}
     assert shards.where(F.col("split") == "train").count() > 0
+    chunks = spark.read.parquet(out + "/chunks")
+    assert chunks.count() >= n and "chunk_text" in chunks.columns
 
 
 def test_run_dedup_job_incremental(spark, tmp_path):
