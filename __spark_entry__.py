@@ -829,6 +829,21 @@ def q_pack_chunks(spark, sf_dir):
     return pack_chunks(chunks, budget_tokens=512)
 
 
+def q_corpus_profile(spark, sf_dir):
+    """Per-language corpus profile: doc counts, exact char totals, exact
+    median/p90 lengths (Spark `percentile` and DuckDB `quantile_cont` share
+    linear-interpolation semantics — verified exact on integer inputs),
+    distinct sources."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.round(F.percentile("n_chars", 0.5), 4).alias("median_chars"),
+        F.round(F.percentile("n_chars", 0.9), 4).alias("p90_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
 def q_simhash_near_pairs(spark, sf_dir):
     """SimHash near-pairs — oracle-checked: the 16-bit banding is
     pigeonhole-complete for hamming ≤ 3 (4 bands, ≤3 differing bits → ≥1 band
@@ -1143,6 +1158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split_leakfree": q_corpus_split_leakfree,
         "chunk_documents": q_chunk_documents,
         "pack_chunks": q_pack_chunks,
+        "corpus_profile": q_corpus_profile,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "text_quality_profile": q_text_quality_profile,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -2497,6 +2513,16 @@ def oracle_sql() -> dict[str, str]:
                          ROWS UNBOUNDED PRECEDING) - n_tokens) // 512
                     AS BIGINT) AS pack_id
         FROM c
+    """
+
+    q["corpus_profile"] = """
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               round(quantile_cont(n_chars, 0.5), 4) AS median_chars,
+               round(quantile_cont(n_chars, 0.9), 4) AS p90_chars,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        FROM documents GROUP BY lang
     """
 
     # incremental simhash = the same true-hamming pair set restricted to
