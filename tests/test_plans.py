@@ -181,6 +181,8 @@ def test_plan_audit_cheap_queries_clean(spark):
         "events_sessionize_window", "events_sessionize_capped",
         "dedup_exact_docs", "text_quality_profile",
         "sorted_neighborhood_pairs", "multimodal_video_frames",
+        "chunk_documents", "pack_chunks", "corpus_profile",
+        "phonetic_soundex_keys", "fingerprint_key_clusters", "doc_keywords",
     }
     results = audit(spark, "/root/testdata/sf0.001", only=cheap)
     assert len(results) == len(cheap)
