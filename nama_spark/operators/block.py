@@ -271,8 +271,10 @@ def global_rank(
     for pid in sorted(sizes):
         offsets[pid] = acc
         acc += sizes[pid]
+    # explicit schema: an EMPTY input has no partitions → empty offset list
+    # → schema inference would throw
     off_df = spark.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()], ["__pid", "__off"]
+        [(pid, off) for pid, off in offsets.items()], "__pid int, __off long"
     )
     return (
         local.join(F.broadcast(off_df), "__pid")
@@ -314,8 +316,9 @@ def global_cumsum(
     for pid in sorted(totals):
         offsets[pid] = acc
         acc += totals[pid]
+    # explicit schema (empty-input safe, same as global_rank)
     off_df = spark.createDataFrame(
-        [(pid, int(off)) for pid, off in offsets.items()], ["__pid", "__off"]
+        [(pid, int(off)) for pid, off in offsets.items()], "__pid int, __off long"
     )
     return (
         local.join(F.broadcast(off_df), "__pid")

@@ -256,3 +256,13 @@ def test_sessionize_capped_sql_equals_fold(spark):
     a = as_set(sessionize_capped(ev2, gap="30 minutes", max_events=4))
     b = as_set(sessionize_capped_sql(ev2, gap="30 minutes", max_events=4))
     assert a == b
+
+
+def test_empty_documents_through_text_ops(spark):
+    from nama_spark.functions.text import chunk_documents, doc_keywords, pack_chunks
+
+    docs = _empty(spark, DOCS)
+    chunks = chunk_documents(docs)
+    assert chunks.count() == 0
+    assert pack_chunks(chunks).count() == 0
+    assert doc_keywords(docs).count() == 0
