@@ -1555,7 +1555,15 @@ def oracle_sql() -> dict[str, str]:
             JOIN norms n0 ON n0.string = p.s0
             JOIN norms n1 ON n1.string = p.s1
         ),
-        thr AS (SELECT * FROM scored WHERE score >= 0.4),
+        with_exact AS (
+            -- verbatim cross-table equality links at score 1.0, independent
+            -- of blocking (mirrors link_candidates' exact-pair union)
+            SELECT * FROM scored
+            UNION ALL
+            SELECT l.string AS s0, r.string AS s1, 1.0 AS score
+            FROM l JOIN r ON l.string = r.string
+        ),
+        thr AS (SELECT * FROM with_exact WHERE score >= 0.4),
         ranked AS (
             SELECT s0, s1, score,
                    row_number() OVER (PARTITION BY s0

@@ -59,8 +59,13 @@ def parse_args(argv=None):
     p.add_argument("--threshold", type=float, default=0.8,
                    help="jaccard (ngram/minhash/winnow) or cosine (embedding)")
     p.add_argument("--shingle-k", type=int, default=3)
-    p.add_argument("--max-df", type=int, default=1000,
-                   help="doc-frequency cap on blocking keys (skew control)")
+    p.add_argument("--max-df", type=int, default=None,
+                   help="doc-frequency cap on blocking keys (skew control). "
+                        "Default: the method's library default (ngram 1000; "
+                        "winnow 100 — the measured MOSS-style sweet spot, "
+                        "~97.7%% of uncapped pairs at 4.5x less cost). "
+                        "Recall-sensitive winnow callers should pin this "
+                        "explicitly.")
     p.add_argument("--num-hashes", type=int, default=16)
     p.add_argument("--bands", type=int, default=4)
     p.add_argument("--max-hamming", type=int, default=3)
@@ -86,10 +91,12 @@ def build_pairs(spark, args, docs):
 
     from nama_spark.operators import dedup as D
 
+    # --max-df None → each method's library default (ngram 1000, winnow 100)
+    df_kw = {} if args.max_df is None else {"max_df": args.max_df}
     if args.method == "ngram":
         return D.ngram_jaccard_pairs(
             docs, args.text_col, args.id_col, k=args.shingle_k,
-            threshold=args.threshold, max_df=args.max_df,
+            threshold=args.threshold, **df_kw,
         )
     if args.method == "minhash":
         return D.minhash_lsh_pairs(
@@ -104,7 +111,7 @@ def build_pairs(spark, args, docs):
     if args.method == "winnow":
         return D.winnow_near_pairs(
             docs, args.text_col, args.id_col,
-            threshold=args.threshold, max_df=args.max_df,
+            threshold=args.threshold, **df_kw,
         )
     if args.method == "embedding":
         if not args.embeddings:
@@ -181,12 +188,31 @@ def main(argv=None):
             verify_threshold=args.threshold,
         ).localCheckpoint(eager=False)
         pairs.write.mode("overwrite").parquet(args.output + "/pairs")
-        delta_ids = delta.select(F.col(args.id_col).alias("doc_id")).distinct()
-        # a pair is oriented id0 < id1: the LATER doc duplicates the earlier
-        drop = (
-            pairs.select(F.col("id1").alias("doc_id")).distinct()
+        delta_ids = (
+            delta.select(F.col(args.id_col).alias("doc_id")).distinct()
+            .localCheckpoint(eager=False)
+        )
+        # Survivor rule (same as streaming/dedup.py): a delta doc drops if
+        # it pairs with a CORPUS doc in either orientation (delta ids are
+        # not guaranteed larger than corpus ids — id0 < id1 says nothing
+        # about arrival order), or with a smaller-id doc of the same delta.
+        edges = (
+            pairs.select(F.col("id0").alias("doc_id"), F.col("id1").alias("other"))
+            .unionByName(
+                pairs.select(F.col("id1").alias("doc_id"),
+                             F.col("id0").alias("other")))
             .join(delta_ids, "doc_id", "left_semi")
         )
+        vs_corpus = edges.join(
+            delta_ids.select(F.col("doc_id").alias("other")), "other", "left_anti"
+        ).select("doc_id")
+        within = (
+            edges.join(delta_ids.select(F.col("doc_id").alias("other")),
+                       "other", "left_semi")
+            .where(F.col("other") < F.col("doc_id"))
+            .select("doc_id")
+        )
+        drop = vs_corpus.union(within).distinct()
         keep = delta_ids.join(drop, "doc_id", "left_anti")
         drop.write.mode("overwrite").parquet(args.output + "/delta_drop")
         keep.write.mode("overwrite").parquet(args.output + "/delta_keep")

@@ -60,7 +60,22 @@ def link_candidates(
         .select("s0", "s1")
         .distinct()
     )
-    return token_similarity_scores(pairs, toks, w, measure=measure)
+    scored = token_similarity_scores(pairs, toks, w, measure=measure)
+    # A name present verbatim in BOTH tables is the strongest possible match
+    # (the tables are distinct record sets — this is not the self-match case
+    # where s0 == s1 is the trivial identity). Emit those links directly with
+    # score 1.0, independent of blocking: an exact-equal pair whose tokens
+    # all fall outside the eligible-token window (df < 2 or block > cap)
+    # would otherwise never become a candidate, and link_tables would
+    # silently pick the second-best right string. One equi-join, no blocking
+    # cost.
+    exact = (
+        l.join(r.select(F.col("string").alias("s1")),
+               l["string"] == F.col("s1"))
+        .select(F.col("string").alias("s0"), "s1",
+                F.lit(1.0).alias("score"))
+    )
+    return scored.unionByName(exact)
 
 
 def link_tables(

@@ -75,7 +75,10 @@ class TokenSimilarity:
     def fit(self, strings_df: DataFrame, string_col: str = "string") -> "TokenSimilarity":
         """Tokenize + weight the string universe; cache both (reused across
         thresholds — the reference's embed-once/predict-many pattern,
-        baseline.py:53-57)."""
+        baseline.py:53-57). Refitting releases the previous fit's caches
+        first — repeated incremental updates on one model must not
+        accumulate executor storage blocks."""
+        self.unpersist()
         self._strings = strings_df.select(
             F.col(string_col).alias("string")
         ).distinct()

@@ -2,11 +2,14 @@
 micro-batch dedups against everything kept so far via the persisted MinHash
 band index (``minhash_band_index``), inside ``foreachBatch``.
 
-Same versioned-state design as streaming ER (er.py): one immutable index
-version per micro-batch under ``<state_dir>/v<batch_id>`` (parquet +
-_SUCCESS), a replayed batch reads the highest version STRICTLY BELOW its own
-id — idempotent under checkpoint recovery, and the batch can never
-self-match against bands it already wrote.
+Versioned state like streaming ER (er.py), but DELTA-shaped: each
+micro-batch writes only its own survivors' bands under
+``<state_dir>/v<batch_id>`` (parquet + _SUCCESS) and the live index is the
+UNION of versions strictly below the reading batch's id — idempotent under
+checkpoint recovery (a replayed batch overwrites its own delta and never
+sees it), per-batch write cost O(Δn·bands), total state O(kept corpus).
+(ER's MatchData state is a whole partition, so er.py keeps full snapshots
+and prunes to {current, predecessor} instead.)
 
 Decisions are keep/drop per batch doc:
 - drop if it band-matches any already-indexed doc, or a smaller-id doc
@@ -30,14 +33,17 @@ from nama_spark.streaming.er import _versions
 
 
 def load_band_index(spark, state_dir: str, before: int | None = None):
-    """Highest complete band-index version (strictly below ``before`` when
-    given), or None."""
+    """Union of all complete band-index DELTA versions (strictly below
+    ``before`` when given), or None. Each version holds only that batch's
+    survivors' bands — the index is the union, so a batch write costs
+    O(Δn · bands), never O(corpus). A replayed batch overwrites its own
+    delta file and reads strictly-below versions: idempotent."""
     vs = _versions(spark, state_dir)
     if before is not None:
         vs = [v for v in vs if v < before]
     if not vs:
         return None
-    return spark.read.parquet(f"{state_dir}/v{vs[-1]:010d}")
+    return spark.read.parquet(*[f"{state_dir}/v{v:010d}" for v in vs])
 
 
 def streaming_dedup_corpus(
@@ -93,11 +99,13 @@ def streaming_dedup_corpus(
         decisions.write.mode("overwrite").parquet(
             f"{decisions_dir}/b{batch_id:010d}"
         )
+        # delta write: this batch's survivors' bands ONLY — the index is the
+        # union of versions (load_band_index), so state totals O(kept corpus)
+        # and the per-batch write is O(Δn · bands), not O(corpus).
         survivors = new_bands.join(
             keep.select("doc_id"), "doc_id", "left_semi"
         )
-        new_index = survivors if prev is None else prev.unionByName(survivors)
-        new_index.write.mode("overwrite").parquet(
+        survivors.write.mode("overwrite").parquet(
             f"{state_dir}/v{batch_id:010d}"
         )
 

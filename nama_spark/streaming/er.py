@@ -39,6 +39,22 @@ def _versions(spark, state_dir: str) -> list[int]:
     return sorted(out)
 
 
+def _prune_versions(spark, state_dir: str, current: int) -> None:
+    """Delete complete snapshot versions older than ``current``'s
+    predecessor. The predecessor stays on disk for checkpoint-replay safety
+    (a replayed epoch reads strictly-below its own id); everything older is
+    unreachable. Keeps state storage at O(2 snapshots) instead of
+    O(n_batches × state)."""
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(state_dir).getFileSystem(
+        sc._jsc.hadoopConfiguration()
+    )
+    vs = [v for v in _versions(spark, state_dir) if v < current]
+    for v in vs[:-1]:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{state_dir}/v{v:010d}"), True)
+
+
 def load_state(spark, state_dir: str, before: int | None = None):
     """Current MatchData state (highest complete version), or None.
 
@@ -90,6 +106,7 @@ def streaming_unite_names(
                 prev, names, threshold=threshold, string_col=string_col
             )
         md.df.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id:010d}")
+        _prune_versions(spark, state_dir, batch_id)
         ts.unpersist()
 
     reader = (

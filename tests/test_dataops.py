@@ -701,6 +701,30 @@ def test_streaming_dedup_corpus(spark, tmp_path):
     assert set(
         r["doc_id"] for r in idx_before.select("doc_id").distinct().collect()
     ) == {1, 3}
+    # delta-shaped state: each version holds ONLY its batch's survivors'
+    # bands (the per-batch write is O(Δn·bands), not O(corpus))
+    v1_docs = set(
+        r["doc_id"]
+        for r in spark.read.parquet(state + "/v" + "1".zfill(10))
+        .select("doc_id").distinct().collect()
+    )
+    assert v1_docs == {5}
+
+
+def test_streaming_er_state_pruned(spark, tmp_path):
+    """_prune_versions keeps {current, predecessor} snapshots and deletes
+    everything older — ER state storage is O(2 snapshots), not
+    O(n_batches)."""
+    from nama_spark.streaming.er import _prune_versions, _versions, load_state
+
+    state = str(tmp_path / "st")
+    df = spark.createDataFrame([("a", "a", 1)], ["string", "group", "count"])
+    for v in range(4):
+        df.write.parquet(f"{state}/v{v:010d}")
+    _prune_versions(spark, state, current=3)
+    assert _versions(spark, state) == [2, 3]
+    # the replay view (strictly below 3) still resolves to the predecessor
+    assert load_state(spark, state, before=3).df.count() == 1
 
 
 def test_split_documents_leakfree(spark):

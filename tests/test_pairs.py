@@ -174,6 +174,24 @@ def test_sorted_neighborhood_plan_no_single_partition(spark):
         sorted_neighborhood_pairs(df, F.col("string"), window=1)
 
 
+def test_refit_releases_previous_caches(spark):
+    """fit() on an already-fitted model unpersists the prior token/weight
+    caches — repeated incremental updates must not leak executor storage."""
+    from nama_spark.operators.token_similarity import TokenSimilarity
+
+    df1 = spark.createDataFrame([("alpha beta",), ("beta gamma",)], ["string"])
+    df2 = spark.createDataFrame([("delta epsilon",)], ["string"])
+    ts = TokenSimilarity(tokenizer="words")
+    ts.fit(df1)
+    old_tokens, old_weights = ts._tokens, ts._weights
+    old_tokens.count()  # materialize the caches
+    assert old_tokens.is_cached and old_weights.is_cached
+    ts.fit(df2)
+    assert not old_tokens.is_cached and not old_weights.is_cached
+    assert ts._tokens.is_cached
+    ts.unpersist()
+
+
 def test_link_tables_best_and_mutual(spark):
     """Cross-table linkage vs a hand-built python oracle: best-per-left and
     mutual-best selections over union-universe tf-idf word jaccard, with the
@@ -227,3 +245,29 @@ def test_link_tables_best_and_mutual(spark):
     assert got_mu == want_mu
     # the two acme rights compete for one left: mutual keeps exactly one
     assert len([p for p in got_mu if p[0] == "acme rocket labs"]) == 1
+
+
+def test_link_tables_exact_equality_wins(spark):
+    """A name present VERBATIM in both tables must link to itself at score
+    1.0 — even when near-identical competitors share every eligible token,
+    and even when the exact pair shares NO eligible token at all (blocking
+    alone would never surface it)."""
+    from nama_spark.operators.linkage import link_tables
+
+    # 'acme rocket labs' exists on both sides; right also has a superstring
+    # competitor that shares all its tokens.
+    ldf = spark.createDataFrame(
+        [("acme rocket labs",), ("globex power corp",)], ["string"])
+    rdf = spark.createDataFrame(
+        [("acme rocket labs",), ("acme rocket labs inc",),
+         ("globex power corp sa",)], ["string"])
+    got = {r["s0"]: (r["s1"], r["score"]) for r in
+           link_tables(ldf, rdf, threshold=0.4, mode="best_left").collect()}
+    assert got["acme rocket labs"] == ("acme rocket labs", 1.0)
+
+    # force blocking to yield zero candidates (max_block_size below every
+    # block) — the exact pair must still surface
+    got2 = {r["s0"]: (r["s1"], r["score"]) for r in
+            link_tables(ldf, rdf, threshold=0.4, mode="mutual",
+                        max_block_size=1).collect()}
+    assert got2 == {"acme rocket labs": ("acme rocket labs", 1.0)}

@@ -203,10 +203,28 @@ def test_run_dedup_job_incremental(spark, tmp_path):
     ])
     assert rc == 0
     n_delta = docs.where(F.col("doc_id") % 2 == 1).count()
-    kept = spark.read.parquet(out + "/delta_keep").count()
+    kept_df = spark.read.parquet(out + "/delta_keep")
+    kept = kept_df.count()
     dropped = spark.read.parquet(out + "/delta_drop").count()
     assert kept + dropped == n_delta
     assert dropped > 0  # the fixture's dup pairs straddle the parity split
+    # orientation-independence: a kept delta doc must have NO pair touching
+    # a corpus (even-id) doc — regardless of which side of (id0, id1) the
+    # delta doc landed on. The old id1∩delta rule kept delta docs whose
+    # corpus duplicate had the larger id.
+    pairs = spark.read.parquet(out + "/pairs")
+    delta_side = pairs.withColumn(
+        "delta_id",
+        F.when(F.col("id0") % 2 == 1, F.col("id0")).otherwise(F.col("id1")),
+    ).withColumn(
+        "other",
+        F.when(F.col("id0") % 2 == 1, F.col("id1")).otherwise(F.col("id0")),
+    )
+    corpus_dup_delta_ids = (
+        delta_side.where(F.col("other") % 2 == 0)
+        .select(F.col("delta_id").alias("doc_id")).distinct()
+    )
+    assert kept_df.join(corpus_dup_delta_ids, "doc_id", "inner").count() == 0
 
 
 def test_run_pipeline_bucketed_table(spark, tmp_path):
