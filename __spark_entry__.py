@@ -171,6 +171,62 @@ def q_exact_key_clusters(spark, sf_dir):
     return md.unite(simplify_corp).df.select("string", "group")
 
 
+def q_normalize_remove_stopwords(spark, sf_dir):
+    """remove_stopwords (utils[html]:84-106 parity): drop words whose
+    LOWERCASE form is an English stopword, preserve the original case of
+    survivors, rejoin single-spaced. Pure column expressions — no UDF."""
+    from nama_spark.functions.normalize import remove_stopwords
+
+    p = _t(spark, sf_dir, "part")
+    raw = F.concat(F.lit("The "), F.col("p_name"), F.lit(" of the Day and more"))
+    return p.select(
+        "p_partkey",
+        raw.alias("raw_name"),
+        remove_stopwords(raw).alias("cleaned"),
+    )
+
+
+def q_matchdata_add_strings(spark, sf_dir):
+    """MatchData.add_strings (match_data.py:93-130 parity): new strings
+    insert as singletons, strings already present accumulate counts and KEEP
+    their group — one full outer join, no driver round-trip."""
+    from nama_spark.operators.matchdata import MatchData
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    names = li.join(part, li["l_partkey"] == part["p_partkey"]).select("p_name")
+    md = MatchData.from_unmatched(names, string_col="p_name")
+    newcomers = (
+        part.where(F.col("p_partkey") % 3 == 0)
+        .select(F.col("p_name").alias("string"))
+        .union(
+            part.where(F.col("p_partkey") % 5 == 0)
+            .select(F.concat(F.col("p_name"), F.lit(" redux")).alias("string"))
+        )
+    )
+    return md.add_strings(newcomers).df
+
+
+def q_matchdata_split(spark, sf_dir):
+    """MatchData.split (match_data.py:320-370 parity): unite the name
+    universe by first word, then break the strings with length % 4 == 0 back
+    out into singletons; remnant groups re-elect labels (max count, tie min
+    string). Exercises the label-split regression: a split string that was
+    its group's label must not re-merge with the remnants. split() takes a
+    driver-side list by reference contract — the collect is the API shape,
+    bounded by the split-set size."""
+    from nama_spark.operators.matchdata import MatchData
+
+    md = MatchData.from_unmatched(_name_universe(spark, sf_dir))
+    united = md.unite(lambda c: F.split(c, " ").getItem(0))
+    to_split = [
+        r["string"]
+        for r in united.df.where(F.length("string") % 4 == 0)
+        .select("string").collect()
+    ]
+    return united.split(to_split).df.select("string", "group")
+
+
 def q_token_doc_counts(spark, sf_dir):
     from nama_spark.functions.tokenize import tokens_table
 
@@ -1120,18 +1176,29 @@ def q_multimodal_audio_features(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Dict ORDER is the driver's attestation order and its correctness board
+    # caps at 50 rows. Policy: queries never (or least recently) attested by
+    # a driver round lead; long-stable rows (green since r01/r02) rotate to
+    # the tail and are re-verified by the local oracle replica
+    # (tools/check_correctness.py) instead. Rotate again next round.
     return {
-        "normalize_simplify": q_normalize_simplify,
-        "normalize_simplify_corp": q_normalize_simplify_corp,
+        # --- never driver-attested (added r03 beyond the window) + new r04 ---
+        "sorted_neighborhood_pairs": q_sorted_neighborhood_pairs,
+        "multimodal_video_frames": q_multimodal_video_frames,
+        "multimodal_audio_features": q_multimodal_audio_features,
+        "normalize_remove_stopwords": q_normalize_remove_stopwords,
+        "matchdata_add_strings": q_matchdata_add_strings,
+        "matchdata_split": q_matchdata_split,
+        # --- last attested r02 ---
+        "prefix_join_pairs": q_prefix_join_pairs,
+        "winnow_near_pairs": q_winnow_near_pairs,
+        "unite_nearest_voronoi": q_unite_nearest_voronoi,
+        "events_dedup_first": q_events_dedup_first,
+        "assign_records": q_assign_records,
+        "multimodal_image_features": q_multimodal_image_features,
+        # --- attested green r03 ---
         "matchdata_from_unmatched": q_matchdata_from_unmatched,
         "exact_key_clusters": q_exact_key_clusters,
-        "token_doc_counts": q_token_doc_counts,
-        "tokens_tfidf_weights": q_tokens_tfidf_weights,
-        "token_block_pairs": q_token_block_pairs,
-        "pair_jaccard_scores": q_pair_jaccard_scores,
-        "group_stats": q_group_stats,
-        "merge_dfs_group_join": q_merge_dfs_group_join,
-        "confusion_cells": q_confusion_cells,
         "blocking_stats": q_blocking_stats,
         "predict_incremental": q_predict_incremental,
         "link_tables_mutual": q_link_tables_mutual,
@@ -1139,9 +1206,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_metrics": q_score_metrics,
         "top_scored_pairs": q_top_scored_pairs,
         "fallback_scores": q_fallback_scores,
-        "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
-        "top_customers_by_revenue": q_top_customers_by_revenue,
-        "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "events_sessionize_window": q_events_sessionize_window,
         "events_sessionize_capped": q_events_sessionize_capped,
@@ -1172,15 +1236,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "pair_losses": q_pair_losses,
-        "prefix_join_pairs": q_prefix_join_pairs,
-        "winnow_near_pairs": q_winnow_near_pairs,
-        "unite_nearest_voronoi": q_unite_nearest_voronoi,
-        "events_dedup_first": q_events_dedup_first,
-        "assign_records": q_assign_records,
-        "sorted_neighborhood_pairs": q_sorted_neighborhood_pairs,
-        "multimodal_image_features": q_multimodal_image_features,
-        "multimodal_video_frames": q_multimodal_video_frames,
-        "multimodal_audio_features": q_multimodal_audio_features,
+        # --- tail (beyond the 50-row window): stable green since r01/r02,
+        # --- re-attested by the local replica each round ---
+        "normalize_simplify": q_normalize_simplify,
+        "normalize_simplify_corp": q_normalize_simplify_corp,
+        "token_doc_counts": q_token_doc_counts,
+        "tokens_tfidf_weights": q_tokens_tfidf_weights,
+        "token_block_pairs": q_token_block_pairs,
+        "pair_jaccard_scores": q_pair_jaccard_scores,
+        "group_stats": q_group_stats,
+        "merge_dfs_group_join": q_merge_dfs_group_join,
+        "confusion_cells": q_confusion_cells,
+        "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
+        "top_customers_by_revenue": q_top_customers_by_revenue,
+        "events_hourly": q_events_hourly,
     }
 
 
@@ -1438,6 +1507,55 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN key = '' THEN string
                     ELSE min(string) OVER (PARTITION BY key) END AS "group"
         FROM k
+    """
+
+    q["normalize_remove_stopwords"] = f"""
+        WITH raw AS (
+            SELECT p_partkey,
+                   'The ' || p_name || ' of the Day and more' AS raw_name
+            FROM part
+        )
+        SELECT p_partkey, raw_name,
+               array_to_string(
+                   list_filter(
+                       string_split_regex(trim(raw_name), '\\s+'),
+                       w -> w != '' AND NOT list_contains({sw}, lower(w))
+                   ), ' ') AS cleaned
+        FROM raw
+    """
+
+    q["matchdata_add_strings"] = """
+        WITH base AS (
+            SELECT p_name AS string, cast(count(*) AS BIGINT) AS count
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY 1
+        ),
+        inc AS (
+            SELECT string, cast(count(*) AS BIGINT) AS count FROM (
+                SELECT p_name AS string FROM part WHERE p_partkey % 3 = 0
+                UNION ALL
+                SELECT p_name || ' redux' FROM part WHERE p_partkey % 5 = 0
+            ) GROUP BY 1
+        )
+        SELECT coalesce(b.string, i.string) AS string,
+               cast(coalesce(b.count, 0) + coalesce(i.count, 0) AS BIGINT)
+                   AS count,
+               coalesce(b.string, i.string) AS "group"
+        FROM base b FULL OUTER JOIN inc i ON b.string = i.string
+    """
+
+    # unite-by-first-word cells, length%4==0 strings split back out as
+    # singletons; labels = min string per cell (all counts equal)
+    q["matchdata_split"] = """
+        WITH v AS (SELECT DISTINCT p_name AS string FROM part),
+        keyed AS (
+            SELECT string,
+                   CASE WHEN length(string) % 4 = 0 THEN 's|' || string
+                        ELSE 'g|' || string_split(string, ' ')[1] END AS cell
+            FROM v
+        )
+        SELECT string, min(string) OVER (PARTITION BY cell) AS "group"
+        FROM keyed
     """
 
     q["token_doc_counts"] = f"""

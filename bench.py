@@ -234,16 +234,23 @@ def bench_ngram_jaccard(spark, sf_dir):
 
 def bench_winnow_dedup(spark, sf_dir):
     """Full-corpus winnowing near-dup pairs at library defaults (the driver
-    query subsets to doc_id<250 for oracle cost — too small to time)."""
+    query subsets to doc_id<250 for oracle cost — too small to time).
+    Honors SPARK_GRAFT_DOC_MULT/_SALT like the other dedup benches so the
+    scale-step runs cover winnowing too."""
     from nama_spark.operators.dedup import winnow_near_pairs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_scaled(spark, sf_dir).cache()
+    docs.count()
     t0 = time.time()
     n = winnow_near_pairs(docs, k=8, window=4, threshold=0.2).count()
-    return time.time() - t0, {"winnow_pairs": n}
+    wall = time.time() - t0
+    docs.unpersist()
+    return wall, {"winnow_pairs": n}
 
 
 def bench_ann(spark, sf_dir):
+    """Bruteforce cosine top-k — the labeled O(q·n) RECALL BASELINE, kept for
+    the accuracy yardstick; ann_lsh/ann_ivf below are the scale paths."""
     from nama_spark.operators.ann import cosine_topk_bruteforce
     from pyspark.sql import functions as F
 
@@ -252,6 +259,32 @@ def bench_ann(spark, sf_dir):
     t0 = time.time()
     n = cosine_topk_bruteforce(emb, queries, k=10).count()
     return time.time() - t0, {"ann_rows": n}
+
+
+def bench_ann_lsh(spark, sf_dir):
+    """LSH-bucketed top-k (scale path) — same workload shape as bench_ann so
+    the three ANN rows compare directly."""
+    from nama_spark.operators.ann import lsh_topk
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 64)
+    t0 = time.time()
+    n = lsh_topk(emb, queries, k=10, num_hash_tables=12, bucket_length=3.0,
+                 max_distance=50.0).count()
+    return time.time() - t0, {"ann_lsh_rows": n}
+
+
+def bench_ann_ivf(spark, sf_dir):
+    """IVF cell-probe top-k (scale path) — same workload shape as bench_ann."""
+    from nama_spark.operators.ann import ivf_topk
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 64)
+    t0 = time.time()
+    n = ivf_topk(emb, queries, k=10, n_cells=16, nprobe=3).count()
+    return time.time() - t0, {"ann_ivf_rows": n}
 
 
 def bench_embed_lsh(spark, sf_dir, n_entities):
@@ -359,6 +392,8 @@ def main():
     run("minhash_dedup", bench_minhash_dedup, sf_dir)
     run("ngram_jaccard_dedup", bench_ngram_jaccard, sf_dir)
     run("ann_topk", bench_ann, sf_dir)
+    run("ann_lsh", bench_ann_lsh, sf_dir)
+    run("ann_ivf", bench_ann_ivf, sf_dir)
     run("embed_lsh", bench_embed_lsh, sf_dir, n_entities)
     run("tpch_q1", bench_sql, sf_dir, "tpch_q1_pricing_summary")
     run("events_hourly", bench_sql, sf_dir, "events_hourly")

@@ -280,11 +280,17 @@ class MatchData:
 
     def split(self, strings: Iterable[str]) -> "MatchData":
         """Break the given strings out into singletons; remnants re-elect labels
-        (match_data.py:320-370)."""
+        (match_data.py:320-370). Singleton and remnant keys live in disjoint
+        namespaces: a split string that WAS its group's label must not share
+        a key with the remnants still carrying that label (relabeling would
+        silently re-merge them). The prefixes are cosmetic — the constructor
+        re-elects real member-string labels."""
         s = [str(x) for x in strings]
         out = self.df.withColumn(
             "group",
-            F.when(F.col("string").isin(s), F.col("string")).otherwise(F.col("group")),
+            F.when(
+                F.col("string").isin(s), F.concat(F.lit("s|"), F.col("string"))
+            ).otherwise(F.concat(F.lit("g|"), F.col("group"))),
         )
         return MatchData(out)
 

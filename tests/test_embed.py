@@ -220,6 +220,8 @@ def test_iter_scores_filters_match_python_oracle(spark):
             out[(s0, s1)] = (round(score, 9), round(loss, 9), y == 1.0)
         return out
 
+    import contextlib
+
     for kw in [
         {},
         {"is_match": True},
@@ -228,11 +230,20 @@ def test_iter_scores_filters_match_python_oracle(spark):
         {"max_loss": 5.0},
         {"min_loss": 1.0, "max_score": 0.99},
     ]:
+        # no min_score → the documented O(n²)-bruteforce warning MUST fire
+        # (and must not leak into the suite's warning summary unasserted)
+        ctx = (
+            pytest.warns(UserWarning, match="FULL upper triangle")
+            if kw.get("min_score") is None
+            else contextlib.nullcontext()
+        )
+        with ctx:
+            spark_rows = iter_scores(md, emb, alpha=alpha, **kw).collect()
         got = {
             (r["string0"], r["string1"]): (
                 round(r["score"], 9), round(r["loss"], 9), r["is_match"],
             )
-            for r in iter_scores(md, emb, alpha=alpha, **kw).collect()
+            for r in spark_rows
         }
         assert got == py_rows(**kw), kw
 

@@ -160,6 +160,9 @@ def test_split_and_split_all(spark):
     )
     md = MatchData(df)
     assert _partition(md.split(["c"])) == {frozenset({"a", "b"}), frozenset({"c"})}
+    # splitting the group's LABEL must still break it out (the remnants keep
+    # carrying that label as their group key — regression: shared key)
+    assert _partition(md.split(["a"])) == {frozenset({"b", "c"}), frozenset({"a"})}
     assert _partition(md.split_all()) == {
         frozenset({"a"}), frozenset({"b"}), frozenset({"c"})
     }

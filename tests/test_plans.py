@@ -183,6 +183,8 @@ def test_plan_audit_cheap_queries_clean(spark):
         "sorted_neighborhood_pairs", "multimodal_video_frames",
         "chunk_documents", "pack_chunks", "corpus_profile",
         "phonetic_soundex_keys", "fingerprint_key_clusters", "doc_keywords",
+        "normalize_remove_stopwords", "matchdata_add_strings",
+        "matchdata_split",
     }
     results = audit(spark, "/root/testdata/sf0.001", only=cheap)
     assert len(results) == len(cheap)
