@@ -9,6 +9,22 @@ The headline metric is candidate-pairs/sec through the full blocking +
 scoring path (the north-rule throughput number). Per-query wall times cover
 the rest of the operator surface. For N-vs-4N scaling evidence run
 tools/bench_scaling.py (local[8] vs local[32]).
+
+Known benign stderr noise (so a captured tail is explainable):
+
+- ``ERROR DAGScheduler: Failed to update accumulator N (Unknown class) …
+  attempted to access non-existent accumulator`` — a burst of these can
+  appear during the approxSimilarityJoin region (ann_lsh / embed_lsh):
+  when AQE finalizes/cancels a materializing exchange stage, the
+  completion events of that stage's already-running tasks land after the
+  job's SQLMetrics accumulators were cleaned, and the DAGScheduler logs
+  the late update and moves on (scheduler-side race on CLEANED metrics,
+  not a task failure). Nondeterministic — isolated reruns of the same
+  query are usually clean; results and exit code are unaffected.
+- ``BrokenPipeError`` from ``pyspark/daemon.py`` — the JVM reaping idle
+  Python daemon workers between Arrow stages; teardown noise only.
+- ``WARN BlockManager: Block rdd_N already exists`` — benign local-mode
+  cache re-registration under repeated timed regions.
 """
 
 from __future__ import annotations
@@ -248,43 +264,112 @@ def bench_winnow_dedup(spark, sf_dir):
     return wall, {"winnow_pairs": n}
 
 
+def _emb_scaled(spark, sf_dir):
+    """embeddings, replicated SPARK_GRAFT_EMB_MULT times with shifted ids —
+    the ANN corpus scale-up knob. Identical vectors per replica cost the
+    same arithmetic as distinct ones, so timing is honest; queries stay the
+    64 original ids."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    mult = int(os.environ.get("SPARK_GRAFT_EMB_MULT", "1"))
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if mult <= 1:
+        return emb.repartition(n_parts)
+    parts = [
+        emb.select(
+            (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
+            "embedding",
+        )
+        for i in range(mult)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out.repartition(n_parts)
+
+
+def _ann_recall(approx, exact) -> float:
+    """|approx ∩ exact| / |exact| on (query_id, neighbor_id) rows. Replica
+    ids collapse to their original id first: any copy of the true neighbor
+    counts (the copies are the same vector)."""
+    from pyspark.sql import functions as F
+
+    def norm(df):
+        return df.select(
+            "query_id", F.pmod(F.col("neighbor_id"), F.lit(10_000_000)).alias("nid")
+        ).distinct()
+
+    a, e = norm(approx), norm(exact)
+    hit = a.join(e, ["query_id", "nid"], "inner").count()
+    total = e.count()
+    return hit / total if total else 1.0
+
+
 def bench_ann(spark, sf_dir):
-    """Bruteforce cosine top-k — the labeled O(q·n) RECALL BASELINE, kept for
-    the accuracy yardstick; ann_lsh/ann_ivf below are the scale paths."""
+    """Bruteforce cosine top-k — the labeled O(q·n) RECALL BASELINE, kept as
+    the accuracy yardstick; ann_lsh/ann_ivf below are the scale paths (their
+    measured recall vs this baseline lands in extras)."""
     from nama_spark.operators.ann import cosine_topk_bruteforce
     from pyspark.sql import functions as F
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb_scaled(spark, sf_dir).cache()
+    emb.count()
     queries = emb.where(F.col("vec_id") < 64)
     t0 = time.time()
     n = cosine_topk_bruteforce(emb, queries, k=10).count()
-    return time.time() - t0, {"ann_rows": n}
+    wall = time.time() - t0
+    emb.unpersist()
+    return wall, {"ann_rows": n}
 
 
 def bench_ann_lsh(spark, sf_dir):
-    """LSH-bucketed top-k (scale path) — same workload shape as bench_ann so
-    the three ANN rows compare directly."""
-    from nama_spark.operators.ann import lsh_topk
+    """LSH-bucketed top-k (scale path): PRUNING parameters — max_distance 1.2
+    ⇒ candidates at cos ≥ 0.28, just under the measured rank-10 floor of
+    this fixture (true top-10 cosines span 0.30-0.60; random pairs sit
+    below — a deliberately HARD ANN case). The driver query's recall-1.0
+    parameters (max_distance 50) do no pruning at all and measure 3.7×
+    slower than bruteforce at 5k vectors — correct, but not the scale
+    posture. Recall vs the bruteforce baseline is measured OUTSIDE the
+    timed region and reported in extras."""
+    from nama_spark.operators.ann import cosine_topk_bruteforce, lsh_topk
     from pyspark.sql import functions as F
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb_scaled(spark, sf_dir).cache()
+    emb.count()
     queries = emb.where(F.col("vec_id") < 64)
     t0 = time.time()
-    n = lsh_topk(emb, queries, k=10, num_hash_tables=12, bucket_length=3.0,
-                 max_distance=50.0).count()
-    return time.time() - t0, {"ann_lsh_rows": n}
+    out = lsh_topk(emb, queries, k=10, num_hash_tables=8, bucket_length=0.5,
+                   max_distance=1.2)
+    out = out.localCheckpoint(eager=False)
+    n = out.count()
+    wall = time.time() - t0
+    exact = cosine_topk_bruteforce(emb, queries, k=10)
+    rec = _ann_recall(out, exact)
+    emb.unpersist()
+    return wall, {"ann_lsh_rows": n, "ann_lsh_recall": round(rec, 4)}
 
 
 def bench_ann_ivf(spark, sf_dir):
-    """IVF cell-probe top-k (scale path) — same workload shape as bench_ann."""
-    from nama_spark.operators.ann import ivf_topk
+    """IVF cell-probe top-k (scale path). The timed region includes the
+    k-means index BUILD — at production scale the index is built once and
+    amortized; treat this row as the cold-start upper bound. Recall vs
+    bruteforce in extras."""
+    from nama_spark.operators.ann import cosine_topk_bruteforce, ivf_topk
     from pyspark.sql import functions as F
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb_scaled(spark, sf_dir).cache()
+    emb.count()
     queries = emb.where(F.col("vec_id") < 64)
     t0 = time.time()
-    n = ivf_topk(emb, queries, k=10, n_cells=16, nprobe=3).count()
-    return time.time() - t0, {"ann_ivf_rows": n}
+    out = ivf_topk(emb, queries, k=10, n_cells=16, nprobe=6)
+    out = out.localCheckpoint(eager=False)
+    n = out.count()
+    wall = time.time() - t0
+    exact = cosine_topk_bruteforce(emb, queries, k=10)
+    rec = _ann_recall(out, exact)
+    emb.unpersist()
+    return wall, {"ann_ivf_rows": n, "ann_ivf_recall": round(rec, 4)}
 
 
 def bench_embed_lsh(spark, sf_dir, n_entities):
@@ -301,6 +386,23 @@ def bench_embed_lsh(spark, sf_dir, n_entities):
     emb = embed_strings(names, count_col=None, dim=64, seed=42)
     n = lsh_candidates(emb, 0.8, num_hash_tables=8, bucket_length=0.25).count()
     return time.time() - t0, {"lsh_pairs": n}
+
+
+def bench_embed_ivf(spark, sf_dir, n_entities):
+    """IVF-cell threshold join over the same embed workload as embed_lsh —
+    the density-robust scale path (see ivf_candidates: BRP-LSH join cost
+    grows with bucket occupancy; IVF keeps cell occupancy constant)."""
+    from fixtures.make_fixtures import fixture_dataframes, make_fixture
+    from nama_spark.operators.embed import embed_strings, ivf_candidates
+    from pyspark.sql import functions as F
+
+    fx = make_fixture(seed=7, n_entities=max(200, n_entities // 4), max_files=3)
+    records, _, _ = fixture_dataframes(spark, fx)
+    names = records.select(F.col("repo").alias("string")).distinct()
+    t0 = time.time()
+    emb = embed_strings(names, count_col=None, dim=64, seed=42)
+    n = ivf_candidates(emb, 0.8, nprobe=2).count()
+    return time.time() - t0, {"ivf_pairs": n}
 
 
 def bench_sorted_neighborhood(spark, sf_dir, n_entities):
@@ -395,6 +497,7 @@ def main():
     run("ann_lsh", bench_ann_lsh, sf_dir)
     run("ann_ivf", bench_ann_ivf, sf_dir)
     run("embed_lsh", bench_embed_lsh, sf_dir, n_entities)
+    run("embed_ivf", bench_embed_ivf, sf_dir, n_entities)
     run("tpch_q1", bench_sql, sf_dir, "tpch_q1_pricing_summary")
     run("events_hourly", bench_sql, sf_dir, "events_hourly")
     run("sessionize_window", bench_sql, sf_dir, "events_sessionize_window")

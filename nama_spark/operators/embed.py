@@ -310,6 +310,105 @@ def lsh_candidates(
     )
 
 
+def ivf_candidates(
+    embeddings: DataFrame,
+    cos_threshold: float,
+    n_cells: int | None = None,
+    nprobe: int = 2,
+    sample_per_cell: int = 50,
+    max_iter: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate ≥-threshold pairs via IVF cells — the density-robust
+    scale path for the embedding threshold join.
+
+    Why not BRP-LSH at scale: MLlib's single-probe approxSimilarityJoin
+    cost tracks per-bucket occupancy, which grows linearly with corpus
+    density at fixed bucket_length (join work ~ n²·bucket_length for the
+    1-d projections). Measured on the bench fixture: a 10× corpus at
+    bucket_length 0.25 went 4.7 s → 267 s (57× for 10× data); shrinking
+    buckets restores linearity but collapses recall, because a near pair
+    must share an EXACT bucket in some table (no multi-probe in MLlib).
+
+    IVF instead partitions the SPACE: k-means cells fit on a sample
+    (``sample_per_cell``·n_cells rows), every vector joins its ``nprobe``
+    nearest cells, candidate pairs meet inside shared cells (equi-join on
+    cell id), and the exact cosine filters. With ``n_cells`` ~ n/400
+    (auto), expected cell occupancy is constant, so join cost is ~
+    n·nprobe²·occupancy — linear in n at fixed density. Recall < 1 (a pair
+    whose members share no probed cell is missed) and is measured, not
+    assumed: see SCALE.md §embedding-joins and the ivf row in bench.py.
+
+    Centroid assignment is a broadcast cross-join (n·n_cells distance
+    exprs, JVM-side) + a per-string top-nprobe window; n_cells is capped at
+    4096 — past that, use a two-level (coarse-quantizer) IVF, same shape.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    if embeddings.isEmpty():
+        return embeddings.select(
+            F.col("string").alias("s0"),
+            F.col("string").alias("s1"),
+            F.lit(0.0).alias("cos"),
+        ).where(F.lit(False))
+
+    feat = embeddings.select("string", "vec").localCheckpoint(eager=False)
+    n = feat.count()
+    if n_cells is None:
+        n_cells = max(8, min(n // 400, 4096))
+    n_cells = min(n_cells, n)
+    nprobe = min(nprobe, n_cells)
+
+    fit_frac = min(1.0, (sample_per_cell * n_cells) / max(n, 1))
+    fit_df = feat.sample(fraction=fit_frac, seed=seed) if fit_frac < 1.0 else feat
+    fit_feat = fit_df.select(
+        array_to_vector(F.col("vec").cast("array<double>")).alias("features")
+    ).localCheckpoint(eager=False)
+    n_cells = max(1, min(n_cells, fit_feat.count()))
+    model = KMeans(
+        k=n_cells, seed=seed, maxIter=max_iter,
+        featuresCol="features", predictionCol="cell",
+    ).fit(fit_feat)
+
+    spark = embeddings.sparkSession
+    centers_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        ["cell", "centroid"],
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("vec").cast("array<double>"), F.col("centroid"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("string").orderBy(F.col("d2").asc(), F.col("cell").asc())
+    assigned = (
+        feat.crossJoin(F.broadcast(centers_df))
+        .withColumn("d2", d2)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= nprobe)
+        .select("cell", "string", "vec")
+    )
+    a = assigned.select("cell", F.col("string").alias("s0"), F.col("vec").alias("v0"))
+    b = assigned.select("cell", F.col("string").alias("s1"), F.col("vec").alias("v1"))
+    pairs = (
+        a.join(b, "cell")
+        .where(F.col("s0") < F.col("s1"))
+        .dropDuplicates(["s0", "s1"])
+    )
+    cos = cosine_expr(F.col("v0"), F.col("v1"))
+    return (
+        pairs.withColumn("cos", cos)
+        .where(F.col("cos") >= cos_threshold)
+        .select("s0", "s1", "cos")
+    )
+
+
 def iter_scores(
     matchdata,
     embeddings: DataFrame,
@@ -357,6 +456,8 @@ def iter_scores(
                 "into the candidate join, or candidate_mode='lsh' at scale."
             )
         cand = bruteforce_candidates(embeddings, cos_t)
+    elif candidate_mode == "ivf":
+        cand = ivf_candidates(embeddings, cos_t, **lsh_kwargs)
     else:
         cand = lsh_candidates(embeddings, cos_t, **lsh_kwargs)
 
@@ -432,6 +533,8 @@ def unite_similar(
     cos_t = 1.0 + math.log(threshold) / alpha if threshold > 0 else -99.0
     if candidate_mode == "bruteforce":
         cand = bruteforce_candidates(embeddings, cos_t)
+    elif candidate_mode == "ivf":
+        cand = ivf_candidates(embeddings, cos_t, **lsh_kwargs)
     else:
         cand = lsh_candidates(embeddings, cos_t, **lsh_kwargs)
     edges = cand.select(F.col("s0").alias("src"), F.col("s1").alias("dst"))

@@ -77,6 +77,44 @@ def test_lsh_candidates_recall_vs_bruteforce(spark, emb):
     assert len(lsh) >= math.ceil(0.9 * len(bf))
 
 
+def test_ivf_candidates_recall_vs_bruteforce(spark, emb):
+    """IVF-cell threshold join: exact-cos filter ⇒ no false positives; with
+    nprobe=2 over a handful of cells, recall on this fixture is high. Empty
+    input returns an empty (s0, s1, cos) frame."""
+    from nama_spark.operators.embed import ivf_candidates
+
+    t = 0.6
+    bf = {(r["s0"], r["s1"]) for r in bruteforce_candidates(emb, t).collect()}
+    ivf = {
+        (r["s0"], r["s1"])
+        for r in ivf_candidates(emb, t, n_cells=3, nprobe=2).collect()
+    }
+    assert bf
+    assert ivf.issubset(bf)
+    assert len(ivf) >= math.ceil(0.8 * len(bf))
+
+    empty = emb.where(F.lit(False))
+    out = ivf_candidates(empty, t)
+    assert out.columns == ["s0", "s1", "cos"] and out.count() == 0
+
+
+def test_unite_similar_ivf_mode_matches_bruteforce(spark, emb):
+    """unite_similar(candidate_mode='ivf') reproduces the bruteforce
+    partition on the fixture (all candidate modes share the CC merge)."""
+    md = MatchData.from_unmatched(emb.select("string"))
+    kw = dict(threshold=0.01, alpha=20.0)
+    want = unite_similar(md, emb, candidate_mode="bruteforce", **kw)
+    got = unite_similar(md, emb, candidate_mode="ivf", n_cells=3, nprobe=2, **kw)
+
+    def parts(m):
+        g = {}
+        for r in m.df.collect():
+            g.setdefault(r["group"], set()).add(r["string"])
+        return {frozenset(v) for v in g.values()}
+
+    assert parts(got) == parts(want)
+
+
 def test_unite_similar_is_transitive_closure(spark, emb):
     md = MatchData.from_unmatched(emb.select("string"))
     alpha = 20.0
