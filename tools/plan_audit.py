@@ -34,6 +34,12 @@ WHITELIST: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "bruteforce baseline: broadcast query side",
         "CartesianProduct": "bruteforce baseline",
     },
+    # same labeled-baseline shape, over int8-quantized vectors (the point of
+    # the query is quantized-vs-float parity, not the candidate strategy)
+    "ann_quantized_topk": {
+        "BroadcastNestedLoopJoin": "bruteforce baseline: broadcast query side",
+        "CartesianProduct": "bruteforce baseline",
+    },
     # scalar results: one row IS the output
     "confusion_cells": {"Exchange SinglePartition": "1-row scalar aggregate"},
     "score_metrics": {"Exchange SinglePartition": "1-row scalar aggregate"},
