@@ -195,3 +195,123 @@ def ivf_topk(
         .where(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cos", F.col("rn").alias("rank"))
     )
+
+
+# ---------- persisted-index IVF (index once, delta daily) ----------
+
+def ivf_fit_centroids(
+    corpus: DataFrame,
+    n_cells: int | None = None,
+    sample_per_cell: int = 50,
+    max_iter: int = 10,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """(cell, centroid) — k-means centroids fit on a bounded sample
+    (``sample_per_cell``·n_cells rows), the persistable half of an IVF
+    index. ``n_cells`` auto-sizes to ~n/400 (capped 4096 — past that use a
+    two-level coarse quantizer, same shape). Fit once, write to parquet,
+    reuse across daily deltas: arriving vectors only need ``ivf_assign``."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    n = corpus.count()
+    if n == 0:
+        raise ValueError("cannot fit IVF centroids on an empty corpus")
+    if n_cells is None:
+        n_cells = max(8, min(n // 400, 4096))
+    n_cells = min(n_cells, n)
+    fit_frac = min(1.0, (sample_per_cell * n_cells) / n)
+    fit_df = corpus.sample(fraction=fit_frac, seed=seed) if fit_frac < 1.0 else corpus
+    fit_feat = fit_df.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    ).localCheckpoint(eager=False)
+    n_cells = max(1, min(n_cells, fit_feat.count()))
+    model = KMeans(
+        k=n_cells, seed=seed, maxIter=max_iter,
+        featuresCol="features", predictionCol="cell",
+    ).fit(fit_feat)
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        ["cell", "centroid"],
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centers: DataFrame,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cell, <id_col>, <vec_col>) — each vector assigned to its ``nprobe``
+    nearest centroids. Broadcast cross-join on the (small) centroid table;
+    the top-nprobe window sees only skinny (id, cell, d2) rows (the
+    ivf_candidates lesson: keep the 64-float payload out of the exchange).
+    O(Δn·n_cells) per delta — the corpus is never re-read."""
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"), F.col("centroid"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("d2").asc(), F.col("cell").asc())
+    cells = (
+        df.select(id_col, vec_col)
+        .crossJoin(F.broadcast(centers))
+        .withColumn("d2", d2)
+        .select(id_col, "cell", "d2")
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= nprobe)
+        .select(id_col, "cell")
+    )
+    return cells.join(df.select(id_col, vec_col), id_col).select(
+        "cell", id_col, vec_col
+    )
+
+
+def ivf_topk_delta(
+    queries: DataFrame,
+    centers: DataFrame,
+    assigned: DataFrame,
+    k: int = 5,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k per query against a PERSISTED IVF index (``centers`` +
+    ``assigned``, as built by ivf_fit_centroids/ivf_assign): probe the
+    nprobe nearest cells, exact cosine re-rank inside them. A query batch
+    of Δq rows costs O(Δq·n_cells) assignment + the probed-cell join —
+    the indexed corpus is touched only through its cell partitions.
+    ``nprobe = n_cells`` probes everything: exact top-k (the test anchor).
+    Same output contract as ivf_topk: (query_id, neighbor_id, cos, rank)."""
+    if queries.isEmpty():
+        return _empty_topk(queries, id_col)
+    probes = ivf_assign(queries, centers, nprobe=nprobe,
+                        id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("cell"),
+        F.col(vec_col).alias("qv"),
+    )
+    cand = probes.join(
+        assigned.select(
+            "cell", F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+        ),
+        "cell",
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    cos = cosine_sim_expr(F.col("qv"), F.col("cv"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("cos", cos)
+        .select("query_id", "neighbor_id", "cos")  # drop vectors pre-shuffle
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos", F.col("rn").alias("rank"))
+    )

@@ -115,6 +115,55 @@ def test_ann_bruteforce_vs_lsh_and_ivf(spark):
     assert overlap_ivf >= 0.5, overlap_ivf
 
 
+def test_ivf_persisted_index_delta(spark, tmp_path):
+    """Index-once/delta-daily IVF: centroids + assignments persist to
+    parquet; a later query batch runs against the stored index. Anchors:
+    (a) nprobe = n_cells probes every cell ⇒ EXACT top-k (== bruteforce);
+    (b) appending a delta's assignments (ivf_assign on the same centroids)
+    then querying equals querying an index built over the union corpus —
+    incremental arrival never needs the old corpus vectors."""
+    from nama_spark.operators.ann import (
+        ivf_assign,
+        ivf_fit_centroids,
+        ivf_topk_delta,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    old = emb.where(F.col("vec_id") % 2 == 0)
+    delta = emb.where(F.col("vec_id") % 2 == 1)
+    queries = emb.limit(4)
+
+    centers = ivf_fit_centroids(old, n_cells=8)
+    idx_dir = str(tmp_path / "ivf")
+    centers.write.parquet(idx_dir + "/centroids")
+    ivf_assign(old, centers).write.parquet(idx_dir + "/assigned")
+
+    # delta arrival: assign ONLY the delta against the stored centroids
+    centers2 = spark.read.parquet(idx_dir + "/centroids")
+    assigned = spark.read.parquet(idx_dir + "/assigned").unionByName(
+        ivf_assign(delta, centers2)
+    )
+
+    # (a) all-cells probe == exact bruteforce top-k over the union corpus
+    got = ivf_topk_delta(queries, centers2, assigned, k=5, nprobe=8)
+    want = cosine_topk_bruteforce(emb, queries, k=5)
+    as_map = lambda df: {
+        (r["query_id"], r["rank"]): r["neighbor_id"] for r in df.collect()
+    }
+    assert as_map(got) == as_map(want)
+
+    # (b) partial probe still returns k rows per query with sane recall
+    part = ivf_topk_delta(queries, centers2, assigned, k=5, nprobe=4)
+    pm = {}
+    for r in part.collect():
+        pm.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    wm = {}
+    for r in want.collect():
+        wm.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    recall = sum(len(set(pm.get(q, [])) & set(wm[q])) for q in wm) / (len(wm) * 5)
+    assert recall >= 0.5, recall
+
+
 def test_text_functions(spark):
     df = spark.createDataFrame(
         [

@@ -258,6 +258,52 @@ def test_run_pipeline_bucketed_table(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bt_pipeline_clusters")
 
 
+def test_run_ann_job_index_append_query(spark, tmp_path):
+    """jobs/run_ann.py three-mode flow: --build-index on half the vectors,
+    --append-index with the other half (only delta assignments computed),
+    then a query run whose all-cells probe equals exact bruteforce."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    try:
+        import run_ann
+    finally:
+        sys.path.pop(0)
+
+    from nama_spark.operators.ann import cosine_topk_bruteforce
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    old_p = str(tmp_path / "old.parquet")
+    new_p = str(tmp_path / "new.parquet")
+    q_p = str(tmp_path / "q.parquet")
+    emb.where(F.col("vec_id") % 2 == 0).write.parquet(old_p)
+    emb.where(F.col("vec_id") % 2 == 1).write.parquet(new_p)
+    emb.where(F.col("vec_id") < 4).write.parquet(q_p)
+
+    idx1 = str(tmp_path / "idx1")
+    assert run_ann.main(["--corpus", old_p, "--build-index",
+                         "--n-cells", "8", "--output", idx1]) == 0
+    idx2 = str(tmp_path / "idx2")
+    assert run_ann.main(["--corpus", new_p, "--append-index",
+                         "--index", idx1, "--output", idx2]) == 0
+    res = str(tmp_path / "res")
+    assert run_ann.main(["--queries", q_p, "--index", idx2,
+                         "--k", "5", "--nprobe", "8",
+                         "--output", res]) == 0
+
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in spark.read.parquet(res + "/topk").collect()
+    }
+    want = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in cosine_topk_bruteforce(
+            emb, emb.where(F.col("vec_id") < 4), k=5
+        ).collect()
+    }
+    assert got == want and len(got) == 4 * 5
+
+
 def test_run_linkage_job(spark, tmp_path):
     """jobs/run_linkage.py: left names link to their 'the '-prefixed twins
     under mutual-best selection."""
