@@ -67,7 +67,8 @@ def parse_args(argv=None):
     p.add_argument("--max-block-size", type=int, default=100)
     p.add_argument("--embed-threshold", type=float, default=0.5)
     p.add_argument("--embed-dim", type=int, default=64)
-    p.add_argument("--embed-candidates", default="lsh", choices=["lsh", "bruteforce"])
+    p.add_argument("--embed-candidates", default="lsh",
+                   choices=["lsh", "ivf", "bruteforce"])
     p.add_argument("--embed-vectors", default=None,
                    help="parquet of precomputed (string, vec) from a real "
                         "encoder; replaces the built-in embedder for the "

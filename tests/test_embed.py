@@ -338,6 +338,32 @@ def test_md5_embedder_matches_independent_math(spark):
         assert np.linalg.norm(got[s]) == pytest.approx(1.0, abs=1e-9)
 
 
+def test_embedding_pass_ivf_mode(spark):
+    """EmbeddingPass(candidate_mode='ivf') unites the same partition as the
+    bruteforce mode on the fixture (the exact-cos filter makes IVF a strict
+    subset; with nprobe=2 over a few cells the subset is the full set here)."""
+    from nama_spark.plans.lineage import LineageLog
+    from nama_spark.plans.pipeline import EmbeddingPass
+
+    names = _names()
+    base = spark.createDataFrame(
+        [(s, 1, s) for s in names], ["string", "count", "group"]
+    )
+    md = MatchData(base, _relabel=False)
+    kw = dict(threshold=0.01, alpha=20.0, dim=32, normalize=None)
+    want = {
+        tuple(sorted((r["src"], r["dst"])))
+        for r in EmbeddingPass(candidate_mode="bruteforce", **kw)
+        .edges(md, LineageLog(spark, None)).collect()
+    }
+    got = {
+        tuple(sorted((r["src"], r["dst"])))
+        for r in EmbeddingPass(candidate_mode="ivf", n_cells=3, nprobe=2, **kw)
+        .edges(md, LineageLog(spark, None)).collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_md5_embedding_pass_wiring(spark):
     """EmbeddingPass(model='md5') produces edges exactly where the md5 cos
     clears the pushed-down threshold, pulled back to raw strings."""
