@@ -774,6 +774,28 @@ def q_ann_cosine_topk(spark, sf_dir):
     )
 
 
+def q_dedup_paragraphs(spark, sf_dir):
+    """CCNet-style paragraph dedup (dedup_paragraphs, dedup.py): documents
+    are synthesized as 3-doc sliding windows joined with newlines, so every
+    interior text is corpus-boilerplate (appears in ≥2 synthetic docs) and
+    only the window-edge paragraphs survive; survivors reassemble in
+    original order. Explode → hash-df groupBy → anti join → ordered
+    re-assembly, all JVM-side."""
+    from nama_spark.operators.dedup import dedup_paragraphs
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300).select(
+        "doc_id", "text"
+    )
+    b = d.select(F.col("doc_id").alias("did"), F.col("text").alias("t1"))
+    c = d.select(F.col("doc_id").alias("did2"), F.col("text").alias("t2"))
+    synth = (
+        d.join(b, d["doc_id"] + 1 == b["did"])
+        .join(c, d["doc_id"] + 2 == c["did2"])
+        .select("doc_id", F.concat_ws("\n", "text", "t1", "t2").alias("text"))
+    )
+    return dedup_paragraphs(synth, min_df=2)
+
+
 def q_ann_quantized_topk(spark, sf_dir):
     """int8-quantized cosine top-k (quantize_embeddings, embed.py): q_i =
     floor(v_i·127 + 0.5); integer dot products are exact and order-free, so
@@ -1286,6 +1308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new r04 (tail: replica-attested now, rotate into the driver
         # window next round)
         "ann_quantized_topk": q_ann_quantized_topk,
+        "dedup_paragraphs": q_dedup_paragraphs,
     }
 
 
@@ -2104,6 +2127,44 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT query_id, neighbor_id, round(cos, 5) AS cos, rank
         FROM topk WHERE rank <= 5
+    """
+
+    # paragraph dedup over deterministic 3-doc sliding-window synth docs;
+    # oracle groups by the normalized paragraph itself (Spark groups by its
+    # md5 — injective, same partition)
+    q["dedup_paragraphs"] = """
+        WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+        synth AS (
+            SELECT a.doc_id,
+                   a.text || chr(10) || b.text || chr(10) || c.text AS text
+            FROM d a
+            JOIN d b ON b.doc_id = a.doc_id + 1
+            JOIN d c ON c.doc_id = a.doc_id + 2
+        ),
+        paras AS (
+            SELECT doc_id,
+                   generate_subscripts(string_split(text, chr(10)), 1) AS pos,
+                   unnest(string_split(text, chr(10))) AS para
+            FROM synth
+        ),
+        pdf AS (
+            SELECT doc_id, pos, para, lower(trim(para)) AS np
+            FROM paras WHERE lower(trim(para)) != ''
+        ),
+        hot AS (
+            SELECT np FROM pdf GROUP BY np HAVING count(DISTINCT doc_id) >= 2
+        ),
+        kept AS (SELECT * FROM pdf WHERE np NOT IN (SELECT np FROM hot)),
+        reasm AS (
+            SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text_clean,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id
+        ),
+        totals AS (SELECT doc_id, count(*) AS n_total FROM pdf GROUP BY doc_id)
+        SELECT t.doc_id, coalesce(r.text_clean, '') AS text_clean,
+               CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+               CAST(t.n_total - coalesce(r.n_kept, 0) AS BIGINT) AS n_dropped
+        FROM totals t LEFT JOIN reasm r ON r.doc_id = t.doc_id
     """
 
     # int8 quantization: floor(v·127 + 0.5) (floor-plus-half, not round —

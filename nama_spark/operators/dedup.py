@@ -626,3 +626,61 @@ def split_documents_leakfree(
         .otherwise(F.lit("train"))
         .alias("split"),
     )
+
+
+def dedup_paragraphs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """CCNet-style paragraph-level dedup (Wenzek et al. 2020): drop every
+    paragraph whose NORMALIZED form (lower + trim) occurs in ≥ ``min_df``
+    distinct documents corpus-wide — boilerplate headers, footers, cookie
+    banners, licence blocks — and reassemble each document's surviving
+    paragraphs in their original order.
+
+    Shape at scale: posexplode → one hash groupBy (count DISTINCT doc per
+    normalized-paragraph md5) → left-anti join → one groupBy re-assembly
+    with an in-JVM array_sort on (pos, para). Paragraph df is naturally
+    zipfian; the groupBy key is the md5, so the hot boilerplate keys are
+    single aggregation rows, not wide groups. Within-document repeats are
+    NOT dropped (df counts distinct docs) — corpus-wide boilerplate only.
+
+    Returns (``id_col``, text_clean, n_kept, n_dropped); documents whose
+    every paragraph was boilerplate survive with text_clean = ''.
+    """
+    paras = docs.select(
+        id_col, F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para")
+    )
+    norm = F.lower(F.trim(F.col("para")))
+    pdf = paras.withColumn("h", F.md5(norm)).where(norm != "")
+    hot = (
+        pdf.groupBy("h")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .where(F.col("df") >= min_df)
+        .select("h")
+    )
+    kept = pdf.join(hot, "h", "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = pdf.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        totals.join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_total") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long").alias("n_dropped"),
+        )
+    )

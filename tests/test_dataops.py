@@ -164,6 +164,33 @@ def test_ivf_persisted_index_delta(spark, tmp_path):
     assert recall >= 0.5, recall
 
 
+def test_dedup_paragraphs(spark):
+    """Corpus-wide boilerplate paragraphs (df ≥ 2 docs) drop; unique ones
+    stay in order; within-doc repeats of a unique paragraph survive; an
+    all-boilerplate doc survives with empty text_clean."""
+    from nama_spark.operators.dedup import dedup_paragraphs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "COOKIE BANNER\nunique alpha\nunique beta\ncookie banner"),
+            (2, "cookie banner\nunique gamma"),
+            (3, "only here\nonly here\nsolo text"),
+            (4, "Cookie Banner"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in dedup_paragraphs(docs, min_df=2).collect()}
+    # 'cookie banner' (case/trim-normalized) is in docs 1, 2, 4 → dropped
+    assert got[1]["text_clean"] == "unique alpha\nunique beta"
+    assert got[1]["n_kept"] == 2 and got[1]["n_dropped"] == 2
+    assert got[2]["text_clean"] == "unique gamma"
+    # within-doc repeat of a unique paragraph is NOT corpus boilerplate
+    assert got[3]["text_clean"] == "only here\nonly here\nsolo text"
+    assert got[3]["n_dropped"] == 0
+    # all-boilerplate doc survives, empty
+    assert got[4]["text_clean"] == "" and got[4]["n_kept"] == 0
+
+
 def test_text_functions(spark):
     df = spark.createDataFrame(
         [
