@@ -164,6 +164,38 @@ def test_ivf_persisted_index_delta(spark, tmp_path):
     assert recall >= 0.5, recall
 
 
+def test_ivf_index_over_quantized_vectors(spark):
+    """Composability: the persisted IVF index runs over int8-quantized
+    vectors unchanged (4× smaller index state); with all cells probed the
+    quantized exact top-k matches the float top-k neighbor sets at ≥0.9
+    overlap on this corpus (quantization noise can only flip near-ties)."""
+    from nama_spark.operators.ann import (
+        cosine_topk_bruteforce,
+        ivf_assign,
+        ivf_fit_centroids,
+        ivf_topk_delta,
+    )
+    from nama_spark.operators.embed import quantize_vec_expr
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qemb = emb.select(
+        "vec_id",
+        quantize_vec_expr("embedding").cast("array<double>").alias("embedding"),
+    )
+    centers = ivf_fit_centroids(qemb, n_cells=8)
+    assigned = ivf_assign(qemb, centers)
+    queries = qemb.where(F.col("vec_id") < 4)
+    got = ivf_topk_delta(queries, centers, assigned, k=10, nprobe=8)
+    want = cosine_topk_bruteforce(emb, emb.where(F.col("vec_id") < 4), k=10)
+    gm, wm = {}, {}
+    for r in got.collect():
+        gm.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in want.collect():
+        wm.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    overlap = sum(len(gm[q] & wm[q]) for q in wm) / (len(wm) * 10)
+    assert overlap >= 0.9, overlap
+
+
 def test_dedup_paragraphs(spark):
     """Corpus-wide boilerplate paragraphs (df ≥ 2 docs) drop; unique ones
     stay in order; within-doc repeats of a unique paragraph survive; an
