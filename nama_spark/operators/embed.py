@@ -392,6 +392,14 @@ def ivf_candidates(
     Centroid assignment is a broadcast cross-join (n·n_cells distance
     exprs, JVM-side) + a per-string top-nprobe window; n_cells is capped at
     4096 — past that, use a two-level (coarse-quantizer) IVF, same shape.
+
+    Skew note: k-means cells are not size-balanced — a corpus with one
+    dominant mode can produce a hot cell whose per-cell join is O(m²).
+    AQE's skew-join split shares that cell's join across tasks (the join is
+    a plain equi-join on cell, so the runtime split applies); if one cell
+    exceeds memory-per-task at your scale, raise n_cells or pre-split the
+    hot cell with a secondary k-means over its members — the equi-join
+    shape is unchanged.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
