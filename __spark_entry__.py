@@ -1744,9 +1744,9 @@ def oracle_sql() -> dict[str, str]:
         ranked AS (
             SELECT s0, s1, score,
                    row_number() OVER (PARTITION BY s0
-                       ORDER BY round(score, 9) DESC, s1) AS rl,
+                       ORDER BY round(score, 9) DESC, (s1 <> s0), s1) AS rl,
                    row_number() OVER (PARTITION BY s1
-                       ORDER BY round(score, 9) DESC, s0) AS rr
+                       ORDER BY round(score, 9) DESC, (s1 <> s0), s0) AS rr
             FROM thr
         )
         SELECT s0, s1, round(score, 5) AS score

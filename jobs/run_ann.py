@@ -92,6 +92,14 @@ def main(argv=None):
     if args.append_index:
         if not (args.corpus and args.index):
             raise SystemExit("--append-index requires --corpus and --index")
+        import os.path
+        if os.path.abspath(args.output) == os.path.abspath(args.index):
+            # the writes below lazily read from --index; overwriting the dir
+            # being read would fail (or destroy the index first)
+            raise SystemExit(
+                "--append-index: --output must differ from --index "
+                "(writes would overwrite the index while reading it)"
+            )
         delta = read_records(spark, args.corpus, catalog=args.catalog)
         centers = spark.read.parquet(args.index + "/centroids")
         new_assigned = ivf_assign(

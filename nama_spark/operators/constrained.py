@@ -54,6 +54,7 @@ from nama_spark.operators.cluster import labels_for_nodes
 from nama_spark.operators.embed import (
     DEFAULT_ALPHA,
     bruteforce_candidates,
+    ivf_candidates,
     lsh_candidates,
 )
 from nama_spark.operators.matchdata import MatchData
@@ -221,8 +222,12 @@ def unite_similar_constrained(
 
     if candidate_mode == "bruteforce":
         cand = bruteforce_candidates(embeddings, cos_t)
-    else:
+    elif candidate_mode == "ivf":
+        cand = ivf_candidates(embeddings, cos_t, **lsh_kwargs)
+    elif candidate_mode == "lsh":
         cand = lsh_candidates(embeddings, cos_t, **lsh_kwargs)
+    else:
+        raise ValueError(f"unknown candidate_mode: {candidate_mode!r}")
 
     always_sets = [sorted(str(s) for s in grp) for grp in (always_match or [])]
     never_sets = [sorted(str(s) for s in grp) for grp in (never_match or [])]

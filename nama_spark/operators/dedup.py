@@ -18,6 +18,7 @@ Scale notes:
 from __future__ import annotations
 
 import hashlib
+import re
 
 import numpy as np
 import pandas as pd
@@ -651,8 +652,14 @@ def dedup_paragraphs(
     Returns (``id_col``, text_clean, n_kept, n_dropped); documents whose
     every paragraph was boilerplate survive with text_clean = ''.
     """
+    # ``sep`` is a LITERAL separator (the oracle splits literally, and the
+    # reassembly joins literally) — F.split takes a Java regex, so escape
+    # metacharacters ('.', '||', ...) before handing it over.
     paras = docs.select(
-        id_col, F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para")
+        id_col,
+        F.posexplode(
+            F.split(F.col(text_col), re.escape(sep))
+        ).alias("pos", "para"),
     )
     norm = F.lower(F.trim(F.col("para")))
     pdf = paras.withColumn("h", F.md5(norm)).where(norm != "")

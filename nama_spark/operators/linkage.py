@@ -98,11 +98,19 @@ def link_tables(
     # string tie-break nondeterministic across runs/engines. 9 decimals is
     # far below any meaningful similarity difference.
     rscore = F.round(F.col("score"), 9)
-    wl = Window.partitionBy("s0").orderBy(rscore.desc(), F.col("s1").asc())
+    # a verbatim cross-table match (s1 == s0) wins any score tie outright —
+    # a token-permuted competitor can also score exactly 1.0 and would
+    # otherwise win the lexicographic tie-break if it sorts earlier
+    exact_first = (F.col("s1") != F.col("s0")).asc()
+    wl = Window.partitionBy("s0").orderBy(
+        rscore.desc(), exact_first, F.col("s1").asc()
+    )
     out = scored.withColumn("__rl", F.row_number().over(wl))
     if mode == "best_left":
         return out.where(F.col("__rl") == 1).select("s0", "s1", "score")
-    wr = Window.partitionBy("s1").orderBy(rscore.desc(), F.col("s0").asc())
+    wr = Window.partitionBy("s1").orderBy(
+        rscore.desc(), exact_first, F.col("s0").asc()
+    )
     out = out.withColumn("__rr", F.row_number().over(wr))
     return (
         out.where((F.col("__rl") == 1) & (F.col("__rr") == 1))

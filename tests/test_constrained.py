@@ -374,3 +374,26 @@ def test_giant_component_guard(spark, data):
         max_component_size=None,
     )
     assert out.df.select("group").distinct().count() >= 1
+
+
+def test_ivf_mode_routes_and_refines(spark, data):
+    """candidate_mode='ivf' routes to ivf_candidates (ADVICE r4: it used to
+    silently fall through to lsh_candidates, where ivf kwargs raised
+    TypeError). IVF candidates can only MISS edges, so the result refines
+    the bruteforce partition; with all cells probed it matches exactly."""
+    rows, emb, md = data
+    got = _partition(
+        unite_similar_constrained(
+            md, emb, threshold=0.5, alpha=ALPHA,
+            candidate_mode="ivf", n_cells=4, nprobe=4,
+        )
+    )
+    assert got == _oracle(rows, 0.5)[0]
+
+
+def test_unknown_candidate_mode_raises(spark, data):
+    rows, emb, md = data
+    with pytest.raises(ValueError, match="candidate_mode"):
+        unite_similar_constrained(
+            md, emb, threshold=0.5, alpha=ALPHA, candidate_mode="typo"
+        )

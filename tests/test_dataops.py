@@ -903,3 +903,19 @@ def test_pack_chunks_budget(spark):
     # consecutive ids from 0
     assert min(sizes) == 0 and max(sizes) <= 21
     assert sorted(sizes) == list(range(len(sizes)))
+
+
+def test_dedup_paragraphs_literal_separator(spark):
+    """``sep`` is a literal, not a Java regex (ADVICE r4): '.' must split on
+    actual dots, not on every character."""
+    from nama_spark.operators.dedup import dedup_paragraphs
+
+    docs = spark.createDataFrame(
+        [(1, "boiler.unique one"), (2, "boiler.unique two"), (3, "solo")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in
+           dedup_paragraphs(docs, min_df=2, sep=".").collect()}
+    assert got[1]["text_clean"] == "unique one"
+    assert got[2]["text_clean"] == "unique two"
+    assert got[3]["text_clean"] == "solo" and got[3]["n_dropped"] == 0

@@ -271,3 +271,20 @@ def test_link_tables_exact_equality_wins(spark):
             link_tables(ldf, rdf, threshold=0.4, mode="mutual",
                         max_block_size=1).collect()}
     assert got2 == {"acme rocket labs": ("acme rocket labs", 1.0)}
+
+
+def test_link_tables_exact_wins_score_tie(spark):
+    """A token-PERMUTED competitor scores jaccard exactly 1.0 (same token
+    set) and sorts lexicographically before the verbatim string — the
+    verbatim match must still win the tie (ordered before any s1 != s0 at
+    equal rounded score)."""
+    from nama_spark.operators.linkage import link_tables
+
+    # 'labs rocket' permutes to 'labs rocket' vs verbatim 'rocket labs';
+    # 'labs rocket' < 'rocket labs' lexicographically.
+    ldf = spark.createDataFrame([("rocket labs",)], ["string"])
+    rdf = spark.createDataFrame(
+        [("labs rocket",), ("rocket labs",)], ["string"])
+    got = {r["s0"]: (r["s1"], r["score"]) for r in
+           link_tables(ldf, rdf, threshold=0.4, mode="best_left").collect()}
+    assert got["rocket labs"] == ("rocket labs", 1.0)

@@ -1,6 +1,7 @@
 """Ingestion: CSV round-trip with all-string/empty-not-null semantics
 (match_data.py:860-861 parity), format detection, matchdata writer."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from nama_spark.operators.matchdata import MatchData
@@ -338,3 +339,26 @@ def test_run_linkage_job(spark, tmp_path):
     assert links == {
         (f"acme widgets {i}", f"the acme widgets {i}") for i in range(20)
     }
+
+
+def test_run_ann_append_rejects_inplace_output(spark, tmp_path):
+    """--append-index writes while lazily reading from --index; pointing
+    --output at the same dir would clobber the index mid-read (ADVICE r4) —
+    the job must refuse up front."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    try:
+        import run_ann
+    finally:
+        sys.path.pop(0)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus_p = str(tmp_path / "corpus.parquet")
+    emb.limit(50).write.parquet(corpus_p)
+    idx = str(tmp_path / "idx")
+    assert run_ann.main(["--corpus", corpus_p, "--build-index",
+                         "--n-cells", "4", "--output", idx]) == 0
+    with pytest.raises(SystemExit, match="differ"):
+        run_ann.main(["--corpus", corpus_p, "--append-index",
+                      "--index", idx, "--output", idx])
