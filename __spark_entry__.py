@@ -1000,6 +1000,32 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivf2_topk(spark, sf_dir):
+    """TWO-LEVEL IVF top-k (coarse quantizer: ann.ivf2_fit_centroids +
+    two-stage ivf_assign) with every cell probed — exact by construction,
+    so the same bruteforce oracle verifies the whole two-level machinery:
+    coarse k-means, per-coarse fine k-means (applyInPandas numpy Lloyd),
+    derived coarse routing, two-stage probe, per-cell re-rank. The
+    approximate partial-probe path and the constant-occupancy claim are
+    tested in tests/test_dataops.py."""
+    from nama_spark.operators.ann import (
+        ivf2_fit_centroids,
+        ivf_assign,
+        ivf_topk_delta,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8)
+    centers = ivf2_fit_centroids(emb, n_coarse=3, fine_per_coarse=3)
+    centers = centers.localCheckpoint(eager=False)
+    assigned = ivf_assign(emb, centers)
+    total = centers.count()
+    out = ivf_topk_delta(queries, centers, assigned, k=5, nprobe=total)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos", 5).alias("cos"), "rank"
+    )
+
+
 def q_embedding_unite_similar(spark, sf_dir):
     """Fast-path unite_similar (_fast_unite_similar, embeddings.py:144-174)
     over the fixed embeddings table — oracle-checked: the result partition is
@@ -1232,38 +1258,42 @@ def q_multimodal_audio_features(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is the driver's attestation order and its correctness board
-    # caps at 50 rows. Policy: queries never (or least recently) attested by
-    # a driver round lead; long-stable rows (green since r01/r02) rotate to
-    # the tail and are re-verified by the local oracle replica
-    # (tools/check_correctness.py) instead. Rotate again next round.
+    # caps at 50 rows. Policy (per VERDICT r4): NET-NEW queries enter at the
+    # HEAD in the round they are born; rows touched by this round's code
+    # changes stay inside the window; long-stable rows rotate to the tail
+    # and are re-verified by the local oracle replica
+    # (tools/check_correctness.py) each round, re-entering the window on a
+    # later rotation.
     return {
-        # --- never driver-attested (added r03 beyond the window) + new r04 ---
-        "sorted_neighborhood_pairs": q_sorted_neighborhood_pairs,
-        "multimodal_video_frames": q_multimodal_video_frames,
-        "multimodal_audio_features": q_multimodal_audio_features,
+        # --- NEW this round (r05) ---
+        "ann_ivf2_topk": q_ann_ivf2_topk,
+        # --- new r04, never driver-attested (were beyond the window) ---
+        "ann_quantized_topk": q_ann_quantized_topk,
+        "dedup_paragraphs": q_dedup_paragraphs,
+        # --- rotated out in r04, re-attest now ---
+        "normalize_simplify": q_normalize_simplify,
+        "normalize_simplify_corp": q_normalize_simplify_corp,
+        "token_doc_counts": q_token_doc_counts,
+        "tokens_tfidf_weights": q_tokens_tfidf_weights,
+        "token_block_pairs": q_token_block_pairs,
+        "pair_jaccard_scores": q_pair_jaccard_scores,
+        "group_stats": q_group_stats,
+        "merge_dfs_group_join": q_merge_dfs_group_join,
+        "confusion_cells": q_confusion_cells,
+        "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
+        "top_customers_by_revenue": q_top_customers_by_revenue,
+        "events_hourly": q_events_hourly,
+        # --- r04-green rows kept in-window (several touched by r05 code:
+        # --- link_tables tie-break, ann_ivf sampled fit, dedup sep) ---
         "normalize_remove_stopwords": q_normalize_remove_stopwords,
         "matchdata_add_strings": q_matchdata_add_strings,
         "matchdata_split": q_matchdata_split,
-        # --- last attested r02 ---
         "prefix_join_pairs": q_prefix_join_pairs,
         "winnow_near_pairs": q_winnow_near_pairs,
-        "unite_nearest_voronoi": q_unite_nearest_voronoi,
-        "events_dedup_first": q_events_dedup_first,
-        "assign_records": q_assign_records,
-        "multimodal_image_features": q_multimodal_image_features,
-        # --- attested green r03 ---
         "matchdata_from_unmatched": q_matchdata_from_unmatched,
-        "exact_key_clusters": q_exact_key_clusters,
-        "blocking_stats": q_blocking_stats,
         "predict_incremental": q_predict_incremental,
         "link_tables_mutual": q_link_tables_mutual,
         "link_tables_best": q_link_tables_best,
-        "score_metrics": q_score_metrics,
-        "top_scored_pairs": q_top_scored_pairs,
-        "fallback_scores": q_fallback_scores,
-        "events_sessionize": q_events_sessionize,
-        "events_sessionize_window": q_events_sessionize_window,
-        "events_sessionize_capped": q_events_sessionize_capped,
         "dedup_exact_docs": q_dedup_exact_docs,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
@@ -1291,24 +1321,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "pair_losses": q_pair_losses,
-        # --- tail (beyond the 50-row window): stable green since r01/r02,
-        # --- re-attested by the local replica each round ---
-        "normalize_simplify": q_normalize_simplify,
-        "normalize_simplify_corp": q_normalize_simplify_corp,
-        "token_doc_counts": q_token_doc_counts,
-        "tokens_tfidf_weights": q_tokens_tfidf_weights,
-        "token_block_pairs": q_token_block_pairs,
-        "pair_jaccard_scores": q_pair_jaccard_scores,
-        "group_stats": q_group_stats,
-        "merge_dfs_group_join": q_merge_dfs_group_join,
-        "confusion_cells": q_confusion_cells,
-        "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
-        "top_customers_by_revenue": q_top_customers_by_revenue,
-        "events_hourly": q_events_hourly,
-        # new r04 (tail: replica-attested now, rotate into the driver
-        # window next round)
-        "ann_quantized_topk": q_ann_quantized_topk,
-        "dedup_paragraphs": q_dedup_paragraphs,
+        # --- tail (beyond the 50-row window): long-stable rows attested
+        # --- green by the driver in r04 (and earlier); re-verified by the
+        # --- local replica each round, rotated back in on a later round ---
+        "sorted_neighborhood_pairs": q_sorted_neighborhood_pairs,
+        "multimodal_video_frames": q_multimodal_video_frames,
+        "multimodal_audio_features": q_multimodal_audio_features,
+        "multimodal_image_features": q_multimodal_image_features,
+        "unite_nearest_voronoi": q_unite_nearest_voronoi,
+        "events_dedup_first": q_events_dedup_first,
+        "assign_records": q_assign_records,
+        "exact_key_clusters": q_exact_key_clusters,
+        "blocking_stats": q_blocking_stats,
+        "score_metrics": q_score_metrics,
+        "top_scored_pairs": q_top_scored_pairs,
+        "fallback_scores": q_fallback_scores,
+        "events_sessionize": q_events_sessionize,
+        "events_sessionize_window": q_events_sessionize_window,
+        "events_sessionize_capped": q_events_sessionize_capped,
     }
 
 
@@ -2200,6 +2230,8 @@ def oracle_sql() -> dict[str, str]:
     # exact by construction) both reproduce the exact top-k — same oracle
     q["ann_lsh_topk"] = q["ann_cosine_topk"]
     q["ann_ivf_topk"] = q["ann_cosine_topk"]
+    # two-level coarse quantizer, all cells probed → exact by construction
+    q["ann_ivf2_topk"] = q["ann_cosine_topk"]
 
     # prefix join: exact ≥-threshold set-similarity — oracle enumerates ALL
     # shared-token pairs (no df cap) and filters on the exact score

@@ -47,6 +47,10 @@ def parse_args(argv=None):
     p.add_argument("--id-col", default="vec_id")
     p.add_argument("--vec-col", default="embedding")
     p.add_argument("--n-cells", type=int, default=None)
+    p.add_argument("--two-level", action="store_true",
+                   help="build a two-level coarse-quantizer index "
+                        "(ivf2_fit_centroids) — constant occupancy past the "
+                        "flat index's 4096-cell cap")
     p.add_argument("--nprobe", type=int, default=3)
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--output", required=True)
@@ -59,6 +63,7 @@ def main(argv=None):
     from pyspark.sql import SparkSession
 
     from nama_spark.operators.ann import (
+        ivf2_fit_centroids,
         ivf_assign,
         ivf_fit_centroids,
         ivf_topk_delta,
@@ -73,9 +78,12 @@ def main(argv=None):
         if not args.corpus:
             raise SystemExit("--build-index requires --corpus")
         corpus = read_records(spark, args.corpus, catalog=args.catalog)
-        centers = ivf_fit_centroids(
-            corpus, n_cells=args.n_cells, vec_col=args.vec_col
-        )
+        if args.two_level:
+            centers = ivf2_fit_centroids(corpus, vec_col=args.vec_col)
+        else:
+            centers = ivf_fit_centroids(
+                corpus, n_cells=args.n_cells, vec_col=args.vec_col
+            )
         centers.write.mode("overwrite").parquet(args.output + "/centroids")
         assigned = ivf_assign(
             corpus, centers, id_col=args.id_col, vec_col=args.vec_col

@@ -4,6 +4,9 @@ The standard LLM-data preparation chain, composed from the engine's
 operators — each stage is the bucketed/scale path, not a baseline:
 
     1. exact dedup        md5(text) groups → keep min doc_id
+    1b. paragraph dedup   (--paragraph-min-df > 0) CCNet-style: drop every
+                          paragraph whose normalized form appears in ≥ df
+                          distinct docs (boilerplate); empty docs drop out
     2. near-dup removal   MinHash + banded LSH pairs → CC clusters →
                           keep min doc_id per cluster
     3. quality filter     quality_score ≥ --min-quality
@@ -41,6 +44,10 @@ def parse_args(argv=None):
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
     p.add_argument("--output", required=True)
+    p.add_argument("--paragraph-min-df", type=int, default=0,
+                   help="> 0: CCNet-style paragraph-level boilerplate dedup "
+                        "between exact and near-dup (drop paragraphs seen "
+                        "in >= df distinct docs); 0 disables")
     p.add_argument("--near-dup-threshold", type=float, default=0.8)
     p.add_argument("--shingle-k", type=int, default=3)
     p.add_argument("--min-quality", type=float, default=0.0,
@@ -73,6 +80,7 @@ def main(argv=None):
         word_token_count,
     )
     from nama_spark.operators.dedup import (
+        dedup_paragraphs,
         exact_dup_groups,
         minhash_lsh_pairs,
         near_dup_clusters,
@@ -97,6 +105,29 @@ def main(argv=None):
         eager=False
     )
     funnel["after_exact_dedup"] = docs.count()
+
+    # 1b. paragraph-level boilerplate dedup (CCNet ordering: after exact,
+    # before near-dup — removing shared boilerplate first keeps MinHash from
+    # pairing documents that only share headers/footers)
+    if args.paragraph_min_df > 0:
+        cleaned = dedup_paragraphs(
+            docs, text_col=args.text_col, id_col=args.id_col,
+            min_df=args.paragraph_min_df,
+        )
+        dropped = cleaned.agg(F.sum("n_dropped").alias("d")).collect()[0]["d"]
+        docs = (
+            docs.drop(args.text_col)
+            .join(
+                cleaned.select(
+                    args.id_col, F.col("text_clean").alias(args.text_col)
+                ),
+                args.id_col,
+            )
+            .where(F.length(F.col(args.text_col)) > 0)
+            .localCheckpoint(eager=False)
+        )
+        funnel["paragraphs_dropped"] = int(dropped or 0)
+        funnel["after_paragraph_dedup"] = docs.count()
 
     # 2. near-dup removal — MinHash LSH pairs → CC → min-id survivor
     pairs = minhash_lsh_pairs(

@@ -11,8 +11,13 @@
 
 from __future__ import annotations
 
+import math
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from nama_spark.operators.embed import cosine_expr
 
@@ -140,60 +145,22 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF: cluster the corpus into n_cells (k-means), assign each vector to
     its cell; per query probe the nprobe nearest centroids and re-rank
-    exactly inside those cells. Candidate join is equi on cell id."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    exactly inside those cells. Candidate join is equi on cell id.
 
+    Composition of the persisted-index halves (``ivf_fit_centroids`` →
+    ``ivf_assign`` → ``ivf_topk_delta``), so the k-means always fits on a
+    bounded sample — a caller handing this 10⁸ vectors no longer k-means-es
+    the full corpus by accident."""
     n_corpus = corpus.count()
     if n_corpus == 0 or queries.isEmpty():
         return _empty_topk(corpus, id_col)
-    # k-means requires k ≤ points; a small delta/partition must still work
-    n_cells = min(n_cells, n_corpus)
-
-    feat = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    centers = ivf_fit_centroids(
+        corpus, n_cells=min(n_cells, n_corpus), vec_col=vec_col, seed=seed
     )
-    km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
-    model = km.fit(feat)
-    assigned = model.transform(feat).select("neighbor_id", "cv", "cell")
-
-    centers = model.clusterCenters()
-    spark = corpus.sparkSession
-    centers_df = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
-        ["cell", "centroid"],
-    )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    qc = q.crossJoin(F.broadcast(centers_df))
-    dist2 = F.aggregate(
-        F.zip_with(
-            F.col("qv").cast("array<double>"), F.col("centroid"),
-            lambda x, y: (x - y) * (x - y),
-        ),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("cell").asc())
-    probes = (
-        qc.withColumn("d2", dist2)
-        .withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= nprobe)
-        .select("query_id", "qv", "cell")
-    )
-    cand = probes.join(assigned, "cell").where(
-        F.col("query_id") != F.col("neighbor_id")
-    )
-    cos = cosine_sim_expr(F.col("qv"), F.col("cv"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        cand.withColumn("cos", cos)
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
-        .select("query_id", "neighbor_id", "cos", F.col("rn").alias("rank"))
+    assigned = ivf_assign(corpus, centers, id_col=id_col, vec_col=vec_col)
+    return ivf_topk_delta(
+        queries, centers, assigned, k=k, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col,
     )
 
 
@@ -238,6 +205,217 @@ def ivf_fit_centroids(
     )
 
 
+def _np_kmeans(X: np.ndarray, k: int, rng: np.random.RandomState,
+               max_iter: int = 10) -> np.ndarray:
+    """Plain Lloyd k-means with k-means++-style seeding, numpy-vectorized.
+    Runs INSIDE an applyInPandas group (one coarse cell's bounded sample) —
+    the per-group twin of the MLlib fit, with no per-group driver loop."""
+    n = len(X)
+    k = max(1, min(k, n))
+    # k-means++ seeding: first center uniform, then ∝ squared distance
+    centers = X[rng.randint(n)][None, :]
+    for _ in range(1, k):
+        d2 = np.min(
+            ((X[:, None, :] - centers[None, :, :]) ** 2).sum(-1), axis=1
+        )
+        tot = d2.sum()
+        if tot <= 0:  # all points coincide with a chosen center
+            break
+        centers = np.vstack([centers, X[rng.choice(n, p=d2 / tot)]])
+    for _ in range(max_iter):
+        assign = np.argmin(
+            ((X[:, None, :] - centers[None, :, :]) ** 2).sum(-1), axis=1
+        )
+        new = np.vstack([
+            X[assign == i].mean(0) if (assign == i).any() else centers[i]
+            for i in range(len(centers))
+        ])
+        if np.allclose(new, centers):
+            break
+        centers = new
+    return centers
+
+
+def ivf2_fit_centroids(
+    corpus: DataFrame,
+    n_coarse: int | None = None,
+    fine_per_coarse: int | None = None,
+    target_occupancy: int = 400,
+    sample_per_cell: int = 50,
+    max_iter: int = 10,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """(cell, coarse, centroid) — TWO-LEVEL IVF centroids: a coarse k-means
+    (MLlib, sampled) over the corpus, then an independent fine k-means
+    INSIDE each coarse cell (numpy Lloyd via applyInPandas over the sampled
+    rows grouped by coarse cell — one distributed pass, no driver loop).
+
+    Why: the single-level quantizer's assignment is a broadcast cross-join
+    costing O(n·n_cells) distance exprs, so ``ivf_fit_centroids`` caps
+    n_cells at 4096 — past ~1.6M vectors per-cell occupancy (and the cell
+    equi-join) grows linearly again, the same density wall the IVF path was
+    built to avoid. Two levels keep occupancy at ``target_occupancy`` for
+    any n: total cells = n/target_occupancy with n_coarse ≈ √total, and
+    assignment probes n_coarse + nprobe_coarse·fine_per_coarse centroids
+    per vector instead of all n_cells (√-scale, Faiss-IMI shape).
+
+    The output unions with the flat index contract: ``ivf_assign`` and
+    ``ivf_topk_delta`` detect the ``coarse`` column and route two-stage;
+    run_ann.py persists it to the same <index>/centroids dir.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    n = corpus.count()
+    if n == 0:
+        raise ValueError("cannot fit IVF centroids on an empty corpus")
+    total = max(8, n // target_occupancy)
+    if n_coarse is None:
+        n_coarse = max(2, math.ceil(math.sqrt(total)))
+    if fine_per_coarse is None:
+        fine_per_coarse = max(1, math.ceil(total / n_coarse))
+    n_coarse = min(n_coarse, n)
+
+    fit_frac = min(1.0, (sample_per_cell * n_coarse * fine_per_coarse) / n)
+    fit_df = (
+        corpus.sample(fraction=fit_frac, seed=seed) if fit_frac < 1.0 else corpus
+    )
+    sample = fit_df.select(
+        F.col(vec_col).cast("array<double>").alias("v")
+    ).localCheckpoint(eager=False)
+    n_sample = sample.count()
+    n_coarse = max(1, min(n_coarse, n_sample))
+
+    coarse_model = KMeans(
+        k=n_coarse, seed=seed, maxIter=max_iter,
+        featuresCol="features", predictionCol="coarse",
+    ).fit(sample.select(array_to_vector(F.col("v")).alias("features")))
+    spark = corpus.sparkSession
+    coarse_df = spark.createDataFrame(
+        [(i, [float(x) for x in c])
+         for i, c in enumerate(coarse_model.clusterCenters())],
+        ["coarse", "ccentroid"],
+    )
+
+    # stage-1 assign the SAMPLE to its nearest coarse cell (skinny window)
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("ccentroid"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda a, x: a + x,
+    )
+    sample_id = sample.withColumn("__sid", F.monotonically_increasing_id())
+    w = Window.partitionBy("__sid").orderBy(F.col("d2").asc(), F.col("coarse").asc())
+    sassigned = (
+        sample_id.crossJoin(F.broadcast(coarse_df))
+        .withColumn("d2", d2)
+        .select("__sid", "coarse", "d2")
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("__sid", "coarse")
+        .join(sample_id, "__sid")
+        .select("coarse", "v")
+    )
+
+    kf, mi, sd = fine_per_coarse, max_iter, seed
+
+    def fit_fine(pdf: pd.DataFrame) -> pd.DataFrame:
+        coarse = int(pdf["coarse"].iloc[0])
+        X = np.stack(pdf["v"].to_numpy())
+        rng = np.random.RandomState(sd + coarse)
+        centers = _np_kmeans(X, kf, rng, max_iter=mi)
+        return pd.DataFrame({
+            "coarse": coarse,
+            "fine": range(len(centers)),
+            "centroid": [list(map(float, c)) for c in centers],
+        })
+
+    schema = T.StructType([
+        T.StructField("coarse", T.IntegerType()),
+        T.StructField("fine", T.IntegerType()),
+        T.StructField("centroid", T.ArrayType(T.DoubleType())),
+    ])
+    fine = sassigned.groupBy("coarse").applyInPandas(fit_fine, schema)
+    return fine.select(
+        (F.col("coarse").cast("long") * fine_per_coarse + F.col("fine"))
+        .alias("cell"),
+        "coarse",
+        "centroid",
+    )
+
+
+def _coarse_routing(centers: DataFrame) -> DataFrame:
+    """(coarse, ccentroid) derived from a two-level centers table as the
+    mean of each coarse cell's fine centroids — close enough for stage-1
+    routing, and empty coarse cells vanish automatically (no fine rows)."""
+    return (
+        centers.select("coarse", F.posexplode("centroid").alias("pos", "x"))
+        .groupBy("coarse", "pos")
+        .agg(F.avg("x").alias("x"))
+        .groupBy("coarse")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "x"))),
+                lambda s: s["x"],
+            ).alias("ccentroid")
+        )
+    )
+
+
+def _ivf2_assign(
+    df: DataFrame,
+    centers: DataFrame,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+    nprobe_coarse: int | None = None,
+) -> DataFrame:
+    """Two-stage assignment against a two-level centers table: probe the
+    ``nprobe_coarse`` nearest coarse cells, then the ``nprobe`` nearest fine
+    cells among THOSE coarse cells' centroids. Per vector that is
+    n_coarse + nprobe_coarse·fine_per_coarse distance exprs — √-scale vs
+    the flat cross-join. ``nprobe ≥ total cells`` probes everything (the
+    exactness anchor survives two levels)."""
+    coarse_tbl = _coarse_routing(centers)
+    n_coarse = coarse_tbl.count()
+    total_cells = centers.count()
+    if nprobe >= total_cells:
+        nprobe_coarse = n_coarse
+    elif nprobe_coarse is None:
+        nprobe_coarse = min(n_coarse, max(2, nprobe))
+
+    vecs = df.select(id_col, F.col(vec_col).cast("array<double>").alias("__v"))
+    d2c = F.aggregate(
+        F.zip_with(F.col("__v"), F.col("ccentroid"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda a, x: a + x,
+    )
+    wc = Window.partitionBy(id_col).orderBy(F.col("d2").asc(), F.col("coarse").asc())
+    probed = (
+        vecs.crossJoin(F.broadcast(coarse_tbl))
+        .withColumn("d2", d2c)
+        .select(id_col, "coarse", "d2")
+        .withColumn("__rn", F.row_number().over(wc))
+        .where(F.col("__rn") <= nprobe_coarse)
+        .select(id_col, "coarse")
+    )
+    d2f = F.aggregate(
+        F.zip_with(F.col("__v"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda a, x: a + x,
+    )
+    wf = Window.partitionBy(id_col).orderBy(F.col("d2").asc(), F.col("cell").asc())
+    cells = (
+        probed.join(vecs, id_col)
+        .join(F.broadcast(centers), "coarse")
+        .withColumn("d2", d2f)
+        .select(id_col, "cell", "d2")
+        .withColumn("__rn", F.row_number().over(wf))
+        .where(F.col("__rn") <= nprobe)
+        .select(id_col, "cell")
+    )
+    return cells.join(df.select(id_col, vec_col), id_col).select(
+        "cell", id_col, vec_col
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     centers: DataFrame,
@@ -249,7 +427,14 @@ def ivf_assign(
     nearest centroids. Broadcast cross-join on the (small) centroid table;
     the top-nprobe window sees only skinny (id, cell, d2) rows (the
     ivf_candidates lesson: keep the 64-float payload out of the exchange).
-    O(Δn·n_cells) per delta — the corpus is never re-read."""
+    O(Δn·n_cells) per delta — the corpus is never re-read.
+
+    A two-level centers table (has a ``coarse`` column — see
+    ``ivf2_fit_centroids``) routes through the two-stage assignment
+    transparently, so ``ivf_topk_delta`` and run_ann.py work with either
+    index layout unchanged."""
+    if "coarse" in centers.columns:
+        return _ivf2_assign(df, centers, nprobe, id_col, vec_col)
     d2 = F.aggregate(
         F.zip_with(
             F.col(vec_col).cast("array<double>"), F.col("centroid"),

@@ -360,6 +360,96 @@ def lsh_candidates(
     )
 
 
+def _split_hot_cells(
+    assigned: DataFrame,
+    max_cell_rows: int,
+    sample_per_cell: int = 50,
+    max_iter: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """Secondary split for IVF cells holding more than ``max_cell_rows``
+    members (k-means cells are not size-balanced; a dominant embedding mode
+    concentrates in one cell whose self-join is O(m²)). Per hot cell, fit
+    ceil(m/max_cell_rows) sub-centroids on a bounded deterministic sample
+    (one applyInPandas pass over all hot cells at once), then re-assign the
+    hot members through a broadcast join + a skinny (cell, string, sub, d2)
+    window — never a per-cell driver loop, never a wide shuffle. Sub-cell
+    ids pack into the low 20 bits of the cell key, so the downstream
+    equi-join is unchanged. Cold cells pass through untouched."""
+    sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("__cn"))
+    hot = sizes.where(F.col("__cn") > max_cell_rows).localCheckpoint(eager=False)
+    if hot.isEmpty():
+        return assigned
+    cold = assigned.join(F.broadcast(hot.select("cell")), "cell", "left_anti")
+    members = assigned.join(F.broadcast(hot), "cell")
+    k_sub = F.ceil(F.col("__cn") / F.lit(max_cell_rows)).cast("int")
+    # deterministic per-row uniform for the fit sample: ~sample_per_cell·k
+    # rows per hot cell regardless of cell size
+    u = F.pmod(F.xxhash64("cell", "string"), F.lit(1 << 20)) / F.lit(float(1 << 20))
+    samp = members.withColumn("__k", k_sub).where(
+        u < F.least(
+            F.lit(1.0),
+            F.lit(float(sample_per_cell)) * F.col("__k") / F.col("__cn"),
+        )
+    ).select("cell", "vec", "__k")
+
+    mi, sd = max_iter, seed
+
+    def fit_sub(pdf: pd.DataFrame) -> pd.DataFrame:
+        from nama_spark.operators.ann import _np_kmeans
+
+        cell = int(pdf["cell"].iloc[0])
+        X = np.stack(pdf["vec"].to_numpy()).astype(float)
+        rng = np.random.RandomState(sd + cell)
+        centers = _np_kmeans(X, int(pdf["__k"].iloc[0]), rng, max_iter=mi)
+        return pd.DataFrame({
+            "cell": cell,
+            "sub": range(len(centers)),
+            "scentroid": [list(map(float, c)) for c in centers],
+        })
+
+    schema = T.StructType([
+        T.StructField("cell", T.LongType()),
+        T.StructField("sub", T.IntegerType()),
+        T.StructField("scentroid", T.ArrayType(T.DoubleType())),
+    ])
+    sub_centers = samp.groupBy("cell").applyInPandas(fit_sub, schema)
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("vec").cast("array<double>"), F.col("scentroid"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    w = Window.partitionBy("cell", "string").orderBy(
+        F.col("d2").asc(), F.col("sub").asc()
+    )
+    picked = (
+        members.select("cell", "string", "vec")
+        .join(F.broadcast(sub_centers), "cell")
+        .withColumn("d2", d2)
+        .select("cell", "string", "sub", "d2")
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("cell", "string", "sub")
+    )
+    hot_split = (
+        picked.join(members.select("cell", "string", "vec"), ["cell", "string"])
+        .select(
+            (F.col("cell") * F.lit(1 << 20) + 1 + F.col("sub")).alias("cell"),
+            "string",
+            "vec",
+        )
+    )
+    # cold keys shift into the same packed space (sub slot 0) so a cold
+    # cell id can never collide with a hot cell's sub-cell id
+    cold = cold.select(
+        (F.col("cell") * F.lit(1 << 20)).alias("cell"), "string", "vec"
+    )
+    return cold.unionByName(hot_split)
+
+
 def ivf_candidates(
     embeddings: DataFrame,
     cos_threshold: float,
@@ -368,6 +458,9 @@ def ivf_candidates(
     sample_per_cell: int = 50,
     max_iter: int = 10,
     seed: int = 42,
+    max_cells: int = 4096,
+    two_level: bool | None = None,
+    max_cell_rows: int | None = None,
 ) -> DataFrame:
     """Approximate ≥-threshold pairs via IVF cells — the density-robust
     scale path for the embedding threshold join.
@@ -390,16 +483,27 @@ def ivf_candidates(
     assumed: see SCALE.md §embedding-joins and the ivf row in bench.py.
 
     Centroid assignment is a broadcast cross-join (n·n_cells distance
-    exprs, JVM-side) + a per-string top-nprobe window; n_cells is capped at
-    4096 — past that, use a two-level (coarse-quantizer) IVF, same shape.
+    exprs, JVM-side) + a per-string top-nprobe window; past ``max_cells``
+    (default 4096, where the flat cross-join stops paying) the TWO-LEVEL
+    coarse quantizer takes over automatically (``two_level=None``): coarse
+    k-means over √total cells, an independent fine k-means inside each
+    coarse cell (ann.ivf2_fit_centroids), and a two-stage assignment that
+    probes n_coarse + nprobe_coarse·fine_per_coarse centroids per vector —
+    occupancy stays at ~400 for any n instead of growing linearly past
+    ~1.6M vectors. ``two_level=True`` forces it (tests / tuning).
 
     Skew note: k-means cells are not size-balanced — a corpus with one
     dominant mode can produce a hot cell whose per-cell join is O(m²).
     AQE's skew-join split shares that cell's join across tasks (the join is
-    a plain equi-join on cell, so the runtime split applies); if one cell
-    exceeds memory-per-task at your scale, raise n_cells or pre-split the
-    hot cell with a secondary k-means over its members — the equi-join
-    shape is unchanged.
+    a plain equi-join on cell, so the runtime split applies). For a cell
+    that exceeds memory-per-task, ``max_cell_rows`` pre-splits every cell
+    holding more rows than the cap with a SECONDARY k-means over that
+    cell's members (sub-centroids fit on a bounded per-cell sample via one
+    applyInPandas pass, members re-assigned through a broadcast join + a
+    skinny (cell, string, sub, d2) window — the equi-join shape is
+    unchanged, only the key gains sub-cell bits). Pairs falling across
+    sub-cells of a split cell are missed like any cross-cell pair; recall
+    is measured, not assumed (test_skew.py::test_hot_cell_secondary_split).
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -413,51 +517,79 @@ def ivf_candidates(
 
     feat = embeddings.select("string", "vec").localCheckpoint(eager=False)
     n = feat.count()
-    if n_cells is None:
-        n_cells = max(8, min(n // 400, 4096))
-    n_cells = min(n_cells, n)
-    nprobe = min(nprobe, n_cells)
+    want_cells = n_cells if n_cells is not None else max(8, min(n // 400, max_cells))
+    if two_level is None:
+        two_level = max(8, n // 400) > max_cells if n_cells is None else False
 
-    fit_frac = min(1.0, (sample_per_cell * n_cells) / max(n, 1))
-    fit_df = feat.sample(fraction=fit_frac, seed=seed) if fit_frac < 1.0 else feat
-    fit_feat = fit_df.select(
-        array_to_vector(F.col("vec").cast("array<double>")).alias("features")
-    ).localCheckpoint(eager=False)
-    n_cells = max(1, min(n_cells, fit_feat.count()))
-    model = KMeans(
-        k=n_cells, seed=seed, maxIter=max_iter,
-        featuresCol="features", predictionCol="cell",
-    ).fit(fit_feat)
+    if two_level:
+        import math as _math
 
-    spark = embeddings.sparkSession
-    centers_df = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        ["cell", "centroid"],
-    )
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col("vec").cast("array<double>"), F.col("centroid"),
-            lambda x, y: (x - y) * (x - y),
-        ),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
-    from pyspark.sql import Window
+        from nama_spark.operators.ann import _ivf2_assign, ivf2_fit_centroids
 
-    # top-nprobe cells per vector: drop the 64-float vec BEFORE the window —
-    # the n·n_cells rows that shuffle for row_number carry only (string,
-    # cell, d2), and the vector rejoins by string afterwards (n·nprobe rows).
-    # Measured at 30k vectors / 75 cells: 19.7 s → ~3 s.
-    w = Window.partitionBy("string").orderBy(F.col("d2").asc(), F.col("cell").asc())
-    cand_cells = (
-        feat.crossJoin(F.broadcast(centers_df))
-        .withColumn("d2", d2)
-        .select("string", "cell", "d2")
-        .withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= nprobe)
-        .select("string", "cell")
+        total = n_cells if n_cells is not None else max(8, n // 400)
+        n_coarse = max(2, _math.ceil(_math.sqrt(total)))
+        centers_df = ivf2_fit_centroids(
+            feat, n_coarse=n_coarse,
+            fine_per_coarse=max(1, _math.ceil(total / n_coarse)),
+            sample_per_cell=sample_per_cell, max_iter=max_iter,
+            vec_col="vec", seed=seed,
+        ).localCheckpoint(eager=False)
+        assigned = _ivf2_assign(
+            feat, centers_df, nprobe, id_col="string", vec_col="vec"
+        )
+    else:
+        n_cells = min(want_cells, n)
+        nprobe = min(nprobe, n_cells)
+
+        fit_frac = min(1.0, (sample_per_cell * n_cells) / max(n, 1))
+        fit_df = feat.sample(fraction=fit_frac, seed=seed) if fit_frac < 1.0 else feat
+        fit_feat = fit_df.select(
+            array_to_vector(F.col("vec").cast("array<double>")).alias("features")
+        ).localCheckpoint(eager=False)
+        n_cells = max(1, min(n_cells, fit_feat.count()))
+        model = KMeans(
+            k=n_cells, seed=seed, maxIter=max_iter,
+            featuresCol="features", predictionCol="cell",
+        ).fit(fit_feat)
+
+        spark = embeddings.sparkSession
+        centers_df = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+            ["cell", "centroid"],
+        )
+        d2 = F.aggregate(
+            F.zip_with(
+                F.col("vec").cast("array<double>"), F.col("centroid"),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        from pyspark.sql import Window
+
+        # top-nprobe cells per vector: drop the 64-float vec BEFORE the
+        # window — the n·n_cells rows that shuffle for row_number carry only
+        # (string, cell, d2), and the vector rejoins by string afterwards
+        # (n·nprobe rows). Measured at 30k vectors / 75 cells: 19.7 s → ~3 s.
+        w = Window.partitionBy("string").orderBy(F.col("d2").asc(), F.col("cell").asc())
+        cand_cells = (
+            feat.crossJoin(F.broadcast(centers_df))
+            .withColumn("d2", d2)
+            .select("string", "cell", "d2")
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= nprobe)
+            .select("string", "cell")
+        )
+        assigned = cand_cells.join(feat, "string").select("cell", "string", "vec")
+
+    assigned = assigned.select(
+        F.col("cell").cast("long").alias("cell"), "string", "vec"
     )
-    assigned = cand_cells.join(feat, "string")
+    if max_cell_rows is not None:
+        assigned = _split_hot_cells(
+            assigned, max_cell_rows, sample_per_cell=sample_per_cell,
+            max_iter=max_iter, seed=seed,
+        )
     a = assigned.select("cell", F.col("string").alias("s0"), F.col("vec").alias("v0"))
     b = assigned.select("cell", F.col("string").alias("s1"), F.col("vec").alias("v1"))
     # cosine + threshold filter run MAP-SIDE in the join stage; only the

@@ -919,3 +919,81 @@ def test_dedup_paragraphs_literal_separator(spark):
     assert got[1]["text_clean"] == "unique one"
     assert got[2]["text_clean"] == "unique two"
     assert got[3]["text_clean"] == "solo" and got[3]["n_dropped"] == 0
+
+
+def test_ivf2_two_level_index_all_probe_exact(spark, tmp_path):
+    """Two-level (coarse-quantizer) index drops into the SAME persisted
+    layout and query path: ivf_assign detects the ``coarse`` column and
+    routes two-stage; with every cell probed the top-k equals exact
+    bruteforce (the anchor ivf_topk_delta already proves for flat indexes).
+    Round-trips through parquet like run_ann.py does."""
+    from nama_spark.operators.ann import (
+        ivf2_fit_centroids,
+        ivf_assign,
+        ivf_topk_delta,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.limit(4)
+
+    centers = ivf2_fit_centroids(emb, n_coarse=3, fine_per_coarse=3)
+    assert {"cell", "coarse", "centroid"} <= set(centers.columns)
+    idx = str(tmp_path / "ivf2")
+    centers.write.parquet(idx + "/centroids")
+    centers2 = spark.read.parquet(idx + "/centroids")
+    assigned = ivf_assign(emb, centers2)
+    total = centers2.count()
+    assert total > 3  # genuinely two-level: more cells than coarse cells
+
+    got = ivf_topk_delta(queries, centers2, assigned, k=5, nprobe=total)
+    want = cosine_topk_bruteforce(emb, queries, k=5)
+    as_map = lambda df: {
+        (r["query_id"], r["rank"]): r["neighbor_id"] for r in df.collect()
+    }
+    assert as_map(got) == as_map(want)
+
+    # partial probe: k rows per query, sane recall
+    part = ivf_topk_delta(queries, centers2, assigned, k=5, nprobe=3)
+    pm = {}
+    for r in part.collect():
+        pm.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    wm = {}
+    for r in want.collect():
+        wm.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    recall = sum(len(set(pm.get(q, [])) & set(wm[q])) for q in wm) / (len(wm) * 5)
+    assert recall >= 0.5, recall
+
+
+def test_ivf2_constant_occupancy_past_flat_cap(spark):
+    """The point of the second level: sized for target occupancy T, the
+    two-level index keeps per-cell occupancy ~T at vector counts where the
+    flat index (capped at max_cells) would have occupancy grow linearly.
+    20k random vectors, target 100: flat capped at 16 cells ⇒ 1,250/cell;
+    two-level must deliver ≥ 4× more cells and mean occupancy ≤ 2.5×T."""
+    import numpy as np
+    import pandas as pd
+
+    from nama_spark.operators.ann import ivf2_fit_centroids, ivf_assign
+
+    rng = np.random.RandomState(5)
+    n, dim, target = 20_000, 8, 100
+    pdf = pd.DataFrame({
+        "vec_id": range(n),
+        "embedding": [list(map(float, v)) for v in rng.randn(n, dim)],
+    })
+    corpus = spark.createDataFrame(pdf).repartition(8)
+
+    centers = ivf2_fit_centroids(corpus, target_occupancy=target)
+    n_cells = centers.count()
+    flat_cap = 16  # a flat index frozen at max_cells=16 ⇒ n/16 = 1,250/cell
+    assert n_cells >= 4 * flat_cap, n_cells
+
+    sizes = [
+        r["c"] for r in ivf_assign(corpus, centers)
+        .groupBy("cell").agg(F.count(F.lit(1)).alias("c")).collect()
+    ]
+    mean_occ = sum(sizes) / len(sizes)
+    assert mean_occ <= 2.5 * target, mean_occ
+    # and no pathological mega-cell: the largest cell stays well under the
+    # flat-capped occupancy
+    assert max(sizes) < n / flat_cap, max(sizes)

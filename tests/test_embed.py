@@ -423,3 +423,29 @@ def test_fit_alpha_recovers_generating_alpha(spark):
     sw = alpha_loss_sweep(pw, weight_col="w")
     vals = [r["total_loss"] for r in sw.collect()]
     assert all(np.isfinite(v) for v in vals)
+
+
+def test_ivf_candidates_two_level_all_probe_equals_bruteforce(spark, emb):
+    """two_level=True routes through the coarse quantizer (ivf2 fit +
+    two-stage assign); with every cell probed both levels are exhaustive, so
+    the pair set EQUALS bruteforce — the exactness anchor survives two
+    levels. A partial probe is a subset (no false positives)."""
+    from nama_spark.operators.embed import ivf_candidates
+
+    t = 0.6
+    bf = {(r["s0"], r["s1"]) for r in bruteforce_candidates(emb, t).collect()}
+    two = {
+        (r["s0"], r["s1"])
+        for r in ivf_candidates(
+            emb, t, n_cells=6, nprobe=6, two_level=True
+        ).collect()
+    }
+    assert two == bf
+
+    part = {
+        (r["s0"], r["s1"])
+        for r in ivf_candidates(
+            emb, t, n_cells=6, nprobe=2, two_level=True
+        ).collect()
+    }
+    assert part.issubset(bf)

@@ -106,3 +106,82 @@ def test_hot_user_sessionize_capped(spark):
     counts.sort()
     median = counts[len(counts) // 2]
     assert max(counts) <= n // 2 + 3 * median
+
+
+def _mode_vectors(n_hot, n_cold, dim=8, n_sub=5, seed=3):
+    """~n_hot/(n_hot+n_cold) of the corpus concentrated in ONE dominant
+    embedding mode (built from n_sub tight sub-modes along axis directions,
+    the realistic shape: a hot cell usually has substructure), the rest
+    spread uniformly."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n_hot):
+        c = np.zeros(dim)
+        c[i % n_sub] = 1.0
+        v = c + 0.05 * rng.randn(dim)
+        rows.append((f"hot{i}", [float(x) for x in v / np.linalg.norm(v)]))
+    for i in range(n_cold):
+        v = rng.randn(dim)
+        rows.append((f"cold{i}", [float(x) for x in v / np.linalg.norm(v)]))
+    return rows
+
+
+def test_hot_cell_secondary_split_balances(spark):
+    """IVF k-means cells are not size-balanced: one dominant mode lands
+    ~600 of 1,000 vectors in one cell, whose self-join would be O(600²).
+    _split_hot_cells must split every over-cap cell so the largest cell
+    stays within 3× the median (the record-balance proxy for task time —
+    per-cell join work is m², so cell-size balance IS the skew bound),
+    while preserving every (string, vector) row exactly once."""
+    from nama_spark.operators.embed import _split_hot_cells
+
+    rows = _mode_vectors(600, 400)
+    # cell 0 = the hot mode; cold vectors spread over cells 1..4
+    assigned = spark.createDataFrame(
+        [(0 if s.startswith("hot") else 1 + (int(s[4:]) % 4), s, v)
+         for s, v in rows],
+        ["cell", "string", "vec"],
+    ).select(F.col("cell").cast("long").alias("cell"), "string", "vec")
+
+    out = _split_hot_cells(assigned, max_cell_rows=150).localCheckpoint()
+    assert out.count() == 1000
+    assert {r["string"] for r in out.select("string").collect()} == {
+        s for s, _ in rows
+    }
+    sizes = sorted(
+        r["c"] for r in
+        out.groupBy("cell").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    median = sizes[len(sizes) // 2]
+    assert max(sizes) <= 3 * max(median, 1), (max(sizes), median)
+    # the hot cell actually split (more cells than the 5 we started with)
+    assert len(sizes) >= 7, sizes
+
+    # cap high enough that nothing is hot → pass-through, keys untouched
+    same = _split_hot_cells(assigned, max_cell_rows=2000)
+    assert same.groupBy("cell").count().count() == 5
+
+
+def test_hot_cell_ivf_candidates_recall(spark):
+    """End-to-end: ivf_candidates(max_cell_rows=...) on a dominant-mode
+    corpus still finds the ≥-threshold pairs — the secondary split follows
+    the mode's substructure, so recall stays high while no single cell's
+    join exceeds the cap's O(m²) budget. Exact-cos filter ⇒ subset always."""
+    from nama_spark.operators.embed import bruteforce_candidates, ivf_candidates
+
+    rows = _mode_vectors(600, 400)
+    emb = spark.createDataFrame(rows, ["string", "vec"]).repartition(8)
+    t = 0.8
+    bf = {(r["s0"], r["s1"]) for r in bruteforce_candidates(emb, t).collect()}
+    got = {
+        (r["s0"], r["s1"])
+        for r in ivf_candidates(
+            emb, t, n_cells=8, nprobe=2, max_cell_rows=150
+        ).collect()
+    }
+    assert bf
+    assert got.issubset(bf)
+    recall = len(got & bf) / len(bf)
+    assert recall >= 0.7, recall

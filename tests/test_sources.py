@@ -362,3 +362,56 @@ def test_run_ann_append_rejects_inplace_output(spark, tmp_path):
     with pytest.raises(SystemExit, match="differ"):
         run_ann.main(["--corpus", corpus_p, "--append-index",
                       "--index", idx, "--output", idx])
+
+
+def test_run_corpus_pipeline_paragraph_stage(spark, tmp_path):
+    """--paragraph-min-df inserts the CCNet-style boilerplate stage between
+    exact and near-dup: shared paragraphs vanish from surviving text, the
+    funnel records the stage, and an all-boilerplate doc drops out."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    try:
+        import run_corpus_pipeline
+    finally:
+        sys.path.pop(0)
+
+    banner = "subscribe to our newsletter today"
+    docs = spark.createDataFrame(
+        [(i,
+          banner + "\n" + f"the quick brown fox number {i} jumps over "
+          f"the lazy dog while writing document {i} in plain english")
+         for i in range(20)]
+        + [(97, banner), (98, banner),  # all-boilerplate docs
+           (99, "a unique document with no boilerplate paragraphs at all "
+                "that simply talks about the weather in october")],
+        ["doc_id", "text"],
+    )
+    inp = str(tmp_path / "docs.parquet")
+    docs.write.parquet(inp)
+
+    out = str(tmp_path / "corpus")
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = run_corpus_pipeline.main([
+            "--input", inp, "--output", out,
+            "--paragraph-min-df", "2",
+            "--near-dup-threshold", "0.9",
+        ])
+    assert rc == 0
+    summary = json.loads(buf.getvalue().strip().splitlines()[-1])
+    funnel = summary["funnel"]
+    assert funnel["after_paragraph_dedup"] < funnel["after_exact_dedup"]
+    assert funnel["paragraphs_dropped"] >= 20
+    # funnel order: paragraph stage sits between exact and near-dup
+    keys = list(funnel)
+    assert keys.index("after_exact_dedup") < keys.index("after_paragraph_dedup") < keys.index("after_near_dedup")
+
+    shards = spark.read.parquet(out + "/shards")
+    assert shards.where(F.col("text").contains(banner)).count() == 0
+    assert shards.where(F.col("doc_id").isin(97, 98)).count() == 0
+    assert shards.where(F.col("doc_id") == 99).count() == 1

@@ -73,6 +73,13 @@ WHITELIST: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "broadcast n_cells centroid rows; "
         "candidate join is equi on cell id"
     },
+    "ann_ivf2_topk": {
+        "BroadcastNestedLoopJoin": "broadcast coarse-routing + fine-centroid "
+        "rows (two-level quantizer); candidate join is equi on cell id",
+        "Exchange SinglePartition": "Catalyst-injected runtime bloom-filter "
+        "subquery (InjectRuntimeFilter): a 1-row scalar bloom aggregate on "
+        "the query-id predicate, not a data shuffle",
+    },
     "sorted_neighborhood_pairs": {
         "BroadcastNestedLoopJoin": "broadcast window-1 delta rows; "
         "rank join is equi on rank+d"
@@ -124,6 +131,7 @@ def audit(spark, sf_dir: str, only: set[str] | None = None):
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])  # optional query-name subset
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
     from nama_spark.session import get_spark
@@ -132,7 +140,7 @@ def main():
         "plan_audit", cores=8,
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
-    results = audit(spark, sf_dir)
+    results = audit(spark, sf_dir, only=only or None)
     bad = {k: v for k, v in results.items() if v.get("violations") or v.get("error")}
     for name, r in sorted(results.items()):
         if r.get("error"):
