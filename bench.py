@@ -350,26 +350,73 @@ def bench_ann_lsh(spark, sf_dir):
     return wall, {"ann_lsh_rows": n, "ann_lsh_recall": round(rec, 4)}
 
 
+def _ivf_bench_config(n: int) -> tuple[int, int]:
+    """(n_cells, nprobe) for the bench corpus: cells sized to the ~400-row
+    occupancy target, nprobe floored to 60% of cells. The floor exists
+    because a SMALL corpus with few cells under-probes badly (r4 recorded
+    recall 0.70 at 16 cells / nprobe 6 over 2k vectors — a config artifact,
+    not an IVF property); the fixture's hashed-projection vectors are
+    near-random (a deliberately hard ANN case), so a generous probe
+    fraction is the price of ≥0.9 recall here. Real-encoder embeddings
+    cluster, and production configs probe far fewer cells."""
+    n_cells = max(8, min(n // 400, 4096))
+    return n_cells, max(5, (6 * n_cells + 9) // 10)
+
+
 def bench_ann_ivf(spark, sf_dir):
-    """IVF cell-probe top-k (scale path). The timed region includes the
-    k-means index BUILD — at production scale the index is built once and
-    amortized; treat this row as the cold-start upper bound. Recall vs
-    bruteforce in extras."""
+    """IVF cell-probe top-k, COLD: the timed region includes the k-means
+    index build — the cold-start upper bound. Config from
+    _ivf_bench_config (recall ≥0.9 by construction on this fixture); recall
+    vs bruteforce in extras. The amortized row below is the deployment
+    story."""
     from nama_spark.operators.ann import cosine_topk_bruteforce, ivf_topk
     from pyspark.sql import functions as F
 
     emb = _emb_scaled(spark, sf_dir).cache()
-    emb.count()
+    n_vec = emb.count()
+    n_cells, nprobe = _ivf_bench_config(n_vec)
     queries = emb.where(F.col("vec_id") < 64)
     t0 = time.time()
-    out = ivf_topk(emb, queries, k=10, n_cells=16, nprobe=6)
+    out = ivf_topk(emb, queries, k=10, n_cells=n_cells, nprobe=nprobe)
     out = out.localCheckpoint(eager=False)
     n = out.count()
     wall = time.time() - t0
     exact = cosine_topk_bruteforce(emb, queries, k=10)
     rec = _ann_recall(out, exact)
     emb.unpersist()
-    return wall, {"ann_ivf_rows": n, "ann_ivf_recall": round(rec, 4)}
+    return wall, {"ann_ivf_rows": n, "ann_ivf_recall": round(rec, 4),
+                  "ann_ivf_cells": n_cells, "ann_ivf_nprobe": nprobe}
+
+
+def bench_ann_ivf_amortized(spark, sf_dir):
+    """IVF against a PREBUILT index (ivf_fit_centroids + ivf_assign run
+    OUTSIDE the timed region, as a persisted index-once/delta-daily
+    deployment would): the timed region is ivf_topk_delta only — the
+    per-query-batch cost a production consumer pays. Same config and recall
+    floor as the cold row."""
+    from nama_spark.operators.ann import (
+        cosine_topk_bruteforce,
+        ivf_assign,
+        ivf_fit_centroids,
+        ivf_topk_delta,
+    )
+    from pyspark.sql import functions as F
+
+    emb = _emb_scaled(spark, sf_dir).cache()
+    n_vec = emb.count()
+    n_cells, nprobe = _ivf_bench_config(n_vec)
+    centers = ivf_fit_centroids(emb, n_cells=n_cells).localCheckpoint()
+    assigned = ivf_assign(emb, centers).localCheckpoint()
+    queries = emb.where(F.col("vec_id") < 64)
+    t0 = time.time()
+    out = ivf_topk_delta(queries, centers, assigned, k=10, nprobe=nprobe)
+    out = out.localCheckpoint(eager=False)
+    n = out.count()
+    wall = time.time() - t0
+    exact = cosine_topk_bruteforce(emb, queries, k=10)
+    rec = _ann_recall(out, exact)
+    emb.unpersist()
+    return wall, {"ann_ivf_am_rows": n, "ann_ivf_am_recall": round(rec, 4)}
 
 
 def bench_embed_lsh(spark, sf_dir, n_entities):
@@ -496,6 +543,7 @@ def main():
     run("ann_topk", bench_ann, sf_dir)
     run("ann_lsh", bench_ann_lsh, sf_dir)
     run("ann_ivf", bench_ann_ivf, sf_dir)
+    run("ann_ivf_amortized", bench_ann_ivf_amortized, sf_dir)
     run("embed_lsh", bench_embed_lsh, sf_dir, n_entities)
     run("embed_ivf", bench_embed_ivf, sf_dir, n_entities)
     run("tpch_q1", bench_sql, sf_dir, "tpch_q1_pricing_summary")
@@ -523,5 +571,59 @@ def main():
     spark.stop()
 
 
+_BENIGN_PATTERNS = (
+    # the three documented-benign families from the module docstring —
+    # filtered from the forwarded stderr so a NEW stack trace stands out in
+    # the recorded tail instead of drowning in known noise
+    "Failed to update accumulator",
+    "non-existent accumulator",
+    "BrokenPipeError",
+    "pyspark/daemon.py",
+    "WARN BlockManager: Block rdd_",
+)
+_CONTINUATION = ("\tat ", "  at ", "Caused by", "  File ", "    ", "\t...")
+
+
+def filter_benign_lines(lines):
+    """Drop documented-benign stderr lines plus their stack-trace
+    continuation lines (a dropped header swallows the '\\tat ...' frames
+    that follow it). Pure function — unit-tested without Spark."""
+    in_dropped_block = False
+    for line in lines:
+        if any(p in line for p in _BENIGN_PATTERNS):
+            in_dropped_block = True
+            continue
+        if in_dropped_block and (
+            line.startswith(_CONTINUATION) or line.strip() == ""
+            or line.startswith("Traceback (most recent call last)")
+        ):
+            continue
+        in_dropped_block = False
+        yield line
+
+
+def _run_filtered():
+    """Re-exec the bench as a child and stream its stderr through the
+    benign-line filter, so whatever captures OUR stderr (the per-round
+    BENCH_r{N}.json tail) records signal, not the documented noise.
+    Stdout (the one-line JSON) passes through untouched."""
+    import subprocess
+
+    env = dict(os.environ, SPARK_GRAFT_BENCH_CHILD="1")
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__)] + sys.argv[1:],
+        stderr=subprocess.PIPE, env=env, text=True, errors="replace",
+    )
+    # one generator instance end-to-end: the continuation-drop state must
+    # persist across lines (a dropped header swallows its following frames)
+    for line in filter_benign_lines(proc.stderr):
+        sys.stderr.write(line)
+        sys.stderr.flush()
+    return proc.wait()
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("SPARK_GRAFT_BENCH_CHILD") == "1":
+        main()
+    else:
+        sys.exit(_run_filtered())

@@ -278,6 +278,82 @@ class MatchData:
         # re-electing real labels from member strings (labels are cosmetic).
         return MatchData(out)
 
+    def unite_incremental(
+        self, edges: DataFrame, prev: "MatchData", **cc_kwargs
+    ) -> "MatchData":
+        """``unite(edges)`` specialized for the incremental contract: every
+        edge touches at least one string OUTSIDE ``prev``'s universe (self =
+        prev + the new singletons, as built by ``add_strings``).
+
+        Runs connected components on the GROUP-QUOTIENT graph — edge
+        endpoints contracted to their previous group label (new strings map
+        to themselves) — then relabels only the touched rows and re-elects
+        labels only inside merged components. Untouched groups are fixed
+        points of the closure, so the result equals ``unite(edges)``
+        row-for-row (label election is deterministic per group), but the CC
+        and the relabel window are O(Δ-touched), not O(universe): the
+        per-micro-batch cost the streaming ER path needs
+        (equality-tested in tests/test_matchdata.py)."""
+        from nama_spark.operators.cluster import connected_components
+
+        c0, c1 = edges.columns[:2]
+        prev_map = prev.df.select("string", "group")
+        qe = (
+            edges.select(F.col(c0).alias("__s0"), F.col(c1).alias("__s1"))
+            .join(
+                prev_map.select(
+                    F.col("string").alias("__s0"), F.col("group").alias("__g0")
+                ),
+                "__s0", "left",
+            )
+            .join(
+                prev_map.select(
+                    F.col("string").alias("__s1"), F.col("group").alias("__g1")
+                ),
+                "__s1", "left",
+            )
+            .select(
+                F.coalesce("__g0", F.col("__s0")).alias("src"),
+                F.coalesce("__g1", F.col("__s1")).alias("dst"),
+            )
+        )
+        # Δ-sized by contract → one bounded collect + driver union-find
+        # beats the generic CC machinery's job chain (eager checkpoint +
+        # checksum + collect = 3 scheduling rounds) for micro-batches; the
+        # limit caps driver memory, and an over-cap batch falls back to the
+        # distributed large-star/small-star pass.
+        cap = cc_kwargs.pop("driver_edge_cap", 100_000)
+        qe_rows = qe.limit(cap + 1).collect()
+        if len(qe_rows) <= cap:
+            from nama_spark.operators.cluster import _union_find_local
+
+            uf = _union_find_local(
+                [(min(r[0], r[1]), max(r[0], r[1])) for r in qe_rows]
+            )
+            spark = self.df.sparkSession
+            if not uf:
+                return MatchData(self.df, _relabel=False)
+            comp = spark.createDataFrame(
+                list(uf.items()), ["node", "component"]
+            )
+        else:
+            comp = connected_components(qe, **cc_kwargs)
+        merged = self.df.join(
+            comp.select(
+                F.col("node").alias("group"), F.col("component").alias("__c")
+            ),
+            "group", "left",
+        )
+        untouched = merged.where(F.col("__c").isNull()).select(
+            "string", "count", "group"
+        )
+        touched = elect_labels(
+            merged.where(F.col("__c").isNotNull()).select(
+                "string", "count", F.col("__c").alias("group")
+            )
+        )
+        return MatchData(untouched.unionByName(touched), _relabel=False)
+
     def split(self, strings: Iterable[str]) -> "MatchData":
         """Break the given strings out into singletons; remnants re-elect labels
         (match_data.py:320-370). Singleton and remnant keys live in disjoint

@@ -90,6 +90,37 @@ class TokenSimilarity:
         ).cache()
         return self
 
+    def fit_incremental(
+        self,
+        prev_tokens: DataFrame,
+        delta_strings: DataFrame,
+        string_col: str = "string",
+    ) -> DataFrame:
+        """Incremental fit from a CARRIED token table (the band-index
+        pattern): ``prev_tokens`` is the persisted (string, token, tf) table
+        of the existing universe; ``delta_strings`` are strings NOT in it.
+        Tokenizes only the Δn delta rows, unions them in, and recomputes
+        weights with one vocabulary-sized aggregation — the resulting
+        tokens/weights are IDENTICAL to fit() on the union universe (weights
+        are a pure function of the union token table), at O(Δn)
+        tokenization instead of re-exploding every accumulated string per
+        increment. Returns the delta token rows so the caller can persist
+        them (streaming/er.py appends one delta dir per micro-batch)."""
+        self.unpersist()
+        delta = tokens_table(
+            delta_strings.select(F.col(string_col).alias("string")),
+            tokenizer=self.tokenizer,
+        )
+        prev = prev_tokens.select("string", "token", "tf")
+        self._tokens = prev.unionByName(delta).cache()
+        self._weights = token_weights(
+            self._tokens,
+            weighting=self.weighting,
+            reference_doc_counts=self.reference_doc_counts,
+        ).cache()
+        self._strings = self._tokens.select("string").distinct()
+        return delta
+
     def _require_fit(self):
         if self._tokens is None:
             raise RuntimeError("call fit() first")
@@ -180,6 +211,7 @@ class TokenSimilarity:
         threshold: float | None = None,
         string_col: str = "string",
         count_col: str | None = None,
+        prev_tokens: DataFrame | None = None,
     ) -> MatchData:
         """Unite NEWLY-ARRIVED strings into an existing partition without
         re-enumerating the old×old candidate set (the daily-increment path:
@@ -213,8 +245,22 @@ class TokenSimilarity:
         md2 = matchdata.add_strings(
             new_strings, string_col=string_col, count_col=count_col
         )
-        # refit tokens/weights on the union universe
-        self.fit(md2.df, string_col="string")
+        # refit tokens/weights on the union universe — either from scratch
+        # (O(n) re-tokenization) or, when the caller carries the previous
+        # token table (``prev_tokens``), incrementally: only strings not yet
+        # in the existing universe are tokenized, and the refit weights are
+        # identical by construction. The delta rows land in
+        # ``last_delta_tokens`` for the caller to persist.
+        if prev_tokens is None:
+            self.fit(md2.df, string_col="string")
+            self.last_delta_tokens: DataFrame | None = None
+        else:
+            genuinely_new = nw.join(
+                matchdata.df.select("string").distinct(), "string", "left_anti"
+            )
+            self.last_delta_tokens = self.fit_incremental(
+                prev_tokens, genuinely_new
+            )
         elig = eligible_tokens(self._weights, 2, self.max_block_size)
         pairs = salt_pairs(token_block_pairs_against(self._tokens, nw, elig))
         scorer = (
@@ -224,7 +270,11 @@ class TokenSimilarity:
         )
         scores = scorer(pairs, self._tokens, self._weights, measure=self.measure)
         edges = scores.where(F.col("score") >= threshold).select("s0", "s1")
-        return md2.unite(edges)
+        # every edge touches a new string by construction (blocking was
+        # against ``nw``), so the group-quotient unite applies: CC + relabel
+        # cost O(Δ-touched), not O(universe) — the difference between a
+        # micro-batch that costs Δ and one that re-walks the corpus
+        return md2.unite_incremental(edges, matchdata)
 
     # ---------- threshold sweep ----------
 

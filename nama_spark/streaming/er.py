@@ -21,9 +21,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def _versions(spark, state_dir: str) -> list[int]:
+def _versions(spark, state_dir: str, prefix: str = "v") -> list[int]:
     """Complete state versions under state_dir (Hadoop FS — works on local
-    paths and distributed filesystems alike)."""
+    paths and distributed filesystems alike). ``prefix`` selects the family:
+    'v' = partition snapshots, 't' = append-only token-delta dirs."""
     sc = spark.sparkContext
     jvm = sc._jvm
     path = jvm.org.apache.hadoop.fs.Path(state_dir)
@@ -33,10 +34,25 @@ def _versions(spark, state_dir: str) -> list[int]:
     out = []
     for st in fs.listStatus(path):
         name = st.getPath().getName()
-        if name.startswith("v") and name[1:].isdigit():
+        if name.startswith(prefix) and name[len(prefix):].isdigit():
             if fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")):
-                out.append(int(name[1:]))
+                out.append(int(name[len(prefix):]))
     return sorted(out)
+
+
+def load_token_state(spark, state_dir: str, before: int | None = None):
+    """Union of the complete token-delta dirs (t<batch_id>) strictly below
+    ``before`` — the carried (string, token, tf) table of the accumulated
+    universe. Deltas are append-only (each batch writes ONLY its new
+    strings' token rows — the MinHash band-index pattern), so the union IS
+    the full table and a replayed batch re-reading < its own id stays
+    consistent. Returns None when no delta exists yet."""
+    vs = _versions(spark, state_dir, prefix="t")
+    if before is not None:
+        vs = [v for v in vs if v < before]
+    if not vs:
+        return None
+    return spark.read.parquet(*[f"{state_dir}/t{v:010d}" for v in vs])
 
 
 def _prune_versions(spark, state_dir: str, current: int) -> None:
@@ -96,16 +112,31 @@ def streaming_unite_names(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         prev = load_state(spark, state_dir, before=batch_id)
+        prev_tokens = load_token_state(spark, state_dir, before=batch_id)
         names = batch_df.select(string_col)
         ts = TokenSimilarity(tokenizer=tokenizer)
         if prev is None:
             md = MatchData.from_unmatched(names, string_col=string_col)
-            md = ts.fit(md.df).predict(md, threshold=threshold)
+            ts.fit(md.df)
+            delta_tokens = ts._tokens  # first batch: the full table IS the delta
+            md = ts.predict(md, threshold=threshold)
         else:
             md = ts.predict_incremental(
-                prev, names, threshold=threshold, string_col=string_col
+                prev, names, threshold=threshold, string_col=string_col,
+                prev_tokens=prev_tokens,
+            )
+            # no token index yet (pre-existing v-only state): bootstrap it
+            # with the full union table so later batches go incremental
+            delta_tokens = (
+                ts.last_delta_tokens if prev_tokens is not None else ts._tokens
             )
         md.df.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id:010d}")
+        if delta_tokens is not None:
+            # append-only token index: O(Δn) rows per batch, so later
+            # batches never re-tokenize the accumulated universe
+            delta_tokens.write.mode("overwrite").parquet(
+                f"{state_dir}/t{batch_id:010d}"
+            )
         _prune_versions(spark, state_dir, batch_id)
         ts.unpersist()
 

@@ -222,3 +222,34 @@ def test_matched_to_and_reset_counts(spark):
     got = {r["string"] for r in md.matched_to(["b"]).collect()}
     assert got == {"a", "b"}
     assert {r["count"] for r in md.reset_counts().df.collect()} == {1}
+
+
+def test_unite_incremental_equals_unite(spark):
+    """unite_incremental (group-quotient CC + touched-only relabel) must
+    reproduce unite(edges) exactly whenever every edge touches a string
+    outside the previous universe — chained merges through a new string,
+    group-group merges, isolated new singletons, labels included."""
+    from nama_spark.operators.matchdata import MatchData
+
+    prev = MatchData(spark.createDataFrame(
+        [("a", 3, "a"), ("a2", 1, "a"),      # group A
+         ("b", 2, "b"), ("b2", 1, "b"),      # group B
+         ("c", 1, "c"),                        # singleton
+         ("d", 5, "d")],                       # untouched group
+        ["string", "count", "group"]))
+    new = spark.createDataFrame(
+        [("n1",), ("n2",), ("n3",)], ["string"])
+    md2 = prev.add_strings(new)
+    # n1 bridges A and B; n2 joins c; n3 stays isolated
+    edges = spark.createDataFrame(
+        [("n1", "a"), ("n1", "b2"), ("c", "n2")], ["s0", "s1"])
+
+    want = {tuple(r) for r in md2.unite(edges).df.collect()}
+    got = {tuple(r) for r in md2.unite_incremental(edges, prev).df.collect()}
+    assert got == want
+
+    # empty edge set: everything untouched, byte-identical rows
+    none = spark.createDataFrame([], "s0 string, s1 string")
+    got2 = {tuple(r) for r in md2.unite_incremental(none, prev).df.collect()}
+    want2 = {tuple(r) for r in md2.unite(none).df.collect()}
+    assert got2 == want2

@@ -294,3 +294,34 @@ def test_write_matchdata_bucketed_roundtrip(spark, tmp_path, no_broadcast):
     finally:
         spark.sql("DROP TABLE IF EXISTS bt_md")
         spark.sql("DROP TABLE IF EXISTS bt_md_recs")
+
+
+def test_bench_benign_stderr_filter():
+    """bench.py's stderr filter drops the three documented-benign noise
+    families (accumulator-update burst incl. its stack frames, daemon
+    BrokenPipe traceback, BlockManager re-register warning) while passing a
+    NOVEL error — and its stack trace — through untouched."""
+    import bench
+
+    lines = [
+        "26/01/01 ERROR DAGScheduler: Failed to update accumulator 42 (Unknown class)\n",
+        "org.apache.spark.SparkException: attempted to access non-existent accumulator 42\n",
+        "\tat org.apache.spark.util.AccumulatorV2.merge(AccumulatorV2.scala:1)\n",
+        "\tat org.apache.spark.scheduler.DAGScheduler.update(DAGScheduler.scala:2)\n",
+        "WARN BlockManager: Block rdd_12_3 already exists on this machine\n",
+        "Traceback (most recent call last):\n",
+        '  File "/opt/spark/python/pyspark/daemon.py", line 10, in worker\n',
+        "BrokenPipeError: [Errno 32] Broken pipe\n",
+        "26/01/01 ERROR Executor: Exception in task 0.0 in stage 5.0\n",
+        "\tat com.example.Whatever.novel(Method.java:1)\n",
+        "ordinary progress line\n",
+    ]
+    kept = list(bench.filter_benign_lines(lines))
+    text = "".join(kept)
+    assert "accumulator" not in text
+    assert "BrokenPipe" not in text
+    assert "BlockManager" not in text
+    # the novel error AND its frame survive
+    assert "Exception in task 0.0" in text
+    assert "com.example.Whatever.novel" in text
+    assert "ordinary progress line" in text

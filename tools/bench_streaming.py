@@ -189,9 +189,15 @@ def main():
     )
     out = {
         "dedup": bench_streaming_dedup(spark, n_batches, rows_per_batch),
-        # ER batches are heavier (token fit + incremental predict) — smaller
-        "er": bench_streaming_er(spark, max(n_batches // 2, 10),
+        # ER at two batch sizes: the per-batch wall is a FIXED job-chain
+        # floor (~4 s on this host — scheduling latency across the
+        # incremental DAG's stages, measured flat as state grows), so
+        # sustained rows/sec scales with batch size; the 200-row point
+        # tracks the floor, the 1000-row point the amortized throughput
+        "er": bench_streaming_er(spark, n_batches,
                                  max(rows_per_batch // 10, 100)),
+        "er_1k": bench_streaming_er(spark, n_batches,
+                                    max(rows_per_batch // 2, 500)),
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "streaming.json"), "w") as f:
