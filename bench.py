@@ -360,7 +360,11 @@ def _ivf_bench_config(n: int) -> tuple[int, int]:
     fraction is the price of ≥0.9 recall here. Real-encoder embeddings
     cluster, and production configs probe far fewer cells."""
     n_cells = max(8, min(n // 400, 4096))
-    return n_cells, max(5, (6 * n_cells + 9) // 10)
+    # 70% probe fraction, floor 7: sampled-fit centroid quality varies run
+    # to run on this near-random fixture (measured band at 8 cells:
+    # nprobe 5 → 0.86-0.98, nprobe 6 → 0.91, nprobe 7 → 0.96), so the
+    # config leaves margin above the 0.9 recall target at both scales
+    return n_cells, max(7, (7 * n_cells + 9) // 10)
 
 
 def bench_ann_ivf(spark, sf_dir):
@@ -577,6 +581,7 @@ _BENIGN_PATTERNS = (
     # the recorded tail instead of drowning in known noise
     "Failed to update accumulator",
     "non-existent accumulator",
+    "garbage collected accumulator",
     "BrokenPipeError",
     "pyspark/daemon.py",
     "WARN BlockManager: Block rdd_",
@@ -587,19 +592,32 @@ _CONTINUATION = ("\tat ", "  at ", "Caused by", "  File ", "    ", "\t...")
 def filter_benign_lines(lines):
     """Drop documented-benign stderr lines plus their stack-trace
     continuation lines (a dropped header swallows the '\\tat ...' frames
-    that follow it). Pure function — unit-tested without Spark."""
+    that follow it). A 'Traceback' header is held one line to see whether
+    the traceback is the benign daemon BrokenPipe (dropped together) or
+    novel (flushed intact). Pure function — unit-tested without Spark."""
     in_dropped_block = False
+    held_traceback = None
     for line in lines:
         if any(p in line for p in _BENIGN_PATTERNS):
             in_dropped_block = True
+            held_traceback = None  # the held header belonged to this block
+            continue
+        if held_traceback is not None:
+            yield held_traceback
+            held_traceback = None
+        if line.startswith("Traceback (most recent call last)"):
+            if in_dropped_block:
+                continue
+            held_traceback = line
             continue
         if in_dropped_block and (
             line.startswith(_CONTINUATION) or line.strip() == ""
-            or line.startswith("Traceback (most recent call last)")
         ):
             continue
         in_dropped_block = False
         yield line
+    if held_traceback is not None:
+        yield held_traceback
 
 
 def _run_filtered():

@@ -120,6 +120,10 @@ class EmbeddingPass:
     # occupancy; measured 57× at 10× vectors, IVF 4.6×)
     n_cells: int | None = None
     nprobe: int = 2
+    # ivf mode scale knobs (forwarded): two_level=None auto-engages the
+    # coarse quantizer past max_cells; max_cell_rows pre-splits hot cells
+    two_level: bool | None = None
+    max_cell_rows: int | None = None
     normalize: str | None = "simplify_corp"
     # "rp" = seeded Gaussian random projection (embed_strings);
     # "md5" = engine-portable md5 feature hashing (embed_strings_md5 —
@@ -176,6 +180,7 @@ class EmbeddingPass:
         elif self.candidate_mode == "ivf":
             cand = ivf_candidates(
                 emb, cos_t, n_cells=self.n_cells, nprobe=self.nprobe,
+                two_level=self.two_level, max_cell_rows=self.max_cell_rows,
             )
         else:
             cand = lsh_candidates(

@@ -321,7 +321,22 @@ def test_bench_benign_stderr_filter():
     assert "accumulator" not in text
     assert "BrokenPipe" not in text
     assert "BlockManager" not in text
+    assert "Traceback" not in text  # the daemon traceback header went too
     # the novel error AND its frame survive
     assert "Exception in task 0.0" in text
     assert "com.example.Whatever.novel" in text
     assert "ordinary progress line" in text
+
+    # a NOVEL python traceback is flushed intact (header held one line,
+    # then released once the first frame proves it isn't the daemon one)
+    novel = [
+        "Traceback (most recent call last):\n",
+        '  File "/app/mycode.py", line 7, in run\n',
+        "ValueError: genuinely new\n",
+    ]
+    out = "".join(bench.filter_benign_lines(novel))
+    assert "Traceback" in out and "mycode.py" in out and "genuinely new" in out
+    # the GC'd-accumulator WARN variant is also dropped
+    assert list(bench.filter_benign_lines(
+        ["WARN AccumulatorContext: Attempted to access garbage collected "
+         "accumulator 114108\n"])) == []

@@ -415,3 +415,46 @@ def test_run_corpus_pipeline_paragraph_stage(spark, tmp_path):
     assert shards.where(F.col("text").contains(banner)).count() == 0
     assert shards.where(F.col("doc_id").isin(97, 98)).count() == 0
     assert shards.where(F.col("doc_id") == 99).count() == 1
+
+
+def test_run_ann_job_two_level_index(spark, tmp_path):
+    """--two-level builds a coarse-quantizer index in the SAME persisted
+    layout; append + query work unchanged (ivf_assign auto-detects the
+    coarse column), and the all-cells probe equals exact bruteforce."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    try:
+        import run_ann
+    finally:
+        sys.path.pop(0)
+
+    from nama_spark.operators.ann import cosine_topk_bruteforce
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    old_p = str(tmp_path / "old.parquet")
+    new_p = str(tmp_path / "new.parquet")
+    q_p = str(tmp_path / "q.parquet")
+    emb.where(F.col("vec_id") % 2 == 0).write.parquet(old_p)
+    emb.where(F.col("vec_id") % 2 == 1).write.parquet(new_p)
+    emb.where(F.col("vec_id") < 4).write.parquet(q_p)
+
+    idx1 = str(tmp_path / "idx1")
+    assert run_ann.main(["--corpus", old_p, "--build-index", "--two-level",
+                         "--output", idx1]) == 0
+    centers = spark.read.parquet(idx1 + "/centroids")
+    assert "coarse" in centers.columns
+    idx2 = str(tmp_path / "idx2")
+    assert run_ann.main(["--corpus", new_p, "--append-index",
+                         "--index", idx1, "--output", idx2]) == 0
+    res = str(tmp_path / "res")
+    total = centers.count()
+    assert run_ann.main(["--queries", q_p, "--index", idx2,
+                         "--k", "5", "--nprobe", str(total),
+                         "--output", res]) == 0
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"]
+           for r in spark.read.parquet(res + "/topk").collect()}
+    want = {(r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in cosine_topk_bruteforce(
+                emb, emb.where(F.col("vec_id") < 4), k=5).collect()}
+    assert got == want
