@@ -291,30 +291,15 @@ def ivf2_fit_centroids(
         k=n_coarse, seed=seed, maxIter=max_iter,
         featuresCol="features", predictionCol="coarse",
     ).fit(sample.select(array_to_vector(F.col("v")).alias("features")))
-    spark = corpus.sparkSession
-    coarse_df = spark.createDataFrame(
-        [(i, [float(x) for x in c])
-         for i, c in enumerate(coarse_model.clusterCenters())],
-        ["coarse", "ccentroid"],
-    )
 
-    # stage-1 assign the SAMPLE to its nearest coarse cell (skinny window)
-    d2 = F.aggregate(
-        F.zip_with(F.col("v"), F.col("ccentroid"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0), lambda a, x: a + x,
-    )
-    sample_id = sample.withColumn("__sid", F.monotonically_increasing_id())
-    w = Window.partitionBy("__sid").orderBy(F.col("d2").asc(), F.col("coarse").asc())
-    sassigned = (
-        sample_id.crossJoin(F.broadcast(coarse_df))
-        .withColumn("d2", d2)
-        .select("__sid", "coarse", "d2")
-        .withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .select("__sid", "coarse")
-        .join(sample_id, "__sid")
-        .select("coarse", "v")
-    )
+    # stage-1 assign the SAMPLE with the in-scope MLlib model: a pure
+    # map-side projection (no crossJoin, no window, no shuffle) — the
+    # relational two-stage path in _ivf2_assign exists for consumers that
+    # only have the persisted centroid table, but here the model object is
+    # at hand
+    sassigned = coarse_model.transform(
+        sample.select("v", array_to_vector(F.col("v")).alias("features"))
+    ).select("coarse", "v")
 
     kf, mi, sd = fine_per_coarse, max_iter, seed
 

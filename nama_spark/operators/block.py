@@ -261,7 +261,16 @@ def global_rank(
     # the expression relative to whatever stage the window planner puts it in
     local = ranged.withColumn("__pid", F.spark_partition_id())
     w = Window.partitionBy("__pid").orderBy(*[F.col(c) for c in order_cols])
-    local = local.withColumn("__rn", F.row_number().over(w))
+    # PIN the ranged materialization (lazy localCheckpoint): the sizes
+    # collect below and the final join are two EXECUTIONS of this frame,
+    # and repartitionByRange computes its boundaries from a data SAMPLE —
+    # two executions may cut ranges differently, so offsets derived from
+    # one partitioning must never be applied to a recomputation
+    # (caught by the sf0.1 10x oracle attestation: pack_chunks drifted by
+    # one pack around a boundary; same hazard here)
+    local = local.withColumn("__rn", F.row_number().over(w)).localCheckpoint(
+        eager=False
+    )
     # one tiny action: partition sizes → offsets (prefix sum on the driver)
     sizes = {
         r["__pid"]: r["n"]
@@ -305,7 +314,11 @@ def global_cumsum(
         .orderBy(*[F.col(c) for c in order_cols])
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    local = local.withColumn("__cs", F.sum(weight_col).over(w))
+    # pin before the totals collect — same double-execution hazard as
+    # global_rank above (range boundaries are sample-derived)
+    local = local.withColumn("__cs", F.sum(weight_col).over(w)).localCheckpoint(
+        eager=False
+    )
     totals = {
         r["__pid"]: r["t"]
         for r in local.groupBy("__pid")
