@@ -648,10 +648,13 @@ def q_calibration_alpha_sweep(spark, sf_dir):
     # dot product sums in engine-specific order (ulp drift that the XE
     # term's ln(1-exp(-z)) amplifies by 1/z, and that 6-dp rounding can
     # straddle). Integer dot products are exact and order-free, so both
-    # engines derive bit-identical cosines.
+    # engines derive bit-identical cosines. floor(x+0.5), NOT round():
+    # engines disagree on exact half-tie rounding, and a single component
+    # off by one milli-unit shifts the cosine by ~1e-7 — caught by the
+    # sf0.1 attestation as an alpha-linear drift in the loss sums.
     vq = F.transform(
         F.col("embedding").cast("array<double>"),
-        lambda x: F.round(x * 1000).cast("long"),
+        lambda x: F.floor(x * 1000 + F.lit(0.5)).cast("long"),
     )
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", vq.alias("v"), "label")
     a = emb.select(F.col("vec_id").alias("i"), F.col("v").alias("v0"),
@@ -2710,7 +2713,8 @@ def oracle_sql() -> dict[str, str]:
         WITH e AS (
             SELECT vec_id,
                    list_transform(embedding,
-                                  x -> CAST(round(x * 1000) AS BIGINT)) AS v,
+                                  x -> CAST(floor(CAST(x AS DOUBLE) * 1000
+                                                  + 0.5) AS BIGINT)) AS v,
                    label
             FROM embeddings
         ),
