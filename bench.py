@@ -423,6 +423,37 @@ def bench_ann_ivf_amortized(spark, sf_dir):
     return wall, {"ann_ivf_am_rows": n, "ann_ivf_am_recall": round(rec, 4)}
 
 
+def bench_ann_pq(spark, sf_dir):
+    """PQ/ADC top-k with exact refine (Jégou et al. 2011): codebooks +
+    codes built OUTSIDE the timed region (the persisted-index deployment —
+    codes are m bytes/vector, 32× smaller than float32 at dim 64); the
+    timed region is LUT build + ADC scan + refine. Recall vs bruteforce in
+    extras (the md5-hash fixture is near-random — a hard PQ case; see
+    tests for the clustered-geometry recall)."""
+    from nama_spark.operators.ann import (
+        cosine_topk_bruteforce,
+        pq_encode,
+        pq_fit_codebooks,
+        pq_topk,
+    )
+    from pyspark.sql import functions as F
+
+    emb = _emb_scaled(spark, sf_dir).cache()
+    emb.count()
+    books = pq_fit_codebooks(emb, m=8, k=64).localCheckpoint()
+    codes = pq_encode(emb, books).localCheckpoint()
+    queries = emb.where(F.col("vec_id") < 64)
+    t0 = time.time()
+    out = pq_topk(queries, books, codes, k=10, refine=emb, refine_factor=16)
+    out = out.localCheckpoint(eager=False)
+    n = out.count()
+    wall = time.time() - t0
+    exact = cosine_topk_bruteforce(emb, queries, k=10)
+    rec = _ann_recall(out, exact)
+    emb.unpersist()
+    return wall, {"ann_pq_rows": n, "ann_pq_recall": round(rec, 4)}
+
+
 def bench_embed_lsh(spark, sf_dir, n_entities):
     from fixtures.make_fixtures import fixture_dataframes, make_fixture
     from nama_spark.operators.embed import embed_strings, lsh_candidates
@@ -548,6 +579,7 @@ def main():
     run("ann_lsh", bench_ann_lsh, sf_dir)
     run("ann_ivf", bench_ann_ivf, sf_dir)
     run("ann_ivf_amortized", bench_ann_ivf_amortized, sf_dir)
+    run("ann_pq", bench_ann_pq, sf_dir)
     run("embed_lsh", bench_embed_lsh, sf_dir, n_entities)
     run("embed_ivf", bench_embed_ivf, sf_dir, n_entities)
     run("tpch_q1", bench_sql, sf_dir, "tpch_q1_pricing_summary")

@@ -485,3 +485,234 @@ def ivf_topk_delta(
         .where(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cos", F.col("rn").alias("rank"))
     )
+
+
+# ---------- product quantization (IVF-PQ-style ADC; Jégou et al. 2011) ----------
+
+def pq_fit_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 256,
+    sample_per_code: int = 40,
+    max_iter: int = 10,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """(sub, code, centroid) — product-quantization codebooks: the vector is
+    split into ``m`` contiguous subvectors and each subspace gets an
+    independent k-means codebook of ``k`` centroids (Jégou, Douze, Schmid,
+    "Product quantization for nearest neighbor search", TPAMI 2011 — the
+    standard memory-bounded ANN representation; Faiss IVFPQ shape).
+
+    Why at 100 TB: a dim-64 float32 vector is 256 bytes; its PQ code is
+    ``m`` bytes (32× smaller at m=8) and ADC scoring never touches the raw
+    vectors — the index STATE, not just the wire format (int8 quantization,
+    embed.py), becomes memory-resident at corpus sizes where floats can't.
+
+    Distributed fit with no driver loop: one bounded sample of the corpus,
+    exploded to (sub, subvector) rows, then ONE applyInPandas pass fits all
+    ``m`` codebooks in parallel (numpy Lloyd, deterministic per-sub seed) —
+    the same shape as ivf2_fit_centroids' per-coarse fine fit."""
+    n = corpus.count()
+    if n == 0:
+        raise ValueError("cannot fit PQ codebooks on an empty corpus")
+    fit_frac = min(1.0, (sample_per_code * k) / n)
+    fit_df = corpus.sample(fraction=fit_frac, seed=seed) if fit_frac < 1.0 else corpus
+    v = F.col(vec_col).cast("array<double>")
+    dim_row = fit_df.select(F.size(v).alias("d")).first()
+    dim = int(dim_row["d"])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    subs = fit_df.select(
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda i: F.slice(v, i * dsub + 1, dsub),
+            )
+        ).alias("sub", "sv")
+    ).localCheckpoint(eager=False)
+
+    kk, mi, sd = k, max_iter, seed
+
+    def fit_book(pdf: pd.DataFrame) -> pd.DataFrame:
+        sub = int(pdf["sub"].iloc[0])
+        X = np.stack(pdf["sv"].to_numpy()).astype(float)
+        rng = np.random.RandomState(sd + sub)
+        centers = _np_kmeans(X, min(kk, len(X)), rng, max_iter=mi)
+        return pd.DataFrame({
+            "sub": sub,
+            "code": range(len(centers)),
+            "centroid": [list(map(float, c)) for c in centers],
+        })
+
+    schema = T.StructType([
+        T.StructField("sub", T.IntegerType()),
+        T.StructField("code", T.IntegerType()),
+        T.StructField("centroid", T.ArrayType(T.DoubleType())),
+    ])
+    return subs.groupBy("sub").applyInPandas(fit_book, schema)
+
+
+def _collect_codebooks(codebooks: DataFrame) -> np.ndarray:
+    """codebooks DF → dense numpy [m, k, dsub] (codebooks are small by
+    construction: m·k·dsub doubles — 128 KiB at m=8, k=256, dim 64)."""
+    rows = codebooks.collect()
+    m = max(r["sub"] for r in rows) + 1
+    k = max(r["code"] for r in rows) + 1
+    dsub = len(rows[0]["centroid"])
+    arr = np.zeros((m, k, dsub))
+    for r in rows:
+        arr[r["sub"], r["code"]] = r["centroid"]
+    return arr
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(<id_col>, codes array<int>) — each vector quantized to its nearest
+    code per subspace. Vectorized Arrow pass (mapInPandas + one numpy
+    argmin per batch over the broadcast [m,k,dsub] codebook tensor — never
+    per-row Python): encoding cost O(n·m·k·dsub) flops, embarrassingly
+    partition-parallel, output m small ints per vector."""
+    spark = df.sparkSession
+    books = _collect_codebooks(codebooks)
+    bks = spark.sparkContext.broadcast(books)
+    mm, dsub = books.shape[0], books.shape[2]
+
+    src = df.select(id_col, F.col(vec_col).cast("array<double>").alias("__v"))
+
+    def encode(batches):
+        B = bks.value  # [m, k, dsub]
+        for pdf in batches:
+            X = np.stack(pdf["__v"].to_numpy()).astype(float)
+            codes = np.empty((len(X), mm), dtype=np.int32)
+            for s in range(mm):
+                sub = X[:, s * dsub:(s + 1) * dsub]
+                # ||x - c||² = ||x||² - 2x·c + ||c||²; argmin over codes
+                d = (
+                    -2.0 * sub @ B[s].T
+                    + (B[s] ** 2).sum(axis=1)[None, :]
+                )
+                codes[:, s] = d.argmin(axis=1)
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "codes": [list(map(int, c)) for c in codes],
+            })
+
+    out_schema = T.StructType([
+        src.schema[id_col],
+        T.StructField("codes", T.ArrayType(T.IntegerType())),
+    ])
+    return src.mapInPandas(encode, out_schema)
+
+
+def pq_topk(
+    queries: DataFrame,
+    codebooks: DataFrame,
+    encoded: DataFrame,
+    k: int = 5,
+    refine: DataFrame | None = None,
+    refine_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k by ASYMMETRIC DISTANCE (ADC): per query, a lookup
+    table LUT[sub][code] = ||q_sub − centroid||² (q·m·k skinny rows, one
+    small groupBy), then each candidate's distance is the JVM-side sum
+    Σ_sub LUT[sub][codes[sub]] — the scan touches only the m-byte codes,
+    never raw vectors. With ``refine`` (an (id, vec) table), the top
+    refine_factor·k ADC candidates per query are re-ranked by exact cosine
+    (the standard IVF-PQ refine step); without it, ADC order stands and
+    ``cos`` is the negated squared ADC distance (rank-compatible for
+    unit-norm vectors: ||q−x||² = 2−2cos).
+
+    Output contract matches the other *_topk operators:
+    (query_id, neighbor_id, cos, rank)."""
+    if queries.isEmpty() or encoded.isEmpty():
+        return _empty_topk(queries, id_col)
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    books = codebooks
+    mrow = books.agg(F.max("sub").alias("m"),
+                     F.max(F.size("centroid")).alias("dsub")).first()
+    m, dsub = int(mrow["m"]) + 1, int(mrow["dsub"])
+    d2 = F.aggregate(
+        F.zip_with(
+            F.slice(F.col("qv"), F.col("sub") * dsub + 1, dsub),
+            F.col("centroid"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0), lambda a, x: a + x,
+    )
+    # LUT rows per query: (query_id, sub, code, d2) → one array per query,
+    # indexed [sub*k' + code] (k' from the codebook, uniform by fit)
+    kk = books.agg(F.max("code")).first()[0] + 1
+    lut = (
+        qv.crossJoin(F.broadcast(books))
+        .select("query_id", (F.col("sub") * kk + F.col("code")).alias("slot"),
+                d2.alias("d2"))
+        .groupBy("query_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("slot", "d2"))),
+                lambda s: s["d2"],
+            ).alias("lut")
+        )
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.col("lut"),
+            s * kk + F.element_at(F.col("codes"), s + 1) + 1,
+        ),
+    )
+    cand = (
+        encoded.select(F.col(id_col).alias("neighbor_id"), "codes")
+        .crossJoin(F.broadcast(lut))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("adc", adc)
+        .select("query_id", "neighbor_id", "adc")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    if refine is None:
+        return (
+            cand.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .select(
+                "query_id", "neighbor_id",
+                (-F.col("adc")).alias("cos"),  # rank-compatible surrogate
+                F.col("rn").alias("rank"),
+            )
+        )
+    short = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= refine_factor * k)
+        .select("query_id", "neighbor_id")
+    )
+    rv = refine.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    exact = (
+        short.join(rv, "neighbor_id")
+        .join(qv, "query_id")
+        .withColumn("cos", cosine_sim_expr(F.col("qv"), F.col("cv")))
+        .select("query_id", "neighbor_id", "cos")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos", F.col("rn").alias("rank"))
+    )
