@@ -716,3 +716,114 @@ def pq_topk(
         .where(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cos", F.col("rn").alias("rank"))
     )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    centers: DataFrame,
+    encoded: DataFrame,
+    codebooks: DataFrame,
+    k: int = 5,
+    nprobe: int = 3,
+    refine: DataFrame | None = None,
+    refine_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ proper: the ADC scan of ``pq_topk`` restricted to the
+    ``nprobe`` probed IVF cells per query — candidate volume drops from the
+    whole corpus to nprobe·occupancy codes, each m bytes. ``encoded`` is
+    (cell, <id_col>, codes) — ``ivf_assign`` output joined with
+    ``pq_encode`` (both persistable; the index is cells + codes, never raw
+    vectors). ``centers`` may be flat or two-level (ivf_assign detects).
+    With ``nprobe`` ≥ all cells and ``refine``, equals pq_topk(refine=...)
+    — the composition's exactness anchor."""
+    if queries.isEmpty() or encoded.isEmpty():
+        return _empty_topk(queries, id_col)
+    probes = ivf_assign(
+        queries, centers, nprobe=nprobe, id_col=id_col, vec_col=vec_col
+    ).select(F.col(id_col).alias("query_id"), "cell")
+    cand_codes = (
+        probes.join(
+            encoded.select("cell", F.col(id_col).alias("neighbor_id"), "codes"),
+            "cell",
+        )
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "codes")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    mrow = codebooks.agg(F.max("sub").alias("m"),
+                         F.max(F.size("centroid")).alias("dsub"),
+                         F.max("code").alias("kmax")).first()
+    m, dsub, kk = int(mrow["m"]) + 1, int(mrow["dsub"]), int(mrow["kmax"]) + 1
+    d2 = F.aggregate(
+        F.zip_with(
+            F.slice(F.col("qv"), F.col("sub") * dsub + 1, dsub),
+            F.col("centroid"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0), lambda a, x: a + x,
+    )
+    lut = (
+        qv.crossJoin(F.broadcast(codebooks))
+        .select("query_id", (F.col("sub") * kk + F.col("code")).alias("slot"),
+                d2.alias("d2"))
+        .groupBy("query_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("slot", "d2"))),
+                lambda s: s["d2"],
+            ).alias("lut")
+        )
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.col("lut"),
+            s * kk + F.element_at(F.col("codes"), s + 1) + 1,
+        ),
+    )
+    scored = (
+        cand_codes.join(F.broadcast(lut), "query_id")
+        .withColumn("adc", adc)
+        .select("query_id", "neighbor_id", "adc")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    if refine is None:
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .select("query_id", "neighbor_id",
+                    (-F.col("adc")).alias("cos"), F.col("rn").alias("rank"))
+        )
+    short = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= refine_factor * k)
+        .select("query_id", "neighbor_id")
+    )
+    rv = refine.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    exact = (
+        short.join(rv, "neighbor_id")
+        .join(qv, "query_id")
+        .withColumn("cos", cosine_sim_expr(F.col("qv"), F.col("cv")))
+        .select("query_id", "neighbor_id", "cos")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos", F.col("rn").alias("rank"))
+    )

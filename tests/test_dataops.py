@@ -1074,3 +1074,64 @@ def test_pq_codebooks_encode_and_adc_topk(spark):
     # empty inputs short-circuit
     empty = emb.where(F.lit(False))
     assert pq_topk(empty, books, codes, k=5).count() == 0
+
+
+def test_ivfpq_topk_composition(spark):
+    """IVF-PQ: the ADC scan restricted to probed cells. Anchors: (a) with
+    every cell probed it equals the full-scan pq_topk (same refine) —
+    the composition adds no semantics, only pruning; (b) partial probe is
+    well-formed with sane recall on clustered geometry; (c) the index that
+    feeds it is cells + m-byte codes only (raw vectors appear ONLY in the
+    optional refine table)."""
+    import numpy as np
+    import pandas as pd
+
+    from nama_spark.operators.ann import (
+        ivf_assign,
+        ivf_fit_centroids,
+        ivfpq_topk,
+        pq_encode,
+        pq_fit_codebooks,
+        pq_topk,
+    )
+
+    rng = np.random.RandomState(23)
+    n, dim, modes = 1500, 16, 30
+    C = rng.randn(modes, dim)
+    X = C[rng.randint(0, modes, n)] + 0.15 * rng.randn(n, dim)
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    emb = spark.createDataFrame(pd.DataFrame({
+        "vec_id": range(n),
+        "embedding": [list(map(float, v)) for v in X],
+    })).repartition(8).localCheckpoint()
+
+    centers = ivf_fit_centroids(emb, n_cells=8).localCheckpoint()
+    books = pq_fit_codebooks(emb, m=4, k=32).localCheckpoint()
+    encoded = ivf_assign(emb, centers).join(
+        pq_encode(emb, books), "vec_id"
+    ).select("cell", "vec_id", "codes").localCheckpoint()
+
+    queries = emb.where(F.col("vec_id") < 5)
+    as_map = lambda df: {
+        (r["query_id"], r["rank"]): r["neighbor_id"] for r in df.collect()
+    }
+    # (a) all-probe == full-scan PQ (identical shortlist → identical refine)
+    full = pq_topk(queries, books, emb.join(
+        pq_encode(emb, books), "vec_id").select("vec_id", "codes"),
+        k=5, refine=emb, refine_factor=8)
+    allp = ivfpq_topk(queries, centers, encoded, books, k=5, nprobe=8,
+                      refine=emb, refine_factor=8)
+    assert as_map(allp) == as_map(full)
+
+    # (b) partial probe: k rows per query
+    part = ivfpq_topk(queries, centers, encoded, books, k=5, nprobe=3,
+                      refine=emb, refine_factor=8)
+    per_q = {}
+    for r in part.collect():
+        per_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert all(len(v) == 5 for v in per_q.values())
+    got_all = {q: set() for q in per_q}
+    for (q, _), nb in as_map(allp).items():
+        got_all.setdefault(q, set()).add(nb)
+    recall = sum(len(set(per_q[q]) & got_all[q]) for q in per_q) / (len(per_q) * 5)
+    assert recall >= 0.6, recall
