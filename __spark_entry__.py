@@ -1029,6 +1029,56 @@ def q_ann_ivf2_topk(spark, sf_dir):
     )
 
 
+def q_ann_pq_topk(spark, sf_dir):
+    """Product-quantization top-k (pq_fit_codebooks → pq_encode → pq_topk;
+    Jégou et al., TPAMI 2011) with the exact-refine shortlist covering the
+    WHOLE corpus (refine_factor·k ≥ n) — exact by construction, so the
+    bruteforce oracle verifies the full PQ machinery end-to-end: the
+    per-subspace codebook fit (applyInPandas numpy Lloyd), the Arrow batch
+    encoder, the per-query ADC lookup table, the codes-only candidate scan,
+    and the exact-cosine refine re-rank. The genuinely-approximate
+    bounded-shortlist path is recall-tested in tests/test_dataops.py."""
+    from nama_spark.operators.ann import pq_encode, pq_fit_codebooks, pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8)
+    books = pq_fit_codebooks(emb, m=8, k=16).localCheckpoint(eager=False)
+    encoded = pq_encode(emb, books)
+    out = pq_topk(queries, books, encoded, k=5, refine=emb, refine_factor=100)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos", 5).alias("cos"), "rank"
+    )
+
+
+def q_ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ composition (ivf_fit_centroids + ivf_assign + pq_encode →
+    ivfpq_topk) with every cell probed and the refine shortlist covering the
+    whole corpus — exact by construction, so the bruteforce oracle verifies
+    the composed index end-to-end: cell assignment, the (cell, id, codes)
+    index join, the broadcast ADC LUT, cross-cell dedupe, and the exact
+    refine. Partial-probe recall is tested in tests/test_dataops.py."""
+    from nama_spark.operators.ann import (
+        ivf_assign,
+        ivf_fit_centroids,
+        ivfpq_topk,
+        pq_encode,
+        pq_fit_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8)
+    centers = ivf_fit_centroids(emb, n_cells=8).localCheckpoint(eager=False)
+    books = pq_fit_codebooks(emb, m=8, k=16).localCheckpoint(eager=False)
+    encoded = ivf_assign(emb, centers).join(pq_encode(emb, books), "vec_id")
+    out = ivfpq_topk(
+        queries, centers, encoded, books,
+        k=5, nprobe=8, refine=emb, refine_factor=100,
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos", 5).alias("cos"), "rank"
+    )
+
+
 def q_embedding_unite_similar(spark, sf_dir):
     """Fast-path unite_similar (_fast_unite_similar, embeddings.py:144-174)
     over the fixed embeddings table — oracle-checked: the result partition is
@@ -1269,6 +1319,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # later rotation.
     return {
         # --- NEW this round (r05) ---
+        "ann_pq_topk": q_ann_pq_topk,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "ann_ivf2_topk": q_ann_ivf2_topk,
         # --- new r04, never driver-attested (were beyond the window) ---
         "ann_quantized_topk": q_ann_quantized_topk,
@@ -2235,6 +2287,11 @@ def oracle_sql() -> dict[str, str]:
     q["ann_ivf_topk"] = q["ann_cosine_topk"]
     # two-level coarse quantizer, all cells probed → exact by construction
     q["ann_ivf2_topk"] = q["ann_cosine_topk"]
+    # PQ with the refine shortlist covering the whole corpus (100·5 ≥ 499
+    # candidates) → the exact-cosine re-rank IS the result; same oracle.
+    # IVF-PQ additionally probes every cell → same anchor.
+    q["ann_pq_topk"] = q["ann_cosine_topk"]
+    q["ann_ivfpq_topk"] = q["ann_cosine_topk"]
 
     # prefix join: exact ≥-threshold set-similarity — oracle enumerates ALL
     # shared-token pairs (no df cap) and filters on the exact score
