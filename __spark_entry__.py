@@ -943,6 +943,80 @@ def q_pack_chunks(spark, sf_dir):
     return pack_chunks(chunks, budget_tokens=512)
 
 
+def q_decontam_overlap(spark, sf_dir):
+    """Benchmark-decontamination overlap report (corpus.ngram_overlap —
+    Brown et al. 2020 appendix C): the held-out "benchmark" is the
+    doc_id % 37 == 0 slice of the corpus, the training side is the rest,
+    and each training doc reports the fraction of its distinct 3-word-gram
+    set that collides with the benchmark. The eval n-gram set is broadcast;
+    the corpus never shuffles wide. n=3 (not the production 8/13) because
+    the synthetic corpus draws from a tiny vocabulary — it yields a spread
+    of fractions (312 of 486 docs hit) instead of a degenerate all-zero."""
+    from nama_spark.operators.corpus import ngram_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 37 == 0)
+    tr = docs.where(F.col("doc_id") % 37 != 0)
+    out = ngram_overlap(tr, ev, n=3)
+    return out.select(
+        "doc_id", "n_ngrams", "n_hit", F.round("overlap_frac", 6).alias("overlap_frac")
+    )
+
+
+def q_decontaminate_docs(spark, sf_dir):
+    """corpus.decontaminate end-to-end: the training slice with docs whose
+    3-gram overlap against the doc_id % 37 == 0 benchmark exceeds 5%
+    REMOVED (left-semi join through the overlap gate; schema-preserving)."""
+    from nama_spark.operators.corpus import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 37 == 0)
+    tr = docs.where(F.col("doc_id") % 37 != 0)
+    return decontaminate(tr, ev, n=3, max_overlap=0.05).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def q_mixture_rates_lang(spark, sf_dir):
+    """Temperature-based domain mixture rates (corpus.mixture_rates,
+    Arivazhagan et al. 2019) over the naturally-skewed lang column
+    (en 218 / zh 75 / es 73 / de 70 / fr 64 at sf0.01): rate ∝ n^(1/T−1),
+    max-normalized. Rounded to 9 dp — pow() may differ by an ulp between
+    libm implementations; 9 dp absorbs it (the calibration-oracle lesson)."""
+    from nama_spark.operators.corpus import mixture_rates
+
+    docs = _t(spark, sf_dir, "documents")
+    out = mixture_rates(docs, temperature=2.0, domain_col="lang")
+    return out.select("domain", "n_docs", F.round("rate", 9).alias("rate"))
+
+
+def q_mixture_sample_docs(spark, sf_dir):
+    """Deterministic mixture down-sample (corpus.sample_mixture) at hand-set
+    per-lang rates — exact literals so the keep decision u48(doc_id, seed) <
+    rate is bit-replayable by the oracle (no pow in the comparison). The
+    missing domains (zh, es) exercise the drop-unknown-domain rule."""
+    from nama_spark.operators.corpus import sample_mixture
+
+    docs = _t(spark, sf_dir, "documents")
+    rates = spark.createDataFrame(
+        [("en", 0.25), ("de", 0.5), ("fr", 1.0)], ["domain", "rate"]
+    )
+    out = sample_mixture(docs, rates, seed=0, domain_col="lang")
+    return out.select("doc_id", "lang", "source")
+
+
+def q_shuffle_shard_docs(spark, sf_dir):
+    """Deterministic shuffle-shard (corpus.shuffle_shard): seed-keyed u48
+    permutation realized through block.global_rank (range partition +
+    offset prefix sum — no Exchange SinglePartition), dealt round-robin
+    into 4 exactly-balanced shards. The oracle replays the permutation
+    from the same md5 math."""
+    from nama_spark.operators.corpus import shuffle_shard
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return shuffle_shard(docs, n_shards=4, seed=1)
+
+
 def q_corpus_profile(spark, sf_dir):
     """Per-language corpus profile: doc counts, exact char totals, exact
     median/p90 lengths (Spark `percentile` and DuckDB `quantile_cont` share
@@ -1319,6 +1393,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # later rotation.
     return {
         # --- NEW this round (r05) ---
+        "decontam_overlap": q_decontam_overlap,
+        "decontaminate_docs": q_decontaminate_docs,
+        "mixture_rates_lang": q_mixture_rates_lang,
+        "mixture_sample_docs": q_mixture_sample_docs,
+        "shuffle_shard_docs": q_shuffle_shard_docs,
         "ann_pq_topk": q_ann_pq_topk,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "ann_ivf2_topk": q_ann_ivf2_topk,
@@ -2292,6 +2371,117 @@ def oracle_sql() -> dict[str, str]:
     # IVF-PQ additionally probes every cell → same anchor.
     q["ann_pq_topk"] = q["ann_cosine_topk"]
     q["ann_ivfpq_topk"] = q["ann_cosine_topk"]
+
+    # decontamination: distinct 3-word-gram overlap of each training doc
+    # (doc_id % 37 != 0) against the benchmark slice (doc_id % 37 == 0);
+    # word_shingles' short-doc rule = whole text as a single shingle
+    q["decontam_overlap"] = r"""
+        WITH tr AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts
+                    FROM documents WHERE doc_id % 37 != 0),
+        ev AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts
+               FROM documents WHERE doc_id % 37 = 0),
+        trg AS (
+            SELECT DISTINCT doc_id,
+                   CASE WHEN len(ts) >= 3 THEN array_to_string(ts[i+1:i+3], ' ')
+                        ELSE array_to_string(ts, ' ') END AS shingle
+            FROM (SELECT doc_id, ts,
+                         unnest(CASE WHEN len(ts) >= 3 THEN range(0, len(ts)-2)
+                                     ELSE [0] END) AS i
+                  FROM tr)
+        ),
+        evg AS (
+            SELECT DISTINCT
+                   CASE WHEN len(ts) >= 3 THEN array_to_string(ts[i+1:i+3], ' ')
+                        ELSE array_to_string(ts, ' ') END AS shingle
+            FROM (SELECT doc_id, ts,
+                         unnest(CASE WHEN len(ts) >= 3 THEN range(0, len(ts)-2)
+                                     ELSE [0] END) AS i
+                  FROM ev)
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_ngrams,
+               CAST(sum(CASE WHEN shingle IN (SELECT shingle FROM evg)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+               round(sum(CASE WHEN shingle IN (SELECT shingle FROM evg)
+                              THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6) AS overlap_frac
+        FROM trg GROUP BY doc_id
+    """
+
+    # decontaminate = the overlap gate as a semi-join (unrounded fraction)
+    q["decontaminate_docs"] = r"""
+        WITH tr AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts
+                    FROM documents WHERE doc_id % 37 != 0),
+        ev AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts
+               FROM documents WHERE doc_id % 37 = 0),
+        trg AS (
+            SELECT DISTINCT doc_id,
+                   CASE WHEN len(ts) >= 3 THEN array_to_string(ts[i+1:i+3], ' ')
+                        ELSE array_to_string(ts, ' ') END AS shingle
+            FROM (SELECT doc_id, ts,
+                         unnest(CASE WHEN len(ts) >= 3 THEN range(0, len(ts)-2)
+                                     ELSE [0] END) AS i
+                  FROM tr)
+        ),
+        evg AS (
+            SELECT DISTINCT
+                   CASE WHEN len(ts) >= 3 THEN array_to_string(ts[i+1:i+3], ' ')
+                        ELSE array_to_string(ts, ' ') END AS shingle
+            FROM (SELECT doc_id, ts,
+                         unnest(CASE WHEN len(ts) >= 3 THEN range(0, len(ts)-2)
+                                     ELSE [0] END) AS i
+                  FROM ev)
+        ),
+        ov AS (
+            SELECT doc_id,
+                   sum(CASE WHEN shingle IN (SELECT shingle FROM evg)
+                            THEN 1 ELSE 0 END)
+                   / CAST(count(*) AS DOUBLE) AS frac
+            FROM trg GROUP BY doc_id
+        )
+        SELECT d.doc_id, d.lang, d.source, d.n_chars
+        FROM documents d JOIN ov ON ov.doc_id = d.doc_id
+        WHERE ov.frac <= 0.05
+    """
+
+    # temperature mixture: rate = n^(1/T - 1) max-normalized, T=2; 9 dp
+    # rounding absorbs libm pow ulp differences
+    q["mixture_rates_lang"] = """
+        WITH c AS (SELECT lang AS domain, CAST(count(*) AS BIGINT) AS n_docs
+                   FROM documents GROUP BY lang),
+        r AS (SELECT domain, n_docs,
+                     pow(CAST(n_docs AS DOUBLE), -0.5) AS raw FROM c),
+        m AS (SELECT max(raw) AS m FROM r)
+        SELECT domain, n_docs, round(raw / m, 9) AS rate FROM r, m
+    """
+
+    # deterministic mixture sample: keep iff u48(doc_id, seed=0) < rate(lang);
+    # langs absent from the rate table (zh, es) drop
+    q["mixture_sample_docs"] = """
+        SELECT doc_id, lang, source FROM documents
+        WHERE CAST(CONCAT('0x', substr(
+                  md5(CONCAT(CAST(doc_id AS VARCHAR), ':0')), 1, 12))
+                  AS BIGINT) / 281474976710656.0
+              < CASE lang WHEN 'en' THEN 0.25 WHEN 'de' THEN 0.5
+                          WHEN 'fr' THEN 1.0 ELSE NULL END
+    """
+
+    # shuffle-shard: rank by the seed-keyed u48, deal round-robin into 4
+    q["shuffle_shard_docs"] = """
+        WITH u AS (
+            SELECT doc_id, lang,
+                   CAST(CONCAT('0x', substr(
+                       md5(CONCAT(CAST(doc_id AS VARCHAR), ':1')), 1, 12))
+                       AS BIGINT) / 281474976710656.0 AS uu
+            FROM documents
+        ),
+        r AS (SELECT doc_id, lang,
+                     row_number() OVER (ORDER BY uu, doc_id) - 1 AS rk
+              FROM u)
+        SELECT CAST(rk % 4 AS INTEGER) AS shard, CAST(rk // 4 AS BIGINT) AS pos,
+               doc_id, lang
+        FROM r
+    """
 
     # prefix join: exact ≥-threshold set-similarity — oracle enumerates ALL
     # shared-token pairs (no df cap) and filters on the exact score

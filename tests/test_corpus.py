@@ -1,0 +1,157 @@
+"""Training-corpus preparation operators (operators/corpus.py):
+decontamination, temperature mixture sampling, deterministic shuffle-shard.
+
+Each test checks the operator against a small from-spec python oracle, plus
+the properties that matter at scale: determinism under repartitioning,
+append-stability of sampling decisions, and exact shard balance.
+"""
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from nama_spark.operators.corpus import (
+    decontaminate,
+    mixture_rates,
+    ngram_overlap,
+    sample_mixture,
+    shuffle_shard,
+)
+
+
+def _u48(*parts) -> float:
+    h = hashlib.md5(":".join(str(p) for p in parts).encode()).hexdigest()
+    return int(h[:12], 16) / float(1 << 48)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        # two docs sharing a long benchmark phrase, one clean, one short
+        (0, "the quick brown fox jumps over the lazy dog", "en", "web"),
+        (1, "a quick brown fox jumps over the lazy cat today", "en", "web"),
+        (2, "completely unrelated words about spark shuffles", "en", "code"),
+        (3, "tiny doc", "fr", "web"),
+        (4, "the quick brown fox jumps over the lazy dog again", "de", "books"),
+        (5, "spark shuffles partition data across the cluster nodes", "en", "code"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+
+
+def test_ngram_overlap_fraction_matches_oracle(spark, docs):
+    ev = docs.where(F.col("doc_id") == 0)
+    tr = docs.where(F.col("doc_id") != 0)
+    got = {
+        r["doc_id"]: (r["n_ngrams"], r["n_hit"], r["overlap_frac"])
+        for r in ngram_overlap(tr, ev, n=5).collect()
+    }
+    # python oracle: distinct 5-gram sets
+    def grams(text, n=5):
+        ts = text.lower().split()
+        if len(ts) < n:
+            return {" ".join(ts)}
+        return {" ".join(ts[i : i + n]) for i in range(len(ts) - n + 1)}
+
+    evset = grams("the quick brown fox jumps over the lazy dog")
+    for r in docs.where(F.col("doc_id") != 0).collect():
+        g = grams(r["text"])
+        hits = len(g & evset)
+        assert got[r["doc_id"]] == (len(g), hits, hits / len(g))
+    # doc 4 contains the full eval phrase → contaminated; doc 2 clean
+    assert got[4][1] > 0 and got[2][1] == 0
+
+
+def test_decontaminate_drops_contaminated_and_preserves_schema(spark, docs):
+    ev = docs.where(F.col("doc_id") == 0)
+    tr = docs.where(F.col("doc_id") != 0)
+    kept = decontaminate(tr, ev, n=5, max_overlap=0.0)
+    assert kept.columns == docs.columns
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert 4 not in ids  # shares a 5-gram with the eval doc
+    assert {2, 3, 5} <= ids  # clean docs survive
+    # the soft gate keeps a mildly-overlapping doc
+    soft = decontaminate(tr, ev, n=5, max_overlap=0.9)
+    assert 4 in {r["doc_id"] for r in soft.select("doc_id").collect()}
+
+
+def test_mixture_rates_temperature_shape(spark, docs):
+    rates = {
+        r["domain"]: (r["n_docs"], r["rate"])
+        for r in mixture_rates(docs, temperature=2.0, domain_col="lang").collect()
+    }
+    counts = {"en": 4, "fr": 1, "de": 1}
+    assert {d: n for d, (n, _) in rates.items()} == counts
+    # smallest domains keep rate 1.0; larger domains downsampled at n^-0.5
+    assert rates["fr"][1] == pytest.approx(1.0)
+    assert rates["de"][1] == pytest.approx(1.0)
+    assert rates["en"][1] == pytest.approx(4 ** -0.5)
+    # T=1 keeps natural proportions: every rate 1.0
+    nat = mixture_rates(docs, temperature=1.0, domain_col="lang").collect()
+    assert all(r["rate"] == pytest.approx(1.0) for r in nat)
+    with pytest.raises(ValueError):
+        mixture_rates(docs, temperature=0.0)
+
+
+def test_sample_mixture_deterministic_and_append_stable(spark, docs):
+    rates = spark.createDataFrame(
+        [("en", 0.5), ("fr", 1.0), ("de", 1.0)], ["domain", "rate"]
+    )
+    kept1 = {r["doc_id"] for r in sample_mixture(docs, rates, seed=7, domain_col="lang").collect()}
+    # oracle: u48(doc_id, seed) < rate(lang)
+    rate_of = {"en": 0.5, "fr": 1.0, "de": 1.0}
+    expect = {
+        r["doc_id"]
+        for r in docs.collect()
+        if _u48(r["doc_id"], 7) < rate_of[r["lang"]]
+    }
+    assert kept1 == expect
+    # repartitioning never changes the decision
+    kept2 = {
+        r["doc_id"]
+        for r in sample_mixture(docs.repartition(7), rates, seed=7, domain_col="lang").collect()
+    }
+    assert kept2 == kept1
+    # append-stability: adding docs never flips an existing keep/drop
+    more = docs.union(
+        spark.createDataFrame(
+            [(100 + i, f"extra doc {i}", "en", "web") for i in range(20)],
+            docs.schema,
+        )
+    )
+    kept3 = {r["doc_id"] for r in sample_mixture(more, rates, seed=7, domain_col="lang").collect()}
+    assert kept3 & set(range(6)) == kept1
+    # a domain absent from the rate table is dropped, not kept by default
+    partial = spark.createDataFrame([("fr", 1.0)], ["domain", "rate"])
+    only_fr = sample_mixture(docs, partial, seed=7, domain_col="lang")
+    assert {r["lang"] for r in only_fr.collect()} == {"fr"}
+
+
+def test_shuffle_shard_is_balanced_seeded_permutation(spark, docs):
+    big = spark.range(0, 103).select(
+        F.col("id").alias("doc_id"), F.lit("x").alias("text")
+    )
+    out = shuffle_shard(big, n_shards=4, seed=3)
+    rows = out.collect()
+    assert len(rows) == 103
+    # exact balance: shard sizes differ by at most 1
+    sizes = {}
+    for r in rows:
+        sizes[r["shard"]] = sizes.get(r["shard"], 0) + 1
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    # (shard, pos) is a bijection over ranks; pos contiguous from 0
+    assert {(r["shard"], r["pos"]) for r in rows} == {
+        (rk % 4, rk // 4) for rk in range(103)
+    }
+    # the permutation is the u48 order — replay in python
+    order = sorted(range(103), key=lambda i: (_u48(i, 3), i))
+    expect = {(doc, (rk % 4, rk // 4)) for rk, doc in enumerate(order)}
+    assert {(r["doc_id"], (r["shard"], r["pos"])) for r in rows} == expect
+    # same seed → identical assignment; different seed → different order
+    again = {(r["doc_id"], r["shard"], r["pos"])
+             for r in shuffle_shard(big, n_shards=4, seed=3).collect()}
+    assert again == {(r["doc_id"], r["shard"], r["pos"]) for r in rows}
+    other = {(r["doc_id"], r["shard"], r["pos"])
+             for r in shuffle_shard(big, n_shards=4, seed=4).collect()}
+    assert other != again
+    with pytest.raises(ValueError):
+        shuffle_shard(big, n_shards=0)

@@ -185,6 +185,8 @@ def test_plan_audit_cheap_queries_clean(spark):
         "phonetic_soundex_keys", "fingerprint_key_clusters", "doc_keywords",
         "normalize_remove_stopwords", "matchdata_add_strings",
         "matchdata_split",
+        "decontam_overlap", "decontaminate_docs", "mixture_rates_lang",
+        "mixture_sample_docs", "shuffle_shard_docs",
     }
     results = audit(spark, "/root/testdata/sf0.001", only=cheap)
     assert len(results) == len(cheap)

@@ -80,6 +80,20 @@ WHITELIST: dict[str, dict[str, str]] = {
         "subquery (InjectRuntimeFilter): a 1-row scalar bloom aggregate on "
         "the query-id predicate, not a data shuffle",
     },
+    "ann_pq_topk": {
+        "BroadcastNestedLoopJoin": "broadcast PQ codebooks (m*k rows, ~128 "
+        "KiB) and per-query ADC LUT; the codes scan is a broadcast-hash "
+        "probe, never a shuffled cross join"
+    },
+    "ann_ivfpq_topk": {
+        "BroadcastNestedLoopJoin": "broadcast centroids + codebooks + "
+        "per-query ADC LUT; candidate join is equi on cell id"
+    },
+    "mixture_rates_lang": {
+        "BroadcastNestedLoopJoin": "broadcast 1-row max-rate normalizer",
+        "Exchange SinglePartition": "1-row max aggregate over the "
+        "domains-sized rate table",
+    },
     "sorted_neighborhood_pairs": {
         "BroadcastNestedLoopJoin": "broadcast window-1 delta rows; "
         "rank join is equi on rank+d"
