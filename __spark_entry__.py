@@ -1118,7 +1118,10 @@ def q_ann_pq_topk(spark, sf_dir):
     queries = emb.where(F.col("vec_id") < 8)
     books = pq_fit_codebooks(emb, m=8, k=16).localCheckpoint(eager=False)
     encoded = pq_encode(emb, books)
-    out = pq_topk(queries, books, encoded, k=5, refine=emb, refine_factor=100)
+    # shortlist must cover the corpus at ANY sf for the exactness anchor:
+    # refine_factor*k >= n (caught by the sf0.1 attestation at a fixed 100)
+    rf = (emb.count() + 4) // 5
+    out = pq_topk(queries, books, encoded, k=5, refine=emb, refine_factor=rf)
     return out.select(
         "query_id", "neighbor_id", F.round("cos", 5).alias("cos"), "rank"
     )
@@ -1146,7 +1149,7 @@ def q_ann_ivfpq_topk(spark, sf_dir):
     encoded = ivf_assign(emb, centers).join(pq_encode(emb, books), "vec_id")
     out = ivfpq_topk(
         queries, centers, encoded, books,
-        k=5, nprobe=8, refine=emb, refine_factor=100,
+        k=5, nprobe=8, refine=emb, refine_factor=(emb.count() + 4) // 5,
     )
     return out.select(
         "query_id", "neighbor_id", F.round("cos", 5).alias("cos"), "rank"
@@ -2366,8 +2369,8 @@ def oracle_sql() -> dict[str, str]:
     q["ann_ivf_topk"] = q["ann_cosine_topk"]
     # two-level coarse quantizer, all cells probed → exact by construction
     q["ann_ivf2_topk"] = q["ann_cosine_topk"]
-    # PQ with the refine shortlist covering the whole corpus (100·5 ≥ 499
-    # candidates) → the exact-cosine re-rank IS the result; same oracle.
+    # PQ with the refine shortlist sized off the corpus count (rf·k ≥ n at
+    # any sf) → the exact-cosine re-rank IS the result; same oracle.
     # IVF-PQ additionally probes every cell → same anchor.
     q["ann_pq_topk"] = q["ann_cosine_topk"]
     q["ann_ivfpq_topk"] = q["ann_cosine_topk"]
