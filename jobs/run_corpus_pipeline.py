@@ -13,9 +13,16 @@ operators — each stage is the bucketed/scale path, not a baseline:
                           (length/punct/stopword profile)
     4. language filter    lang-ID ∈ --langs (marker-token n-gram heuristic)
     5. annotate           token counts + rolling-hash fingerprint
+    5b. decontamination   (--decontam-eval PATH) drop docs whose distinct
+                          n-gram overlap vs the eval set exceeds
+                          --decontam-max-overlap (GPT-3 appendix-C rule)
+    5c. mixture sampling  (--mixture-temperature > 0) temperature-rebalance
+                          the domain mixture (deterministic, append-stable)
     6. shard              write parquet partitioned by language (and by a
                           leak-free train/val split with --val-fraction:
                           near-dup clusters never straddle the boundary)
+    6b. shuffle-shard     (--shuffle-shards N) also write the seeded global
+                          shuffle as N balanced train-order shards
 
 Usage:
 
@@ -54,6 +61,29 @@ def parse_args(argv=None):
                    help="0 disables the quality gate")
     p.add_argument("--langs", default="",
                    help="comma list to keep (empty = keep all, incl. 'und')")
+    p.add_argument("--decontam-eval", default=None,
+                   help="parquet of benchmark/eval docs: drop surviving "
+                        "docs whose distinct n-gram overlap against it "
+                        "exceeds --decontam-max-overlap")
+    p.add_argument("--decontam-n", type=int, default=8,
+                   help="n-gram length for the decontamination gate")
+    p.add_argument("--decontam-max-overlap", type=float, default=0.0,
+                   help="max tolerated overlap fraction (0.0 = the GPT-3 "
+                        "any-collision drop rule)")
+    p.add_argument("--mixture-temperature", type=float, default=0.0,
+                   help="> 0: temperature-rebalance the domain mixture "
+                        "(rate per domain ~ n^(1/T-1), max-normalized; "
+                        "deterministic md5-keyed down-sampling)")
+    p.add_argument("--mixture-domain-col", default="lang",
+                   help="domain column for mixture sampling (default: the "
+                        "lang column the annotate stage adds)")
+    p.add_argument("--mixture-seed", type=int, default=0)
+    p.add_argument("--shuffle-shards", type=int, default=0,
+                   help="> 0: also write <output>/train_shards - the "
+                        "deterministic seeded global shuffle dealt into N "
+                        "balanced shards with a contiguous pos order "
+                        "(resumable training-order assignment)")
+    p.add_argument("--shuffle-seed", type=int, default=0)
     p.add_argument("--val-fraction", type=float, default=0.0,
                    help="> 0: also assign a leak-free train/val split "
                         "(near-dup clusters never straddle; shards are then "
@@ -165,6 +195,35 @@ def main(argv=None):
     docs = docs.localCheckpoint(eager=False)
     funnel["after_filters"] = docs.count()
 
+    # 5b. benchmark decontamination — on the post-filter survivors (the
+    # cheapest point: every earlier stage only shrinks the corpus). The
+    # eval n-gram set is broadcast; the corpus never shuffles wide.
+    if args.decontam_eval:
+        from nama_spark.operators.corpus import decontaminate
+
+        eval_docs = spark.read.parquet(args.decontam_eval)
+        docs = decontaminate(
+            docs, eval_docs, n=args.decontam_n,
+            max_overlap=args.decontam_max_overlap,
+            text_col=args.text_col, id_col=args.id_col,
+        ).localCheckpoint(eager=False)
+        funnel["after_decontam"] = docs.count()
+
+    # 5c. temperature mixture re-balancing — deterministic md5-keyed
+    # down-sample toward p_domain ~ n^(1/T); append-stable decisions
+    if args.mixture_temperature > 0:
+        from nama_spark.operators.corpus import mixture_rates, sample_mixture
+
+        rates = mixture_rates(
+            docs, temperature=args.mixture_temperature,
+            domain_col=args.mixture_domain_col,
+        )
+        docs = sample_mixture(
+            docs, rates, seed=args.mixture_seed,
+            domain_col=args.mixture_domain_col, id_col=args.id_col,
+        ).localCheckpoint(eager=False)
+        funnel["after_mixture"] = docs.count()
+
     # 6. shards — partition pruning for per-language (and per-split)
     # consumers. The split reuses stage 2's near-dup pairs, so clusters of
     # near-duplicates never straddle train/val (leak-free).
@@ -191,6 +250,17 @@ def main(argv=None):
         )
         chunks.write.mode("overwrite").parquet(args.output + "/chunks")
         funnel["chunks"] = spark.read.parquet(args.output + "/chunks").count()
+    if args.shuffle_shards > 0:
+        from nama_spark.operators.corpus import shuffle_shard
+
+        shuffled = shuffle_shard(
+            docs, n_shards=args.shuffle_shards, seed=args.shuffle_seed,
+            id_col=args.id_col,
+        )
+        shuffled.write.mode("overwrite").partitionBy("shard").parquet(
+            args.output + "/train_shards"
+        )
+        funnel["train_shards"] = args.shuffle_shards
     tok_total = docs.agg(F.sum("n_tokens").alias("t")).collect()[0]["t"] or 0
 
     summary = {

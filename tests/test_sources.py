@@ -172,6 +172,60 @@ def test_run_corpus_pipeline_job(spark, tmp_path):
     assert chunks.count() >= n and "chunk_text" in chunks.columns
 
 
+def test_run_corpus_pipeline_job_decontam_mixture_shuffle(spark, tmp_path):
+    """The corpus-prep stages through the job surface: --decontam-eval
+    drops overlapping docs, --mixture-temperature re-balances, and
+    --shuffle-shards writes balanced train-order shards; every stage
+    reports a funnel count."""
+    import io
+    import json
+    import sys
+    from contextlib import redirect_stdout
+
+    sys.path.insert(0, "/root/repo/jobs")
+    try:
+        import run_corpus_pipeline
+    finally:
+        sys.path.pop(0)
+
+    # eval set = a slice of the same corpus → guaranteed n-gram collisions
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    eval_p = str(tmp_path / "eval.parquet")
+    docs.where(F.col("doc_id") % 11 == 0).write.parquet(eval_p)
+
+    out = str(tmp_path / "corpus")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = run_corpus_pipeline.main([
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--output", out,
+            "--near-dup-threshold", "0.5",
+            "--decontam-eval", eval_p,
+            "--decontam-n", "3",
+            "--decontam-max-overlap", "0.05",
+            "--mixture-temperature", "2.0",
+            "--shuffle-shards", "4",
+        ])
+    assert rc == 0
+    summary = json.loads(buf.getvalue().strip().splitlines()[-1])
+    f = summary["funnel"]
+    # decontam runs after the filters and only shrinks; eval overlap is
+    # guaranteed (eval ⊂ corpus), so it must drop something at n=3
+    assert f["after_decontam"] < f["after_filters"]
+    assert f["after_mixture"] <= f["after_decontam"]
+    assert f["train_shards"] == 4
+    sh = spark.read.parquet(out + "/train_shards")
+    assert sh.count() == f["after_mixture"]
+    sizes = [r["n"] for r in sh.groupBy("shard")
+             .agg(F.count(F.lit(1)).alias("n")).collect()]
+    assert len(sizes) <= 4 and max(sizes) - min(sizes) <= 1
+    # pos is contiguous from 0 within each shard
+    mx = sh.groupBy("shard").agg(
+        F.max("pos").alias("mx"), F.count(F.lit(1)).alias("n")
+    )
+    assert all(r["mx"] == r["n"] - 1 for r in mx.collect())
+
+
 def test_run_dedup_job_incremental(spark, tmp_path):
     """run_dedup.py incremental mode: --write-index on the corpus, then
     --delta against it; delta keep/drop partition the delta ids."""
