@@ -943,6 +943,34 @@ def q_pack_chunks(spark, sf_dir):
     return pack_chunks(chunks, budget_tokens=512)
 
 
+def q_dup_span_profile(spark, sf_dir):
+    """Duplicated-span profile (dedup.duplicated_span_profile — the
+    ExactSubstr signal of Lee et al., ACL 2022, as a relational twin):
+    per-doc fraction of k-token windows occurring ≥ 2 times corpus-wide,
+    every occurrence counted (within- and cross-doc). k=4 on the
+    tiny-vocab synthetic corpus yields a real spread (369/500 docs with
+    some duplication, 47 heavy at sf0.01)."""
+    from nama_spark.operators.dedup import duplicated_span_profile
+
+    out = duplicated_span_profile(_t(spark, sf_dir, "documents"), k=4)
+    return out.select(
+        "doc_id", "n_windows", "n_dup", F.round("dup_frac", 6).alias("dup_frac")
+    )
+
+
+def q_drop_dup_span_docs(spark, sf_dir):
+    """dedup.drop_duplicated_span_docs end-to-end: documents whose k=4
+    duplicated-window fraction exceeds 20% removed (the document-level
+    action on the Lee et al. signal — catches mostly-verbatim pages that
+    whole-doc MinHash misses). Schema-preserving semi-join."""
+    from nama_spark.operators.dedup import drop_duplicated_span_docs
+
+    docs = _t(spark, sf_dir, "documents")
+    return drop_duplicated_span_docs(docs, k=4, max_dup_frac=0.2).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 def q_decontam_overlap(spark, sf_dir):
     """Benchmark-decontamination overlap report (corpus.ngram_overlap —
     Brown et al. 2020 appendix C): the held-out "benchmark" is the
@@ -1396,6 +1424,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # later rotation.
     return {
         # --- NEW this round (r05) ---
+        "dup_span_profile": q_dup_span_profile,
+        "drop_dup_span_docs": q_drop_dup_span_docs,
         "decontam_overlap": q_decontam_overlap,
         "decontaminate_docs": q_decontaminate_docs,
         "mixture_rates_lang": q_mixture_rates_lang,
@@ -2374,6 +2404,57 @@ def oracle_sql() -> dict[str, str]:
     # IVF-PQ additionally probes every cell → same anchor.
     q["ann_pq_topk"] = q["ann_cosine_topk"]
     q["ann_ivfpq_topk"] = q["ann_cosine_topk"]
+
+    # duplicated-span profile: k=4 token windows WITH multiplicity; a
+    # window is duplicated when its exact text occurs >= 2 times anywhere
+    # (Spark groups by the window's md5 — injective, same partition)
+    q["dup_span_profile"] = r"""
+        WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+                   FROM documents),
+        win AS (
+            SELECT doc_id,
+                   CASE WHEN len(ws) >= 4 THEN array_to_string(ws[i+1:i+4], ' ')
+                        ELSE array_to_string(ws, ' ') END AS wtext
+            FROM (SELECT doc_id, ws,
+                         unnest(CASE WHEN len(ws) >= 4 THEN range(0, len(ws)-3)
+                                     ELSE [0] END) AS i
+                  FROM w)
+        ),
+        occ AS (SELECT wtext, count(*) AS occ FROM win GROUP BY wtext)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_windows,
+               CAST(sum(CASE WHEN occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+               round(sum(CASE WHEN occ >= 2 THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6) AS dup_frac
+        FROM win JOIN occ USING (wtext)
+        GROUP BY doc_id
+    """
+
+    # the document-level gate on the same profile (unrounded fraction)
+    q["drop_dup_span_docs"] = r"""
+        WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+                   FROM documents),
+        win AS (
+            SELECT doc_id,
+                   CASE WHEN len(ws) >= 4 THEN array_to_string(ws[i+1:i+4], ' ')
+                        ELSE array_to_string(ws, ' ') END AS wtext
+            FROM (SELECT doc_id, ws,
+                         unnest(CASE WHEN len(ws) >= 4 THEN range(0, len(ws)-3)
+                                     ELSE [0] END) AS i
+                  FROM w)
+        ),
+        occ AS (SELECT wtext, count(*) AS occ FROM win GROUP BY wtext),
+        prof AS (
+            SELECT doc_id,
+                   sum(CASE WHEN occ >= 2 THEN 1 ELSE 0 END)
+                   / CAST(count(*) AS DOUBLE) AS frac
+            FROM win JOIN occ USING (wtext)
+            GROUP BY doc_id
+        )
+        SELECT d.doc_id, d.lang, d.source, d.n_chars
+        FROM documents d JOIN prof p ON p.doc_id = d.doc_id
+        WHERE p.frac <= 0.2
+    """
 
     # decontamination: distinct 3-word-gram overlap of each training doc
     # (doc_id % 37 != 0) against the benchmark slice (doc_id % 37 == 0);

@@ -629,6 +629,83 @@ def split_documents_leakfree(
     )
 
 
+def duplicated_span_profile(
+    docs: DataFrame,
+    k: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_occ: int = 2,
+) -> DataFrame:
+    """(``id_col``, n_windows, n_dup, dup_frac) — for each document, the
+    fraction of its k-token windows whose exact token sequence occurs
+    ≥ ``min_occ`` times corpus-wide, counting EVERY occurrence (within-
+    and cross-document). This is the ExactSubstr duplication signal of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better" (ACL 2022): whole-document MinHash misses partial overlap —
+    a page quoting a duplicated boilerplate block, a doc that repeats
+    its own content — while the per-window occurrence count catches any
+    verbatim span of ≥ k tokens. The suffix-array construction of the
+    paper is replaced by a relational twin: fixed-k windows + one
+    occurrence groupBy (a span of length L ≥ k duplicates L−k+1 windows,
+    so long shared spans dominate dup_frac exactly as they dominate the
+    suffix-array's match length).
+
+    Shape at scale: one tokenization projection (materialized before the
+    window lambda — the word_shingles O(words²) hazard), windows hashed
+    in-JVM (md5 of the joined window; engine-portable), ONE occurrence
+    groupBy on the hash (zipfian-hot boilerplate windows collapse to
+    single agg rows), one hash-join back, one per-doc agg. Everything is
+    linear in total token count; no pair enumeration anywhere.
+
+    Windows are counted WITH multiplicity (each position is a window);
+    documents shorter than ``k`` tokens contribute their whole text as a
+    single window, so every document gets a row and dup_frac is always
+    defined."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    tokenized = docs.select(F.col(id_col).alias("__id"), toks.alias("__toks"))
+    t = F.col("__toks")
+    n = F.size(t)
+    hashes = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - F.lit(k)),
+            lambda i: F.md5(F.array_join(F.slice(t, i + 1, k), " ")),
+        ),
+    ).otherwise(F.array(F.md5(F.array_join(t, " "))))
+    win = tokenized.select("__id", F.explode(hashes).alias("h"))
+    occ = win.groupBy("h").agg(F.count(F.lit(1)).alias("occ"))
+    return (
+        win.join(occ, "h")
+        .groupBy(F.col("__id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum((F.col("occ") >= min_occ).cast("long")).alias("n_dup"),
+        )
+        .withColumn(
+            "dup_frac", F.col("n_dup") / F.col("n_windows").cast("double")
+        )
+    )
+
+
+def drop_duplicated_span_docs(
+    docs: DataFrame,
+    k: int = 16,
+    max_dup_frac: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_occ: int = 2,
+) -> DataFrame:
+    """``docs`` with documents whose duplicated-span fraction exceeds
+    ``max_dup_frac`` REMOVED (left-semi through duplicated_span_profile) —
+    the document-level action on the Lee et al. signal: drop pages that
+    are mostly verbatim copies of corpus-wide spans even when no single
+    whole-document near-duplicate exists. Schema-preserving."""
+    keep = duplicated_span_profile(
+        docs, k=k, text_col=text_col, id_col=id_col, min_occ=min_occ
+    ).where(F.col("dup_frac") <= F.lit(float(max_dup_frac)))
+    return docs.join(keep.select(id_col), id_col, "left_semi")
+
+
 def dedup_paragraphs(
     docs: DataFrame,
     text_col: str = "text",

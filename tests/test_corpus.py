@@ -155,3 +155,58 @@ def test_shuffle_shard_is_balanced_seeded_permutation(spark, docs):
     assert other != again
     with pytest.raises(ValueError):
         shuffle_shard(big, n_shards=0)
+
+
+# ---------- duplicated-span profile (ExactSubstr signal, dedup.py) ----------
+
+def test_duplicated_span_profile_matches_python_oracle(spark):
+    from nama_spark.operators.dedup import (
+        drop_duplicated_span_docs,
+        duplicated_span_profile,
+    )
+
+    boiler = "all rights reserved contact us for details"
+    rows = [
+        (0, "unique words alpha beta gamma delta " + boiler),
+        (1, "other phrasing entirely epsilon zeta eta " + boiler),
+        (2, "totally fresh content nothing shared here at all"),
+        (3, "short doc"),
+        # within-doc repetition also counts (every occurrence, not df)
+        (4, "repeat me now four times repeat me now four times"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    k = 4
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_dup"], r["dup_frac"])
+        for r in duplicated_span_profile(docs, k=k).collect()
+    }
+
+    def windows(text):
+        ts = text.lower().split()
+        if len(ts) < k:
+            return [" ".join(ts)]
+        return [" ".join(ts[i : i + k]) for i in range(len(ts) - k + 1)]
+
+    from collections import Counter
+
+    occ = Counter()
+    for _, text in [(r[0], r[1]) for r in rows]:
+        occ.update(windows(text))
+    for doc_id, text in [(r[0], r[1]) for r in rows]:
+        ws = windows(text)
+        dup = sum(1 for w in ws if occ[w] >= 2)
+        assert got[doc_id] == (len(ws), dup, dup / len(ws)), doc_id
+    # the shared boilerplate spans mark docs 0/1 but not 2/3
+    assert got[0][1] > 0 and got[1][1] > 0
+    assert got[2][1] == 0 and got[3][1] == 0
+    # within-doc repeat detected
+    assert got[4][1] > 0
+    # the gate drops the heavy-duplication doc, keeps the clean one
+    kept = {
+        r["doc_id"]
+        for r in drop_duplicated_span_docs(docs, k=k, max_dup_frac=0.3)
+        .select("doc_id").collect()
+    }
+    assert 2 in kept and 3 in kept
+    assert 4 not in kept  # 100% duplicated windows
+    assert kept == {d for d, (nw, nd, f) in got.items() if f <= 0.3}
