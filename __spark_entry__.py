@@ -971,6 +971,33 @@ def q_drop_dup_span_docs(spark, sf_dir):
     )
 
 
+def q_repetition_profile(spark, sf_dir):
+    """Gopher repetition signals (corpus.repetition_profile — Rae et al.
+    2021, Table A1): per-doc char-mass of the most repeated 2-/3-gram and
+    of all duplicated 2-/5-grams, plus the normalized char count. Emitted
+    as exact integers (fractions are chars/n_chars_norm) so the oracle
+    compares without float rounding-tie hazards."""
+    from nama_spark.operators.corpus import repetition_profile
+
+    return repetition_profile(
+        _t(spark, sf_dir, "documents"), top_ns=(2, 3), dup_ns=(2, 5)
+    )
+
+
+def q_gopher_repetition_filter(spark, sf_dir):
+    """corpus.gopher_repetition_filter end-to-end: documents failing any
+    repetition rule removed (top-2 > 8%, top-3 > 6%, dup-5 > 10% of
+    normalized chars — thresholds scaled to the tiny-vocab fixture;
+    Gopher's own Table A1 values are the operator defaults). Integer
+    arithmetic gate; keeps 182/500 at sf0.01."""
+    from nama_spark.operators.corpus import gopher_repetition_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    return gopher_repetition_filter(
+        docs, top_thresholds={2: 0.08, 3: 0.06}, dup_thresholds={5: 0.10}
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
 def q_decontam_overlap(spark, sf_dir):
     """Benchmark-decontamination overlap report (corpus.ngram_overlap —
     Brown et al. 2020 appendix C): the held-out "benchmark" is the
@@ -1424,6 +1451,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # later rotation.
     return {
         # --- NEW this round (r05) ---
+        "repetition_profile": q_repetition_profile,
+        "gopher_repetition_filter": q_gopher_repetition_filter,
         "dup_span_profile": q_dup_span_profile,
         "drop_dup_span_docs": q_drop_dup_span_docs,
         "decontam_overlap": q_decontam_overlap,
@@ -2404,6 +2433,70 @@ def oracle_sql() -> dict[str, str]:
     # IVF-PQ additionally probes every cell → same anchor.
     q["ann_pq_topk"] = q["ann_cosine_topk"]
     q["ann_ivfpq_topk"] = q["ann_cosine_topk"]
+
+    # Gopher repetition signals: per-doc n-gram char-mass integers.
+    # DuckDB list slicing is 1-based inclusive; range(0, greatest(m, 0))
+    # yields no windows for docs shorter than n (left join -> coalesce 0)
+    _rep_branches = r"""
+        WITH w AS (SELECT doc_id,
+                          list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                      x -> x <> '') AS ws
+                   FROM documents),
+        base AS (SELECT doc_id,
+                        CAST(length(array_to_string(ws, ' ')) AS BIGINT) AS n_chars_norm,
+                        ws
+                 FROM w),
+        a2 AS (SELECT doc_id, max(occ*l) AS top2,
+                      sum(CASE WHEN occ >= 2 THEN occ*l ELSE 0 END) AS dup2
+               FROM (SELECT doc_id, g, count(*) AS occ, max(length(g)) AS l
+                     FROM (SELECT doc_id, array_to_string(ws[i+1:i+2], ' ') AS g
+                           FROM (SELECT doc_id, ws,
+                                        unnest(range(0, greatest(len(ws)-1, 0))) AS i
+                                 FROM base))
+                     GROUP BY doc_id, g)
+               GROUP BY doc_id),
+        a3 AS (SELECT doc_id, max(occ*l) AS top3
+               FROM (SELECT doc_id, g, count(*) AS occ, max(length(g)) AS l
+                     FROM (SELECT doc_id, array_to_string(ws[i+1:i+3], ' ') AS g
+                           FROM (SELECT doc_id, ws,
+                                        unnest(range(0, greatest(len(ws)-2, 0))) AS i
+                                 FROM base))
+                     GROUP BY doc_id, g)
+               GROUP BY doc_id),
+        a5 AS (SELECT doc_id,
+                      sum(CASE WHEN occ >= 2 THEN occ*l ELSE 0 END) AS dup5
+               FROM (SELECT doc_id, g, count(*) AS occ, max(length(g)) AS l
+                     FROM (SELECT doc_id, array_to_string(ws[i+1:i+5], ' ') AS g
+                           FROM (SELECT doc_id, ws,
+                                        unnest(range(0, greatest(len(ws)-4, 0))) AS i
+                                 FROM base))
+                     GROUP BY doc_id, g)
+               GROUP BY doc_id),
+        prof AS (SELECT b.doc_id, b.n_chars_norm,
+                        CAST(coalesce(a2.top2, 0) AS BIGINT) AS top2_gram_chars,
+                        CAST(coalesce(a3.top3, 0) AS BIGINT) AS top3_gram_chars,
+                        CAST(coalesce(a2.dup2, 0) AS BIGINT) AS dup2_gram_chars,
+                        CAST(coalesce(a5.dup5, 0) AS BIGINT) AS dup5_gram_chars
+                 FROM base b
+                 LEFT JOIN a2 USING (doc_id)
+                 LEFT JOIN a3 USING (doc_id)
+                 LEFT JOIN a5 USING (doc_id))
+    """
+    q["repetition_profile"] = _rep_branches + r"""
+        SELECT doc_id, n_chars_norm, top2_gram_chars, top3_gram_chars,
+               dup2_gram_chars, dup5_gram_chars
+        FROM prof
+    """
+    # the gate: integer-arithmetic thresholds (x1000 milli-units) — keep
+    # iff every rule passes; 8% top-2, 6% top-3, 10% dup-5
+    q["gopher_repetition_filter"] = _rep_branches + r"""
+        SELECT d.doc_id, d.lang, d.source, d.n_chars
+        FROM documents d
+        JOIN prof p ON p.doc_id = d.doc_id
+        WHERE p.top2_gram_chars * 1000 <= 80 * p.n_chars_norm
+          AND p.top3_gram_chars * 1000 <= 60 * p.n_chars_norm
+          AND p.dup5_gram_chars * 1000 <= 100 * p.n_chars_norm
+    """
 
     # duplicated-span profile: k=4 token windows WITH multiplicity; a
     # window is duplicated when its exact text occurs >= 2 times anywhere

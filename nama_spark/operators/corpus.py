@@ -186,3 +186,140 @@ def shuffle_shard(
         F.floor(F.col("__rank") / n_shards).cast("bigint").alias("pos"),
         *docs.columns,
     )
+
+
+# ---------- Gopher repetition signals (Rae et al. 2021, Table A1) ----------
+
+#: drop when the char-mass of the single most repeated n-gram exceeds this
+#: fraction of the normalized text (Rae et al., "Scaling Language Models:
+#: Methods, Analysis & Insights from Training Gopher", 2021, Table A1).
+GOPHER_TOP_NGRAM_THRESHOLDS = {2: 0.20, 3: 0.18, 4: 0.16}
+#: drop when the total char-mass of ALL duplicated n-grams exceeds this
+#: fraction (same source; the n=5..10 "duplicate n-gram" family).
+GOPHER_DUP_NGRAM_THRESHOLDS = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def repetition_profile(
+    docs: DataFrame,
+    top_ns: tuple = (2, 3, 4),
+    dup_ns: tuple = (5, 6, 7, 8, 9, 10),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_chars_norm, top{n}_gram_chars..., dup{n}_gram_chars...) —
+    the within-document repetition signals of the Gopher quality rules
+    (Rae et al. 2021, Table A1): for each ``n`` in ``top_ns`` the char-mass
+    (occurrences x gram length) of the single most repeated word n-gram, and
+    for each ``n`` in ``dup_ns`` the total char-mass of every n-gram that
+    occurs >= 2 times in the document. Downstream fractions are these
+    integers over ``n_chars_norm`` (the length of the whitespace-normalized
+    text) — emitted as exact integers, not floats, so an oracle can compare
+    without rounding-tie hazards and a filter can threshold with integer
+    arithmetic.
+
+    Variant notes vs the paper (documented, deterministic): the "top" signal
+    is max(occ x len) rather than "chars of the modal gram" (monotone
+    tie-free twin); the "dup" signal counts every occurrence's chars, so
+    overlapping duplicated grams double-count (an upper bound on the
+    paper's distinct-char coverage — stricter, never looser, as a filter).
+    Documents with fewer than ``n`` words have no n-grams → 0 char-mass.
+
+    Shape at scale: the tokenized projection is computed once and pinned
+    (lazy localCheckpoint — each ``n`` branch re-reads the skinny
+    (doc_id, tokens) frame, not the corpus); every branch is explode →
+    groupBy(doc_id, md5(gram)) → groupBy(doc_id) — all signals are
+    WITHIN-document, so each agg is per-doc-local mass, no cross-doc joins,
+    no pair enumeration, linear in corpus token count. Shuffle rows are
+    (id, 32-char hash, int) — the gram text itself never crosses a
+    shuffle."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda w: w != F.lit(""),
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
+    base = base.localCheckpoint(eager=False)
+    t = F.col("__toks")
+    nw = F.size(t)
+    out = base.select(
+        "doc_id", F.length(F.array_join(t, " ")).cast("long").alias("n_chars_norm")
+    )
+    def _gram_at(width):
+        # single-arg lambda only: a second parameter would be bound to the
+        # element INDEX by Spark's higher-order transform
+        return lambda i: F.array_join(F.slice(t, i + 1, width), " ")
+
+    for n in sorted(set(top_ns) | set(dup_ns)):
+        grams = F.when(
+            nw >= n,
+            F.transform(F.sequence(F.lit(0), nw - F.lit(n)), _gram_at(n)),
+        ).otherwise(F.array().cast("array<string>"))
+        per_gram = (
+            base.select("doc_id", F.explode(grams).alias("g"))
+            .select("doc_id", F.md5("g").alias("h"), F.length("g").alias("l"))
+            .groupBy("doc_id", "h")
+            .agg(F.count(F.lit(1)).alias("occ"), F.max("l").alias("l"))
+        )
+        per_doc = per_gram.groupBy("doc_id").agg(
+            F.max(F.col("occ") * F.col("l")).alias(f"__top{n}"),
+            F.sum(
+                F.when(F.col("occ") >= 2, F.col("occ") * F.col("l")).otherwise(0)
+            ).alias(f"__dup{n}"),
+        )
+        out = out.join(per_doc, "doc_id", "left")
+    sel = [F.col("doc_id"), F.col("n_chars_norm")]
+    for n in top_ns:
+        sel.append(
+            F.coalesce(F.col(f"__top{n}"), F.lit(0))
+            .cast("long")
+            .alias(f"top{n}_gram_chars")
+        )
+    for n in dup_ns:
+        sel.append(
+            F.coalesce(F.col(f"__dup{n}"), F.lit(0))
+            .cast("long")
+            .alias(f"dup{n}_gram_chars")
+        )
+    return out.select(*sel)
+
+
+def gopher_repetition_filter(
+    docs: DataFrame,
+    top_thresholds: dict | None = None,
+    dup_thresholds: dict | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``docs`` with documents failing ANY Gopher repetition rule removed:
+    keep iff top{n}_gram_chars / n_chars_norm <= top_thresholds[n] for every
+    n, and likewise for dup_thresholds (defaults = the paper's Table A1
+    values). The comparison is integer arithmetic (chars x 1000 vs
+    thr_millis x n_chars_norm) — exact, engine-portable, no float rounding.
+    Thresholds must therefore be exact milli-units (0.001 resolution).
+    Schema-preserving left-semi join; empty documents (n_chars_norm = 0)
+    trivially pass (0 <= 0) — length gating is quality_score's job."""
+    top_thresholds = (
+        dict(GOPHER_TOP_NGRAM_THRESHOLDS) if top_thresholds is None else top_thresholds
+    )
+    dup_thresholds = (
+        dict(GOPHER_DUP_NGRAM_THRESHOLDS) if dup_thresholds is None else dup_thresholds
+    )
+    prof = repetition_profile(
+        docs,
+        top_ns=tuple(top_thresholds),
+        dup_ns=tuple(dup_thresholds),
+        text_col=text_col,
+        id_col=id_col,
+    )
+    cond = F.lit(True)
+    for n, thr in sorted(top_thresholds.items()):
+        cond = cond & (
+            F.col(f"top{n}_gram_chars") * 1000
+            <= F.lit(int(round(thr * 1000))) * F.col("n_chars_norm")
+        )
+    for n, thr in sorted(dup_thresholds.items()):
+        cond = cond & (
+            F.col(f"dup{n}_gram_chars") * 1000
+            <= F.lit(int(round(thr * 1000))) * F.col("n_chars_norm")
+        )
+    keep = prof.where(cond).select(F.col("doc_id").alias(id_col))
+    return docs.join(keep, id_col, "left_semi")

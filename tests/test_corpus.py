@@ -210,3 +210,58 @@ def test_duplicated_span_profile_matches_python_oracle(spark):
     assert 2 in kept and 3 in kept
     assert 4 not in kept  # 100% duplicated windows
     assert kept == {d for d, (nw, nd, f) in got.items() if f <= 0.3}
+
+
+# ---------- Gopher repetition signals (corpus.py) ----------
+
+def test_repetition_profile_matches_python_oracle(spark):
+    from collections import Counter
+
+    from nama_spark.operators.corpus import (
+        gopher_repetition_filter,
+        repetition_profile,
+    )
+
+    rows = [
+        (0, "spam spam spam spam spam spam"),
+        (1, "a varied document with mostly distinct words in it"),
+        (2, "the cat sat on the mat the cat sat on the mat again"),
+        (3, "tiny"),
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in repetition_profile(docs, top_ns=(2, 3), dup_ns=(2, 5)).collect()
+    }
+
+    def grams(ws, n):
+        return [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+
+    for doc_id, text in rows:
+        ws = [w for w in text.lower().strip().split() if w]
+        exp = {"n_chars_norm": len(" ".join(ws))}
+        for n, kind in [(2, "top"), (3, "top"), (2, "dup"), (5, "dup")]:
+            c = Counter(grams(ws, n))
+            if kind == "top":
+                exp[f"top{n}_gram_chars"] = max(
+                    (o * len(g) for g, o in c.items()), default=0
+                )
+            else:
+                exp[f"dup{n}_gram_chars"] = sum(
+                    o * len(g) for g, o in c.items() if o >= 2
+                )
+        assert got[doc_id] == {"doc_id": doc_id, **exp}, doc_id
+    # every doc gets a row, even empty / shorter-than-n ones
+    assert set(got) == {0, 1, 2, 3, 4}
+    # the gate: spam doc fails top-2 (one gram is the whole text), varied
+    # doc passes everything, repeated-sentence doc fails dup-5
+    kept = {
+        r["doc_id"]
+        for r in gopher_repetition_filter(
+            docs, top_thresholds={2: 0.30}, dup_thresholds={5: 0.15}
+        ).select("doc_id").collect()
+    }
+    assert 1 in kept and 0 not in kept and 2 not in kept
+    # empty + tiny docs trivially pass
+    assert {3, 4} <= kept
