@@ -7,10 +7,18 @@ operators — each stage is the bucketed/scale path, not a baseline:
     1b. paragraph dedup   (--paragraph-min-df > 0) CCNet-style: drop every
                           paragraph whose normalized form appears in ≥ df
                           distinct docs (boilerplate); empty docs drop out
+    1c. span-dup gate     (--span-max-dup-frac > 0) drop documents whose
+                          fraction of duplicated k-token windows exceeds
+                          the cap (ExactSubstr signal, Lee et al. 2022 —
+                          catches mostly-verbatim pages whole-doc MinHash
+                          misses)
     2. near-dup removal   MinHash + banded LSH pairs → CC clusters →
                           keep min doc_id per cluster
     3. quality filter     quality_score ≥ --min-quality
                           (length/punct/stopword profile)
+    3b. repetition gate   (--gopher-repetition) drop documents failing any
+                          Gopher Table-A1 repetition rule (top-2/3/4-gram
+                          and duplicate-5..10-gram char-mass caps)
     4. language filter    lang-ID ∈ --langs (marker-token n-gram heuristic)
     5. annotate           token counts + rolling-hash fingerprint
     5b. decontamination   (--decontam-eval PATH) drop docs whose distinct
@@ -55,6 +63,15 @@ def parse_args(argv=None):
                    help="> 0: CCNet-style paragraph-level boilerplate dedup "
                         "between exact and near-dup (drop paragraphs seen "
                         "in >= df distinct docs); 0 disables")
+    p.add_argument("--span-max-dup-frac", type=float, default=0.0,
+                   help="> 0: drop docs whose duplicated --span-k-token "
+                        "window fraction exceeds this (ExactSubstr doc "
+                        "gate); 0 disables")
+    p.add_argument("--span-k", type=int, default=16,
+                   help="window length (tokens) for the span-dup gate")
+    p.add_argument("--gopher-repetition", action="store_true",
+                   help="drop docs failing any Gopher Table-A1 repetition "
+                        "rule (paper-default thresholds)")
     p.add_argument("--near-dup-threshold", type=float, default=0.8)
     p.add_argument("--shingle-k", type=int, default=3)
     p.add_argument("--min-quality", type=float, default=0.0,
@@ -159,6 +176,18 @@ def main(argv=None):
         funnel["paragraphs_dropped"] = int(dropped or 0)
         funnel["after_paragraph_dedup"] = docs.count()
 
+    # 1c. duplicated-span document gate (the ExactSubstr signal): drop
+    # documents that are mostly verbatim copies of corpus-wide spans even
+    # when no single whole-document near-duplicate exists
+    if args.span_max_dup_frac > 0:
+        from nama_spark.operators.dedup import drop_duplicated_span_docs
+
+        docs = drop_duplicated_span_docs(
+            docs, k=args.span_k, max_dup_frac=args.span_max_dup_frac,
+            text_col=args.text_col, id_col=args.id_col,
+        ).localCheckpoint(eager=False)
+        funnel["after_span_gate"] = docs.count()
+
     # 2. near-dup removal — MinHash LSH pairs → CC → min-id survivor
     pairs = minhash_lsh_pairs(
         docs, args.text_col, args.id_col, k=args.shingle_k,
@@ -189,6 +218,15 @@ def main(argv=None):
     )
     if args.min_quality > 0:
         docs = docs.where(F.col("quality") >= args.min_quality)
+    # 3b. Gopher repetition gate — within-doc n-gram char-mass caps
+    # (paper-default thresholds; integer-arithmetic comparisons)
+    if args.gopher_repetition:
+        from nama_spark.operators.corpus import gopher_repetition_filter
+
+        docs = gopher_repetition_filter(
+            docs, text_col=args.text_col, id_col=args.id_col
+        ).localCheckpoint(eager=False)
+        funnel["after_repetition_gate"] = docs.count()
     langs = [x for x in args.langs.split(",") if x]
     if langs:
         docs = docs.where(F.col("lang").isin(langs))

@@ -471,6 +471,65 @@ def test_run_corpus_pipeline_paragraph_stage(spark, tmp_path):
     assert shards.where(F.col("doc_id") == 99).count() == 1
 
 
+def test_run_corpus_pipeline_span_and_repetition_gates(spark, tmp_path):
+    """--span-max-dup-frac drops mostly-verbatim-span docs (ExactSubstr
+    gate, stage 1c) and --gopher-repetition drops within-doc repetition
+    offenders (stage 3b); both funnel keys land in the right order."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    try:
+        import run_corpus_pipeline
+    finally:
+        sys.path.pop(0)
+
+    shared = "this exact span of many tokens is repeated verbatim across documents"
+    docs = spark.createDataFrame(
+        # long all-distinct-token docs: no window repeats anywhere, and
+        # single-occurrence gram char-mass stays far below Gopher's caps
+        [(i, " ".join(f"tok{i}x{j}" for j in range(60))) for i in range(10)]
+        # mostly-verbatim-span docs: > 50% duplicated k=4 windows
+        + [(90, shared + " plus a tiny unique tail ninety"),
+           (91, shared + " plus a tiny unique tail ninetyone")]
+        # within-doc repetition offender: the 2-gram "spam ham" repeats 12
+        # times (fails Gopher top-2), but every 4-token window contains a
+        # unique u{j} token, so the k=4 span gate does NOT fire
+        + [(95, " ".join(f"spam ham u{j}" for j in range(12)))],
+        ["doc_id", "text"],
+    )
+    inp = str(tmp_path / "docs.parquet")
+    docs.write.parquet(inp)
+
+    out = str(tmp_path / "corpus")
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = run_corpus_pipeline.main([
+            "--input", inp, "--output", out,
+            "--span-max-dup-frac", "0.5", "--span-k", "4",
+            "--gopher-repetition",
+            "--near-dup-threshold", "0.95",
+        ])
+    assert rc == 0
+    summary = json.loads(buf.getvalue().strip().splitlines()[-1])
+    funnel = summary["funnel"]
+    keys = list(funnel)
+    assert (keys.index("after_exact_dedup") < keys.index("after_span_gate")
+            < keys.index("after_near_dedup") < keys.index("after_repetition_gate")
+            < keys.index("after_filters"))
+    # span gate dropped the two verbatim-span docs
+    assert funnel["after_span_gate"] == funnel["after_exact_dedup"] - 2
+    # repetition gate dropped the spam doc (quality/lang gates disabled)
+    assert funnel["after_repetition_gate"] == funnel["after_near_dedup"] - 1
+    assert funnel["after_filters"] == funnel["after_repetition_gate"]
+    shards = spark.read.parquet(out + "/shards")
+    kept = {r["doc_id"] for r in shards.select("doc_id").collect()}
+    assert kept.isdisjoint({90, 91, 95}) and set(range(10)) <= kept
+
+
 def test_run_ann_job_two_level_index(spark, tmp_path):
     """--two-level builds a coarse-quantizer index in the SAME persisted
     layout; append + query work unchanged (ivf_assign auto-detects the
