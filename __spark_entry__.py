@@ -998,6 +998,20 @@ def q_gopher_repetition_filter(spark, sf_dir):
     ).select("doc_id", "lang", "source", "n_chars")
 
 
+def q_cap_per_domain(spark, sf_dir):
+    """corpus.cap_per_domain (RefinedWeb-style anti-over-representation):
+    at most 70 documents per language, chosen by the seed-keyed u48 hash
+    (deterministic random sample the oracle replays). At sf0.01 the cap
+    binds en/zh/es (and de exactly) but not fr — 344/500 survive. The
+    two-phase salted window keeps any hot domain's final sort bounded at
+    n_salts x cap rows."""
+    from nama_spark.operators.corpus import cap_per_domain
+
+    return cap_per_domain(
+        _t(spark, sf_dir, "documents"), 70, domain_col="lang"
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
 def q_decontam_overlap(spark, sf_dir):
     """Benchmark-decontamination overlap report (corpus.ngram_overlap —
     Brown et al. 2020 appendix C): the held-out "benchmark" is the
@@ -1453,6 +1467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW this round (r05) ---
         "repetition_profile": q_repetition_profile,
         "gopher_repetition_filter": q_gopher_repetition_filter,
+        "cap_per_domain": q_cap_per_domain,
         "dup_span_profile": q_dup_span_profile,
         "drop_dup_span_docs": q_drop_dup_span_docs,
         "decontam_overlap": q_decontam_overlap,
@@ -2630,6 +2645,23 @@ def oracle_sql() -> dict[str, str]:
                      pow(CAST(n_docs AS DOUBLE), -0.5) AS raw FROM c),
         m AS (SELECT max(raw) AS m FROM r)
         SELECT domain, n_docs, round(raw / m, 9) AS rate FROM r, m
+    """
+
+    # per-domain cap: top-70 per lang by the seed-keyed u48 DESC (exact in
+    # a double: 48 bits), ties (impossible in practice) on doc_id
+    q["cap_per_domain"] = """
+        WITH k AS (
+            SELECT doc_id, lang, source, n_chars,
+                   CAST(CONCAT('0x', substr(
+                       md5(CONCAT(CAST(doc_id AS VARCHAR), ':0')), 1, 12))
+                       AS BIGINT) / 281474976710656.0 AS kk
+            FROM documents
+        ),
+        r AS (SELECT doc_id, lang, source, n_chars,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY kk DESC, doc_id ASC) AS rk
+              FROM k)
+        SELECT doc_id, lang, source, n_chars FROM r WHERE rk <= 70
     """
 
     # deterministic mixture sample: keep iff u48(doc_id, seed=0) < rate(lang);

@@ -323,3 +323,62 @@ def gopher_repetition_filter(
         )
     keep = prof.where(cond).select(F.col("doc_id").alias(id_col))
     return docs.join(keep, id_col, "left_semi")
+
+
+# ---------- per-domain document caps ----------
+
+def cap_per_domain(
+    docs: DataFrame,
+    max_per_domain: int,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    priority_col: str | None = None,
+    seed: int = 0,
+    n_salts: int = 32,
+) -> DataFrame:
+    """Keep at most ``max_per_domain`` documents per domain — the standard
+    anti-over-representation cap of web-corpus builds (RefinedWeb, Penedo
+    et al. 2023 keep per-domain shares bounded so a single crawl-heavy host
+    cannot dominate the training mixture). Documents are ranked within
+    their domain by ``priority_col`` DESCENDING when given (e.g. a quality
+    score — keep the best), else by a seed-keyed 48-bit uniform hash of the
+    id (a deterministic random sample: reproducible run-to-run, replayable
+    by a SQL oracle, and stable under re-partitioning). Ties break on the
+    id ascending so the ranking is total. Schema-preserving.
+
+    Skew shape: a naive per-domain window puts a hot domain's entire row
+    set in ONE task (a crawl-heavy host at 100 TB is millions of rows —
+    the Exchange-then-sort spills). Two phases bound it: phase 1 ranks
+    within (domain, salt) — ``n_salts`` hash-salted sub-partitions — and
+    keeps each sub-partition's top ``max_per_domain`` (a superset of every
+    global survivor in that salt); phase 2 ranks the ≤ n_salts x cap
+    survivors per domain. No phase-2 partition ever exceeds
+    n_salts x max_per_domain rows, whatever the domain skew."""
+    if max_per_domain <= 0:
+        raise ValueError("max_per_domain must be positive")
+    from pyspark.sql import Window
+
+    key = (
+        F.col(priority_col).cast("double")
+        if priority_col
+        else _uniform48(F.col(id_col), F.lit(str(seed)))
+    )
+    salted = docs.withColumn("__key", key).withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_salts))
+    )
+    w1 = Window.partitionBy(domain_col, "__salt").orderBy(
+        F.col("__key").desc(), F.col(id_col).asc()
+    )
+    survivors = (
+        salted.withColumn("__r", F.row_number().over(w1))
+        .where(F.col("__r") <= max_per_domain)
+        .drop("__r", "__salt")
+    )
+    w2 = Window.partitionBy(domain_col).orderBy(
+        F.col("__key").desc(), F.col(id_col).asc()
+    )
+    return (
+        survivors.withColumn("__r", F.row_number().over(w2))
+        .where(F.col("__r") <= max_per_domain)
+        .drop("__r", "__key")
+    )

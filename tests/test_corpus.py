@@ -265,3 +265,63 @@ def test_repetition_profile_matches_python_oracle(spark):
     assert 1 in kept and 0 not in kept and 2 not in kept
     # empty + tiny docs trivially pass
     assert {3, 4} <= kept
+
+
+# ---------- per-domain caps (corpus.py) ----------
+
+def test_cap_per_domain_matches_python_oracle(spark):
+    import hashlib
+
+    import pytest
+
+    from nama_spark.operators.corpus import cap_per_domain
+
+    # skewed domains: hot has 40 docs, warm 7, cold 2
+    rows = (
+        [(i, "hot", i * 10) for i in range(40)]
+        + [(100 + i, "warm", i) for i in range(7)]
+        + [(200, "cold", 5), (201, "cold", 99)]
+    )
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "score"])
+
+    def u48(doc_id, seed=0):
+        h = hashlib.md5(f"{doc_id}:{seed}".encode()).hexdigest()
+        return int(h[:12], 16) / float(1 << 48)
+
+    # default: seeded-hash random sample, cap 5
+    got = {
+        r["doc_id"]
+        for r in cap_per_domain(docs, 5, n_salts=4).select("doc_id").collect()
+    }
+    exp = set()
+    for dom in ("hot", "warm", "cold"):
+        ids = [d for d, s, _ in rows if s == dom]
+        ids.sort(key=lambda d: (-u48(d), d))
+        exp |= set(ids[:5])
+    assert got == exp
+    # cap binds only where the domain exceeds it
+    assert len([d for d in got if 100 <= d < 200]) == 5
+    assert {200, 201} <= got
+
+    # priority column: keep the HIGHEST scores, ties impossible here
+    got_p = {
+        r["doc_id"]
+        for r in cap_per_domain(docs, 3, priority_col="score", n_salts=4)
+        .select("doc_id").collect()
+    }
+    exp_p = set()
+    for dom in ("hot", "warm", "cold"):
+        dd = [(d, sc) for d, s, sc in rows if s == dom]
+        dd.sort(key=lambda x: (-x[1], x[0]))
+        exp_p |= {d for d, _ in dd[:3]}
+    assert got_p == exp_p
+
+    # two-phase result == naive single-phase (n_salts=1)
+    got_1 = {
+        r["doc_id"]
+        for r in cap_per_domain(docs, 5, n_salts=1).select("doc_id").collect()
+    }
+    assert got_1 == got
+
+    with pytest.raises(ValueError):
+        cap_per_domain(docs, 0)
