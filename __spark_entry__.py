@@ -909,6 +909,22 @@ def q_near_dup_clusters_cc(spark, sf_dir):
     return near_dup_clusters(pairs, docs.select("doc_id"))
 
 
+def q_select_canonical_docs(spark, sf_dir):
+    """dedup.select_canonical_docs: one survivor per shingle-jaccard ≥ 0.5
+    near-dup cluster — the LONGEST member (priority = n_chars, ties →
+    min doc_id), the FineWeb keep-the-best policy instead of the arbitrary
+    min-id default. Cluster-key aggs only (no windows), so a giant cluster
+    never lands in one task's sort."""
+    from nama_spark.operators.dedup import near_dup_clusters, select_canonical_docs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = _doc_shingle_pairs(spark, sf_dir, threshold=0.5)
+    clusters = near_dup_clusters(pairs, docs.select("doc_id"))
+    return select_canonical_docs(docs, clusters, priority_col="n_chars").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 def q_corpus_split_leakfree(spark, sf_dir):
     """Dedup-aware train/val split: near-dup clusters (shingle-jaccard ≥ 0.5
     CC) land wholly in one split via an md5 hash of the cluster id —
@@ -1468,6 +1484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_profile": q_repetition_profile,
         "gopher_repetition_filter": q_gopher_repetition_filter,
         "cap_per_domain": q_cap_per_domain,
+        "select_canonical_docs": q_select_canonical_docs,
         "dup_span_profile": q_dup_span_profile,
         "drop_dup_span_docs": q_drop_dup_span_docs,
         "decontam_overlap": q_decontam_overlap,
@@ -3196,6 +3213,23 @@ def oracle_sql() -> dict[str, str]:
                      * 1000000.0) AS BIGINT)) AS BIGINT) AS total_loss_u
         FROM l GROUP BY alpha
     """
+
+    # canonical survivor: same CC reach, then keep the longest member per
+    # cluster (n_chars DESC, doc_id ASC tie-break) — single reach reference
+    # via a window instead of a second recursive expansion
+    q["select_canonical_docs"] = q["near_dup_clusters_cc"].replace(
+        """SELECT cast(node AS BIGINT) AS doc_id, cast(min(r) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY node""",
+        """SELECT doc_id, lang, source, n_chars FROM (
+            SELECT d.doc_id, d.lang, d.source, d.n_chars,
+                   row_number() OVER (PARTITION BY c.cluster_id
+                                      ORDER BY d.n_chars DESC, d.doc_id ASC) AS rk
+            FROM (SELECT cast(node AS BIGINT) AS doc_id,
+                         cast(min(r) AS BIGINT) AS cluster_id
+                  FROM reach GROUP BY node) c
+            JOIN documents d ON d.doc_id = c.doc_id)
+        WHERE rk = 1""",
+    )
 
     # leak-free split = the near-dup cluster map + an md5 hash of the
     # cluster id (first 12 hex digits / 2^48 -> uniform [0,1))

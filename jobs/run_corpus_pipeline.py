@@ -73,6 +73,11 @@ def parse_args(argv=None):
                    help="drop docs failing any Gopher Table-A1 repetition "
                         "rule (paper-default thresholds)")
     p.add_argument("--near-dup-threshold", type=float, default=0.8)
+    p.add_argument("--canonical-priority", default=None,
+                   help="input column; near-dup survivors are the cluster "
+                        "member with the HIGHEST value (ties -> min id) "
+                        "instead of the min-id default (keep-the-best, "
+                        "FineWeb-style)")
     p.add_argument("--shingle-k", type=int, default=3)
     p.add_argument("--min-quality", type=float, default=0.0,
                    help="0 disables the quality gate")
@@ -197,12 +202,20 @@ def main(argv=None):
     clusters = near_dup_clusters(
         pairs.select("id0", "id1"), all_ids
     )
-    keep_near = clusters.groupBy("cluster_id").agg(
-        F.min("doc_id").alias(args.id_col)
-    ).select(args.id_col)
-    docs = docs.join(keep_near, args.id_col, "left_semi").localCheckpoint(
-        eager=False
-    )
+    if args.canonical_priority:
+        from nama_spark.operators.dedup import select_canonical_docs
+
+        docs = select_canonical_docs(
+            docs, clusters, priority_col=args.canonical_priority,
+            id_col=args.id_col,
+        ).localCheckpoint(eager=False)
+    else:
+        keep_near = clusters.groupBy("cluster_id").agg(
+            F.min("doc_id").alias(args.id_col)
+        ).select(args.id_col)
+        docs = docs.join(keep_near, args.id_col, "left_semi").localCheckpoint(
+            eager=False
+        )
     funnel["after_near_dedup"] = docs.count()
 
     # 3-5. profile columns, then gate on them

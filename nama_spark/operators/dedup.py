@@ -586,6 +586,41 @@ def near_dup_clusters(pairs: DataFrame, all_ids: DataFrame,
     )
 
 
+def select_canonical_docs(
+    docs: DataFrame,
+    clusters: DataFrame,
+    priority_col: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``docs`` reduced to ONE survivor per near-dup cluster: the member
+    with the highest ``priority_col`` (ties → smallest id), or simply the
+    smallest id when no priority is given. Web-corpus builds keep the
+    best member — longest text, highest quality score — rather than an
+    arbitrary one (FineWeb/RefinedWeb practice), so the min-id rule the
+    pipeline stages default to gets a policy hook here. Schema-preserving.
+
+    ``clusters`` is a (doc_id, cluster_id) map (near_dup_clusters output).
+    Shape: two groupBys on cluster_id (max priority, then min id among the
+    tied) — cluster-key aggs, no windows, so a pathological giant cluster
+    is two wide agg rows, never one task's sort buffer."""
+    if priority_col is None:
+        best = clusters.groupBy("cluster_id").agg(F.min("doc_id").alias(id_col))
+    else:
+        members = clusters.join(
+            docs.select(
+                F.col(id_col).alias("doc_id"), F.col(priority_col).alias("__p")
+            ),
+            "doc_id",
+        )
+        mx = members.groupBy("cluster_id").agg(F.max("__p").alias("__p"))
+        best = (
+            members.join(mx, ["cluster_id", "__p"])
+            .groupBy("cluster_id")
+            .agg(F.min("doc_id").alias(id_col))
+        )
+    return docs.join(best.select(id_col), id_col, "left_semi")
+
+
 # ---------- leak-free corpus splits ----------
 
 def split_documents_leakfree(

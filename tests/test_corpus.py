@@ -325,3 +325,38 @@ def test_cap_per_domain_matches_python_oracle(spark):
 
     with pytest.raises(ValueError):
         cap_per_domain(docs, 0)
+
+
+# ---------- canonical survivor per near-dup cluster (dedup.py) ----------
+
+def test_select_canonical_docs(spark):
+    from nama_spark.operators.dedup import select_canonical_docs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a", 10), (2, "b", 30), (3, "c", 30),   # cluster A: tie on 30
+            (4, "d", 5),                                # singleton
+            (5, "e", 7), (6, "f", 2),                   # cluster B
+        ],
+        ["doc_id", "text", "quality"],
+    )
+    clusters = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100), (4, 101), (5, 102), (6, 102)],
+        ["doc_id", "cluster_id"],
+    )
+    # priority: max quality wins, tie -> min id (doc 2 beats doc 3)
+    kept = {
+        r["doc_id"]
+        for r in select_canonical_docs(docs, clusters, priority_col="quality")
+        .select("doc_id").collect()
+    }
+    assert kept == {2, 4, 5}
+    # default: min id per cluster
+    kept_min = {
+        r["doc_id"]
+        for r in select_canonical_docs(docs, clusters).select("doc_id").collect()
+    }
+    assert kept_min == {1, 4, 5}
+    # schema-preserving
+    out = select_canonical_docs(docs, clusters, priority_col="quality")
+    assert out.columns == docs.columns

@@ -530,6 +530,54 @@ def test_run_corpus_pipeline_span_and_repetition_gates(spark, tmp_path):
     assert kept.isdisjoint({90, 91, 95}) and set(range(10)) <= kept
 
 
+def test_run_corpus_pipeline_canonical_priority(spark, tmp_path):
+    """--canonical-priority keeps the HIGHEST-priority member of each
+    near-dup cluster (FineWeb keep-the-best) instead of the min-id."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    try:
+        import run_corpus_pipeline
+    finally:
+        sys.path.pop(0)
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "sun sets slowly behind the quiet hills tonight")
+    docs = spark.createDataFrame(
+        [
+            (1, base, len(base)),
+            # near-dup of doc 1, longer -> wins under priority, loses to min-id
+            (2, base + " indeed", len(base) + 7),
+            (3, "a completely different document about maritime "
+                "navigation and the history of lighthouses", 89),
+        ],
+        ["doc_id", "text", "n_chars"],
+    )
+    inp = str(tmp_path / "docs.parquet")
+    docs.write.parquet(inp)
+
+    import io
+    from contextlib import redirect_stdout
+
+    for flag, expect in [([], {1, 3}), (["--canonical-priority", "n_chars"], {2, 3})]:
+        out = str(tmp_path / ("corpus" + str(len(flag))))
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            rc = run_corpus_pipeline.main([
+                "--input", inp, "--output", out,
+                "--near-dup-threshold", "0.7",
+            ] + flag)
+        assert rc == 0
+        summary = json.loads(buf.getvalue().strip().splitlines()[-1])
+        assert summary["funnel"]["after_near_dedup"] == 2
+        kept = {
+            r["doc_id"]
+            for r in spark.read.parquet(out + "/shards").select("doc_id").collect()
+        }
+        assert kept == expect, flag
+
+
 def test_run_ann_job_two_level_index(spark, tmp_path):
     """--two-level builds a coarse-quantizer index in the SAME persisted
     layout; append + query work unchanged (ivf_assign auto-detects the
