@@ -1028,6 +1028,35 @@ def q_cap_per_domain(spark, sf_dir):
     ).select("doc_id", "lang", "source", "n_chars")
 
 
+def q_redact_pii_docs(spark, sf_dir):
+    """corpus.redact_documents (Dolma/FineWeb-style in-place PII masking):
+    fixture text carries no PII, so each doc is dressed with deterministic
+    synthetic PII — every doc an email, every 2nd a phone, every 3rd an
+    IPv4, every 5th an SSN-shaped id — then counted and redacted with
+    typed placeholders. Pure regexp column expressions in the common
+    Java-regex ∩ RE2 dialect, so the identical pattern strings drive the
+    DuckDB oracle; zero shuffles."""
+    from nama_spark.operators.corpus import redact_documents
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    synth = d.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 80),
+            F.lit(" contact u"), did.cast("string"), F.lit("@Example-mail.org"),
+            F.when(did % 2 == 0, F.lit(" call 555-867-5309 now")).otherwise(F.lit("")),
+            F.when(did % 3 == 0, F.concat(
+                F.lit(" from 10."), (did % 250).cast("string"), F.lit(".0.42 ok")
+            )).otherwise(F.lit("")),
+            F.when(did % 5 == 0, F.lit(" id 123-45-6789 end")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return redact_documents(synth).select(
+        "doc_id", "text", "n_email", "n_ssn", "n_phone", "n_ipv4"
+    )
+
+
 def q_decontam_overlap(spark, sf_dir):
     """Benchmark-decontamination overlap report (corpus.ngram_overlap —
     Brown et al. 2020 appendix C): the held-out "benchmark" is the
@@ -1485,6 +1514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition_filter": q_gopher_repetition_filter,
         "cap_per_domain": q_cap_per_domain,
         "select_canonical_docs": q_select_canonical_docs,
+        "redact_pii_docs": q_redact_pii_docs,
         "dup_span_profile": q_dup_span_profile,
         "drop_dup_span_docs": q_drop_dup_span_docs,
         "decontam_overlap": q_decontam_overlap,
@@ -2679,6 +2709,50 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY kk DESC, doc_id ASC) AS rk
               FROM k)
         SELECT doc_id, lang, source, n_chars FROM r WHERE rk <= 70
+    """
+
+    # PII masking: identical pattern strings (Java-regex ∩ RE2 dialect),
+    # identical application order (email → ssn → phone → ipv4); counts are
+    # pre-redaction
+    q["redact_pii_docs"] = r"""
+        WITH synth AS (
+            SELECT doc_id,
+                   substr(text, 1, 80) || ' contact u'
+                   || CAST(doc_id AS VARCHAR) || '@Example-mail.org'
+                   || CASE WHEN doc_id % 2 = 0
+                           THEN ' call 555-867-5309 now' ELSE '' END
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN ' from 10.' || CAST(doc_id % 250 AS VARCHAR)
+                                || '.0.42 ok' ELSE '' END
+                   || CASE WHEN doc_id % 5 = 0
+                           THEN ' id 123-45-6789 end' ELSE '' END AS text
+            FROM documents
+        ),
+        counted AS (
+            SELECT doc_id, text,
+                   CAST(length(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       AS BIGINT) AS n_email,
+                   CAST(length(regexp_extract_all(text,
+                       '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
+                   CAST(length(regexp_extract_all(text,
+                       '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phone,
+                   CAST(length(regexp_extract_all(text,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+                       AS BIGINT) AS n_ipv4
+            FROM synth
+        )
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                   text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+                   '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+                   '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g')
+                   AS text,
+               n_email, n_ssn, n_phone, n_ipv4
+        FROM counted
     """
 
     # deterministic mixture sample: keep iff u48(doc_id, seed=0) < rate(lang);

@@ -26,6 +26,10 @@ operators — each stage is the bucketed/scale path, not a baseline:
                           --decontam-max-overlap (GPT-3 appendix-C rule)
     5c. mixture sampling  (--mixture-temperature > 0) temperature-rebalance
                           the domain mixture (deterministic, append-stable)
+    5d. PII redaction     (--redact-pii [kinds]) mask emails / SSNs /
+                          phones / IPv4s in place with typed placeholders
+                          (Dolma/FineWeb practice); per-kind totals in the
+                          funnel
     6. shard              write parquet partitioned by language (and by a
                           leak-free train/val split with --val-fraction:
                           near-dup clusters never straddle the boundary)
@@ -100,6 +104,11 @@ def parse_args(argv=None):
                    help="domain column for mixture sampling (default: the "
                         "lang column the annotate stage adds)")
     p.add_argument("--mixture-seed", type=int, default=0)
+    p.add_argument("--redact-pii", default=None, const="all", nargs="?",
+                   help="mask PII in the text before sharding: a "
+                        "comma-list of kinds (email,ssn,phone,ipv4) or "
+                        "bare flag for all; adds per-kind n_<kind> count "
+                        "columns and a funnel total")
     p.add_argument("--shuffle-shards", type=int, default=0,
                    help="> 0: also write <output>/train_shards - the "
                         "deterministic seeded global shuffle dealt into N "
@@ -274,6 +283,25 @@ def main(argv=None):
             domain_col=args.mixture_domain_col, id_col=args.id_col,
         ).localCheckpoint(eager=False)
         funnel["after_mixture"] = docs.count()
+
+    # 5d. PII redaction — last text-mutating stage, so every earlier
+    # signal (hashes, shingles, quality) was computed on the raw text and
+    # nothing downstream ever sees an unmasked document
+    if args.redact_pii:
+        from nama_spark.functions.pii import PII_KINDS
+        from nama_spark.operators.corpus import redact_documents
+
+        kinds = (
+            PII_KINDS if args.redact_pii == "all"
+            else tuple(k.strip() for k in args.redact_pii.split(","))
+        )
+        docs = redact_documents(
+            docs, kinds=kinds, text_col=args.text_col
+        ).localCheckpoint(eager=False)
+        agg = docs.agg(
+            *[F.sum(f"n_{k}").alias(k) for k in kinds]
+        ).collect()[0]
+        funnel["pii_redacted"] = {k: int(agg[k] or 0) for k in kinds}
 
     # 6. shards — partition pruning for per-language (and per-split)
     # consumers. The split reuses stage 2's near-dup pairs, so clusters of

@@ -382,3 +382,29 @@ def cap_per_domain(
         .where(F.col("__r") <= max_per_domain)
         .drop("__r", "__key")
     )
+
+
+# ---------- PII redaction ----------
+
+def redact_documents(
+    docs: DataFrame,
+    kinds: tuple = None,
+    text_col: str = "text",
+    with_counts: bool = True,
+    token_fmt: str = "<{kind}>",
+) -> DataFrame:
+    """``docs`` with ``text_col`` PII-redacted (typed placeholders) and,
+    when ``with_counts``, one ``n_<kind>`` long column per kind counting
+    pre-redaction matches — the scrubbing pass every released web corpus
+    runs (C4 strips lines; Dolma/FineWeb mask emails/IPs/phones in place,
+    which is what this does). Schema-preserving apart from the appended
+    count columns; pure regexp column expressions, no shuffle at all."""
+    from nama_spark.functions.pii import PII_KINDS, pii_count, redact_pii
+
+    if kinds is None:
+        kinds = PII_KINDS
+    out = docs
+    if with_counts:
+        for kind in kinds:
+            out = out.withColumn(f"n_{kind}", pii_count(text_col, kind))
+    return out.withColumn(text_col, redact_pii(text_col, tuple(kinds), token_fmt))

@@ -360,3 +360,39 @@ def test_select_canonical_docs(spark):
     # schema-preserving
     out = select_canonical_docs(docs, clusters, priority_col="quality")
     assert out.columns == docs.columns
+
+
+# ---------- PII redaction (functions/pii.py + corpus.redact_documents) ----------
+
+def test_redact_pii(spark):
+    from nama_spark.operators.corpus import redact_documents
+    from nama_spark.functions.pii import redact_pii, pii_count
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@x-y.co.uk and d@e.io today"),
+            (2, "ssn 123-45-6789 phone 555-123-4567 ip 192.168.0.1"),
+            (3, "version 1.2.3 is not an ip, 10.0.0.1 is; dot phone 555.123.4567"),
+            (4, "nothing to see here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in redact_documents(docs).collect()}
+    assert out[1]["text"] == "mail <EMAIL> and <EMAIL> today"
+    assert out[1]["n_email"] == 2 and out[1]["n_ssn"] == 0
+    assert out[2]["text"] == "ssn <SSN> phone <PHONE> ip <IPV4>"
+    assert (out[2]["n_ssn"], out[2]["n_phone"], out[2]["n_ipv4"]) == (1, 1, 1)
+    # 1.2.3 has only three octets -> not IPv4; dotted phone matches
+    assert out[3]["text"] == "version 1.2.3 is not an ip, <IPV4> is; dot phone <PHONE>"
+    assert out[4]["text"] == "nothing to see here"
+    # kind subset: only emails touched
+    sub = redact_documents(docs, kinds=("email",), with_counts=False)
+    assert sub.columns == docs.columns
+    assert {r["doc_id"]: r["text"] for r in sub.collect()}[2] == \
+        "ssn 123-45-6789 phone 555-123-4567 ip 192.168.0.1"
+    with _pytest.raises(ValueError):
+        redact_pii(F.col("text"), kinds=("nope",))
+    with _pytest.raises(ValueError):
+        pii_count("text", "nope")

@@ -619,3 +619,49 @@ def test_run_ann_job_two_level_index(spark, tmp_path):
             for r in cosine_topk_bruteforce(
                 emb, emb.where(F.col("vec_id") < 4), k=5).collect()}
     assert got == want
+
+
+def test_run_corpus_pipeline_redact_pii(spark, tmp_path):
+    """--redact-pii masks text in the written shards and reports per-kind
+    totals in the funnel."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    try:
+        import run_corpus_pipeline
+    finally:
+        sys.path.pop(0)
+
+    docs = spark.createDataFrame(
+        [
+            (1, "write to alice@example.com about the quarterly numbers "
+                "and the shipping schedule for the northern route today"),
+            (2, "server 10.1.2.3 rebooted at dawn; call 555-123-4567 if "
+                "the maritime telemetry feed drops again tonight please"),
+        ],
+        ["doc_id", "text"],
+    )
+    inp = str(tmp_path / "docs.parquet")
+    docs.write.parquet(inp)
+
+    import io
+    from contextlib import redirect_stdout
+
+    out = str(tmp_path / "corpus")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = run_corpus_pipeline.main([
+            "--input", inp, "--output", out, "--redact-pii",
+        ])
+    assert rc == 0
+    summary = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert summary["funnel"]["pii_redacted"] == {
+        "email": 1, "ssn": 0, "phone": 1, "ipv4": 1,
+    }
+    shards = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(out + "/shards").collect()
+    }
+    assert "<EMAIL>" in shards[1] and "alice@" not in shards[1]
+    assert "<IPV4>" in shards[2] and "<PHONE>" in shards[2]
