@@ -1057,6 +1057,52 @@ def q_redact_pii_docs(spark, sf_dir):
     )
 
 
+def _c4_synth_lines(spark, sf_dir):
+    """Deterministic multi-line web-page dressing for the C4 line-rule
+    queries (fixture text has no newlines): two content sentences built
+    from the doc's own text plus bullet / ellipsis / JS boilerplate, a
+    lorem-ipsum block on every 7th doc, a code-brace line on every 11th,
+    and a degenerate short line replacing the second sentence on every
+    13th."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    return d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.substring("text", 1, 60), F.lit(" end.")),
+            F.lit("- nav menu item"),
+            F.lit("Click here to read more..."),
+            F.when(did % 13 == 0, F.lit("tiny.")).otherwise(
+                F.concat(F.substring("text", 21, 50), F.lit(" fine!"))
+            ),
+            F.lit("Please enable JavaScript to continue."),
+            F.when(did % 7 == 0, F.lit("the lorem ipsum block sits here.")),
+            F.when(did % 11 == 0, F.lit("function() { return 0; }")),
+        ).alias("text"),
+    )
+
+
+def q_c4_line_filter(spark, sf_dir):
+    """corpus.c4_line_filter (Raffel et al. 2020 §2.2 line rules): keep
+    terminal-punctuation lines with ≥ 3 words, drop bullet / ellipsis /
+    javascript boilerplate lines, drop lorem-ipsum and curly-brace pages
+    whole, and drop pages with < 2 surviving lines. One posexplode, one
+    groupBy re-assembly — the dedup_paragraphs shape."""
+    from nama_spark.operators.corpus import c4_line_filter
+
+    return c4_line_filter(_c4_synth_lines(spark, sf_dir), min_kept_lines=2)
+
+
+def q_line_quality_profile(spark, sf_dir):
+    """corpus.line_quality_profile: per-document counts of the line shapes
+    the C4/Gopher rules gate on (terminal-punct, bullet, ellipsis, short
+    lines) — integer counts from string predicates, exact cross-engine."""
+    from nama_spark.operators.corpus import line_quality_profile
+
+    return line_quality_profile(_c4_synth_lines(spark, sf_dir))
+
+
 def q_decontam_overlap(spark, sf_dir):
     """Benchmark-decontamination overlap report (corpus.ngram_overlap —
     Brown et al. 2020 appendix C): the held-out "benchmark" is the
@@ -1515,6 +1561,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_domain": q_cap_per_domain,
         "select_canonical_docs": q_select_canonical_docs,
         "redact_pii_docs": q_redact_pii_docs,
+        "c4_line_filter": q_c4_line_filter,
+        "line_quality_profile": q_line_quality_profile,
         "dup_span_profile": q_dup_span_profile,
         "drop_dup_span_docs": q_drop_dup_span_docs,
         "decontam_overlap": q_decontam_overlap,
@@ -2710,6 +2758,93 @@ def oracle_sql() -> dict[str, str]:
               FROM k)
         SELECT doc_id, lang, source, n_chars FROM r WHERE rk <= 70
     """
+
+    # C4 line rules over the same deterministic multi-line dressing the
+    # Spark query synthesizes; keep-predicate and re-assembly replayed in
+    # list/window SQL
+    _c4_synth_sql = """
+        synth AS (
+            SELECT doc_id,
+                   concat_ws(chr(10),
+                       substr(text, 1, 60) || ' end.',
+                       '- nav menu item',
+                       'Click here to read more...',
+                       CASE WHEN doc_id % 13 = 0 THEN 'tiny.'
+                            ELSE substr(text, 21, 50) || ' fine!' END,
+                       'Please enable JavaScript to continue.',
+                       CASE WHEN doc_id % 7 = 0
+                            THEN 'the lorem ipsum block sits here.' END,
+                       CASE WHEN doc_id % 11 = 0
+                            THEN 'function() {{ return 0; }}' END
+                   ) AS text
+            FROM documents
+        ),
+        lines AS (
+            SELECT doc_id,
+                   generate_subscripts(string_split(text, chr(10)), 1) AS pos,
+                   unnest(string_split(text, chr(10))) AS line
+            FROM {src}
+        ),
+        nz AS (
+            SELECT doc_id, pos, line, trim(line) AS l
+            FROM lines WHERE trim(line) != ''
+        )
+    """
+
+    q["c4_line_filter"] = (
+        "WITH "
+        + _c4_synth_sql.format(src="gated").replace(
+            "FROM documents\n        ),",
+            """FROM documents
+        ),
+        gated AS (
+            SELECT * FROM synth
+            WHERE NOT contains(lower(text), 'lorem ipsum')
+              AND NOT contains(lower(text), '{')
+        ),""",
+            1,
+        )
+        + r""",
+        marked AS (
+            SELECT doc_id, pos, line,
+                   (right(l, 1) IN ('.', '!', '?', '"')
+                    AND length(regexp_extract_all(l, '\S+')) >= 3
+                    AND left(l, 1) NOT IN ('-', '*', '•')
+                    AND NOT l LIKE '%...'
+                    AND NOT contains(lower(l), 'javascript')) AS keep
+            FROM nz
+        )
+        SELECT doc_id,
+               coalesce(
+                   string_agg(CASE WHEN keep THEN line END, chr(10)
+                              ORDER BY pos),
+                   '') AS text_clean,
+               CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+               CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_dropped
+        FROM marked GROUP BY doc_id
+        HAVING sum(CASE WHEN keep THEN 1 ELSE 0 END) >= 2
+    """
+    )
+
+    q["line_quality_profile"] = (
+        "WITH "
+        + _c4_synth_sql.format(src="synth")
+        + r"""
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CASE WHEN right(l, 1) IN ('.', '!', '?', '"')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_terminal,
+               CAST(sum(CASE WHEN left(l, 1) IN ('-', '*', '•')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_bullet,
+               CAST(sum(CASE WHEN l LIKE '%...' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_ellipsis,
+               CAST(sum(CASE WHEN length(regexp_extract_all(l, '\S+')) < 3
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+        FROM nz GROUP BY doc_id
+    """
+    )
 
     # PII masking: identical pattern strings (Java-regex ∩ RE2 dialect),
     # identical application order (email → ssn → phone → ipv4); counts are

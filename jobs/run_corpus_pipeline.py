@@ -3,6 +3,10 @@
 The standard LLM-data preparation chain, composed from the engine's
 operators — each stage is the bucketed/scale path, not a baseline:
 
+    0b. C4 line cleaning  (--c4-lines) keep only terminal-punctuation
+                          lines with enough words; drop bullet / ellipsis /
+                          JS boilerplate lines and lorem-ipsum / code pages
+                          (Raffel et al. 2020 §2.2 — before dedup, as in C4)
     1. exact dedup        md5(text) groups → keep min doc_id
     1b. paragraph dedup   (--paragraph-min-df > 0) CCNet-style: drop every
                           paragraph whose normalized form appears in ≥ df
@@ -104,6 +108,14 @@ def parse_args(argv=None):
                    help="domain column for mixture sampling (default: the "
                         "lang column the annotate stage adds)")
     p.add_argument("--mixture-seed", type=int, default=0)
+    p.add_argument("--c4-lines", action="store_true",
+                   help="C4-style line cleaning BEFORE dedup: keep only "
+                        "terminal-punctuation lines with >= --c4-min-words "
+                        "words, drop bullet/ellipsis/javascript lines, drop "
+                        "lorem-ipsum and curly-brace pages, require "
+                        ">= --c4-min-lines surviving lines")
+    p.add_argument("--c4-min-words", type=int, default=3)
+    p.add_argument("--c4-min-lines", type=int, default=2)
     p.add_argument("--redact-pii", default=None, const="all", nargs="?",
                    help="mask PII in the text before sharding: a "
                         "comma-list of kinds (email,ssn,phone,ipv4) or "
@@ -155,6 +167,24 @@ def main(argv=None):
     docs = read_records(spark, args.input, catalog=args.catalog)
     t0 = time.time()
     funnel = {"input": docs.count()}
+
+    # 0b. C4 line-level cleaning — FIRST text-shaping stage (C4 itself
+    # cleans lines before dedup: stripped boilerplate lines would otherwise
+    # make distinct pages exact-equal only after this pass)
+    if args.c4_lines:
+        from nama_spark.operators.corpus import c4_line_filter
+
+        cleaned = c4_line_filter(
+            docs, text_col=args.text_col, id_col=args.id_col,
+            min_words=args.c4_min_words, min_kept_lines=args.c4_min_lines,
+        )
+        docs = docs.drop(args.text_col).join(
+            cleaned.select(
+                args.id_col, F.col("text_clean").alias(args.text_col)
+            ),
+            args.id_col,
+        ).localCheckpoint(eager=False)
+        funnel["after_c4_lines"] = docs.count()
 
     # 1. exact dedup — keep one doc per identical text (the canonical id)
     keep_exact = (

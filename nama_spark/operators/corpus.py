@@ -408,3 +408,112 @@ def redact_documents(
         for kind in kinds:
             out = out.withColumn(f"n_{kind}", pii_count(text_col, kind))
     return out.withColumn(text_col, redact_pii(text_col, tuple(kinds), token_fmt))
+
+
+# ---------- C4-style line-level quality filtering ----------
+
+def _line_table(docs: DataFrame, text_col: str, id_col: str, sep: str):
+    import re as _re
+
+    return docs.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias(
+            "pos", "line"
+        ),
+    ).withColumn("l", F.trim(F.col("line")))
+
+
+def line_quality_profile(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_words: int = 3,
+) -> DataFrame:
+    """Per-document line-structure profile: counts of non-empty lines and
+    of the boilerplate shapes the C4/Gopher line rules gate on — lines
+    ending in terminal punctuation ('.', '!', '?', '"'), bullet-prefixed
+    lines ('-', '*', '•'), lines ending in an ellipsis, and lines shorter
+    than ``min_words`` whitespace words. All integer counts from string
+    predicates — exact, engine-portable. One explode + one groupBy."""
+    lines = _line_table(docs, text_col, id_col, sep).where(F.col("l") != "")
+    last = F.substring(F.col("l"), -1, 1)
+    first = F.substring(F.col("l"), 1, 1)
+    nw = F.size(F.split(F.col("l"), r"\s+"))
+    return lines.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(last.isin(".", "!", "?", '"').cast("long")).alias("n_terminal"),
+        F.sum(first.isin("-", "*", "•").cast("long")).alias("n_bullet"),
+        F.sum(F.col("l").endswith("...").cast("long")).alias("n_ellipsis"),
+        F.sum((nw < min_words).cast("long")).alias("n_short"),
+    )
+
+
+def c4_line_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_words: int = 3,
+    min_kept_lines: int = 2,
+    drop_doc_substrings: tuple = ("lorem ipsum", "{"),
+) -> DataFrame:
+    """C4's line-level cleaning (Raffel et al. 2020 §2.2), the standard
+    web-text scrub between dedup and tokenization:
+
+    - keep only lines that end in terminal punctuation ('.', '!', '?', '"'),
+    - drop lines with fewer than ``min_words`` words,
+    - drop bullet/ellipsis boilerplate lines and lines mentioning
+      "javascript" (cookie/JS warnings),
+    - drop whole documents whose RAW text contains any
+      ``drop_doc_substrings`` entry (C4: "lorem ipsum", a curly brace ⇒
+      code), case-insensitively,
+    - drop documents with fewer than ``min_kept_lines`` surviving lines
+      (C4 keeps pages with ≥ 5 sentences; parameterized here).
+
+    Returns (``id_col``, text_clean, n_kept, n_dropped) with surviving
+    lines re-joined in original order. Shape at scale: one posexplode →
+    per-line predicates (no shuffle) → one groupBy re-assembly with an
+    in-JVM array_sort — the dedup_paragraphs shape, so a 100×-wider corpus
+    only widens the explode, and the only shuffle key is the doc id."""
+    raw = F.lower(F.col(text_col))
+    doc_gate = F.lit(True)
+    for s in drop_doc_substrings:
+        doc_gate = doc_gate & ~raw.contains(s.lower())
+    gated = docs.where(doc_gate)
+
+    lines = _line_table(gated, text_col, id_col, sep).where(F.col("l") != "")
+    last = F.substring(F.col("l"), -1, 1)
+    first = F.substring(F.col("l"), 1, 1)
+    nw = F.size(F.split(F.col("l"), r"\s+"))
+    keep = (
+        last.isin(".", "!", "?", '"')
+        & (nw >= min_words)
+        & ~first.isin("-", "*", "•")
+        & ~F.col("l").endswith("...")
+        & ~F.lower(F.col("l")).contains("javascript")
+    )
+    marked = lines.withColumn("__keep", keep)
+    out = (
+        marked.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.filter(
+                            F.collect_list(
+                                F.struct("pos", "line", "__keep")
+                            ),
+                            lambda s: s["__keep"],
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                sep,
+            ).alias("text_clean"),
+            F.sum(F.col("__keep").cast("long")).alias("n_kept"),
+            F.sum((~F.col("__keep")).cast("long")).alias("n_dropped"),
+        )
+        .where(F.col("n_kept") >= min_kept_lines)
+    )
+    return out

@@ -396,3 +396,41 @@ def test_redact_pii(spark):
         redact_pii(F.col("text"), kinds=("nope",))
     with _pytest.raises(ValueError):
         pii_count("text", "nope")
+
+
+# ---------- C4 line-level filtering (corpus.py) ----------
+
+def test_c4_line_filter(spark):
+    from nama_spark.operators.corpus import c4_line_filter, line_quality_profile
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The ship sailed at dawn toward open water.\n"
+                "- home\n- about us\n"
+                "Read the full story here...\n"
+                "Cargo manifests were checked twice by the harbourmaster.\n"
+                "ok.\n"
+                "Please enable JavaScript to view comments."),
+            (2, "lorem ipsum dolor sit amet consectetur.\n"
+                "A perfectly fine sentence stands here."),      # doc gate
+            (3, "var f = function() { return 1; }\nAnother fine line here."),
+            (4, "Only one good sentence survives in this page.\nnope"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in c4_line_filter(docs, min_kept_lines=2).collect()}
+    # docs 2 (lorem ipsum) and 3 ({) fail the doc gate; doc 4 keeps 1 line < 2
+    assert set(out) == {1}
+    assert out[1]["text_clean"] == (
+        "The ship sailed at dawn toward open water.\n"
+        "Cargo manifests were checked twice by the harbourmaster."
+    )
+    assert out[1]["n_kept"] == 2 and out[1]["n_dropped"] == 5
+
+    prof = {r["doc_id"]: r for r in line_quality_profile(docs).collect()}
+    assert prof[1]["n_lines"] == 7
+    # dawn. / here... / harbourmaster. / ok. / comments. ('...' ends in '.')
+    assert prof[1]["n_terminal"] == 5
+    assert prof[1]["n_bullet"] == 2
+    assert prof[1]["n_ellipsis"] == 1
+    assert prof[1]["n_short"] == 2         # "- home" (2w), "ok." (1w)

@@ -665,3 +665,49 @@ def test_run_corpus_pipeline_redact_pii(spark, tmp_path):
     }
     assert "<EMAIL>" in shards[1] and "alice@" not in shards[1]
     assert "<IPV4>" in shards[2] and "<PHONE>" in shards[2]
+
+
+def test_run_corpus_pipeline_c4_lines(spark, tmp_path):
+    """--c4-lines cleans boilerplate lines before dedup; pages collapsing
+    to too few sentences (or lorem-ipsum pages) drop out of the funnel."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    try:
+        import run_corpus_pipeline
+    finally:
+        sys.path.pop(0)
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The ship sailed at dawn toward the open water today.\n"
+                "- home\n"
+                "Cargo manifests were checked twice by the harbourmaster.\n"
+                "Click to subscribe..."),
+            (2, "lorem ipsum dolor sit amet.\nA real sentence lives here."),
+            (3, "Only one surviving sentence sits on this page.\nnope"),
+        ],
+        ["doc_id", "text"],
+    )
+    inp = str(tmp_path / "docs.parquet")
+    docs.write.parquet(inp)
+
+    import io
+    from contextlib import redirect_stdout
+
+    out = str(tmp_path / "corpus")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = run_corpus_pipeline.main([
+            "--input", inp, "--output", out, "--c4-lines",
+        ])
+    assert rc == 0
+    summary = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert summary["funnel"]["after_c4_lines"] == 1
+    rows = spark.read.parquet(out + "/shards").collect()
+    assert [r["doc_id"] for r in rows] == [1]
+    assert rows[0]["text"] == (
+        "The ship sailed at dawn toward the open water today.\n"
+        "Cargo manifests were checked twice by the harbourmaster."
+    )
