@@ -925,6 +925,23 @@ def q_select_canonical_docs(spark, sf_dir):
     )
 
 
+def q_semdedup_embeddings(spark, sf_dir):
+    """embed.semdedup (Abbas et al. 2023): semantic dedup over the
+    embeddings table with a deterministic 8-cell quantizer (cells = the
+    first 8 vectors, the oracle-replayable injection seam; production fits
+    sampled k-means). int8-quantized cosines throughout — every similarity
+    is integer-dot/sqrt, bit-identical cross-engine — cell equi-join
+    candidates, CC duplicate groups, keep-the-boundary-member election."""
+    from nama_spark.operators.embed import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.col("embedding").alias("centroid"),
+    )
+    return semdedup(emb, threshold=0.4, centroids=cents)
+
+
 def q_corpus_split_leakfree(spark, sf_dir):
     """Dedup-aware train/val split: near-dup clusters (shingle-jaccard ≥ 0.5
     CC) land wholly in one split via an md5 hash of the cluster id —
@@ -1563,6 +1580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii_docs": q_redact_pii_docs,
         "c4_line_filter": q_c4_line_filter,
         "line_quality_profile": q_line_quality_profile,
+        "semdedup_embeddings": q_semdedup_embeddings,
         "dup_span_profile": q_dup_span_profile,
         "drop_dup_span_docs": q_drop_dup_span_docs,
         "decontam_overlap": q_decontam_overlap,
@@ -3227,6 +3245,80 @@ def oracle_sql() -> dict[str, str]:
     q["assign_records"] = flagship_cte + """
         SELECT node AS repo, min(r) AS entity_group
         FROM reach GROUP BY node
+    """
+
+    # SemDeDup: deterministic 8-cell quantizer (cells = first 8 vectors),
+    # int8-quantized cosines (integer dots → identical doubles), cell
+    # equi-join edges at τ=0.4, CC reach, keep the member LEAST similar to
+    # its centroid (ties → min id); csim reported as exact ppm ints
+    q["semdedup_embeddings"] = f"""
+        WITH RECURSIVE
+        qv AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 127 + 0.5)
+                                 AS BIGINT)) AS q
+            FROM embeddings
+        ),
+        cents AS (
+            SELECT CAST(vec_id AS INTEGER) AS cell, q AS cq
+            FROM qv WHERE vec_id < 8
+        ),
+        scored AS (
+            SELECT v.vec_id, c.cell,
+                   CASE WHEN list_dot_product(v.q, v.q) > 0
+                             AND list_dot_product(c.cq, c.cq) > 0
+                        THEN list_dot_product(v.q, c.cq)
+                             / (sqrt(list_dot_product(v.q, v.q))
+                                * sqrt(list_dot_product(c.cq, c.cq)))
+                        ELSE 0.0 END AS csim
+            FROM qv v, cents c
+        ),
+        assign AS (
+            SELECT vec_id, cell, csim FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                             ORDER BY csim DESC, cell ASC) AS rk
+                FROM scored)
+            WHERE rk = 1
+        ),
+        p AS (
+            SELECT a.vec_id AS id0, b.vec_id AS id1
+            FROM assign a
+            JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+            JOIN qv qa ON qa.vec_id = a.vec_id
+            JOIN qv qb ON qb.vec_id = b.vec_id
+            WHERE list_dot_product(qa.q, qb.q)
+                  / (sqrt(list_dot_product(qa.q, qa.q))
+                     * sqrt(list_dot_product(qb.q, qb.q))) >= 0.4
+        ),
+        edges AS (
+            SELECT cast(id0 AS VARCHAR) AS u, cast(id1 AS VARCHAR) AS v
+            FROM p
+        ),
+        nodes AS (SELECT cast(vec_id AS VARCHAR) AS node FROM embeddings),
+        {_sql_cc_reach('nodes', 'edges')},
+        cl AS (
+            SELECT cast(node AS BIGINT) AS vec_id,
+                   cast(min(r) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY node
+        ),
+        memb AS (
+            SELECT cl.vec_id, cl.cluster_id, a.cell, a.csim
+            FROM cl JOIN assign a ON a.vec_id = cl.vec_id
+        ),
+        mn AS (SELECT cluster_id, min(csim) AS csim FROM memb
+               GROUP BY cluster_id),
+        bestk AS (
+            SELECT m.cluster_id, min(m.vec_id) AS k
+            FROM memb m
+            JOIN mn ON mn.cluster_id = m.cluster_id AND mn.csim = m.csim
+            GROUP BY m.cluster_id
+        )
+        SELECT m.vec_id, m.cell, m.cluster_id,
+               CAST(floor(m.csim * 1000000 + 0.5) AS BIGINT)
+                   AS centroid_sim_ppm,
+               m.vec_id = b.k AS is_kept
+        FROM memb m JOIN bestk b ON b.cluster_id = m.cluster_id
     """
 
     q["near_dup_clusters_cc"] = f"""

@@ -264,6 +264,107 @@ def _as_col(c):
     return F.col(c) if isinstance(c, str) else c
 
 
+def semdedup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    centroids: DataFrame | None = None,
+    n_cells: int | None = None,
+    keep: str = "low_centroid_sim",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 127,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate removal over
+    an embedding column — assign every vector to its nearest k-means cell,
+    form within-cell duplicate groups (connected components over quantized
+    cosine ≥ ``threshold`` edges), and keep ONE representative per group:
+    the member LEAST similar to its cell centroid (the paper's winning
+    policy — boundary members carry more information) or ``keep='min_id'``.
+
+    Returns (``id_col``, cell, cluster_id, centroid_sim_ppm, is_kept) for
+    every input vector — a full audit map, filter on ``is_kept`` to dedup.
+
+    ``centroids`` is an injection seam: pass a (cell, centroid) frame for a
+    pre-fit / deterministic quantizer (the SQL oracle does), else a sampled
+    MLlib k-means fit runs (ann.ivf_fit_centroids).
+
+    Cross-engine exactness: vectors and centroids are int8-quantized, so
+    every cosine is integer-dot/sqrt — bit-identical in any engine — and
+    the keep election compares identical doubles (the
+    calibration_alpha_sweep lesson applied to the whole operator).
+
+    Shape at scale: centroid assignment is a broadcast map-side
+    groupBy-max (no window); the candidate join is the IVF cell equi-join
+    (never all-pairs); components reuse the shared large-star/small-star CC
+    engine; the representative election is two cluster-key aggregations,
+    so a pathological giant group never lands in one task's sort."""
+    if keep not in ("low_centroid_sim", "min_id"):
+        raise ValueError(f"unknown keep policy {keep!r}")
+    if centroids is None:
+        from .ann import ivf_fit_centroids
+
+        centroids = ivf_fit_centroids(embeddings, n_cells=n_cells, vec_col=vec_col)
+
+    qe = embeddings.select(
+        F.col(id_col), quantize_vec_expr(vec_col, scale).alias("q")
+    ).localCheckpoint(eager=False)
+    qc = F.broadcast(
+        centroids.select(
+            F.col("cell").cast("int").alias("cell"),
+            quantize_vec_expr("centroid", scale).alias("cq"),
+        )
+    )
+    scored = qe.crossJoin(qc).select(
+        id_col, "cell", quantized_cosine_expr(F.col("q"), F.col("cq")).alias("csim")
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max(F.struct(F.col("csim"), (-F.col("cell")).alias("negcell"))).alias("b")
+    )
+    assign = best.select(
+        id_col,
+        (-F.col("b.negcell")).cast("int").alias("cell"),
+        F.col("b.csim").alias("csim"),
+    ).localCheckpoint(eager=False)
+
+    cells = assign.select(id_col, "cell").join(qe, id_col)
+    a = cells.select(
+        F.col(id_col).alias("id0"), "cell", F.col("q").alias("q0")
+    )
+    b = cells.select(
+        F.col(id_col).alias("id1"), F.col("cell").alias("cell1"),
+        F.col("q").alias("q1"),
+    )
+    pairs = (
+        a.join(b, (a["cell"] == b["cell1"]) & (a["id0"] < b["id1"]))
+        .where(quantized_cosine_expr(F.col("q0"), F.col("q1")) >= threshold)
+        .select("id0", "id1")
+    )
+
+    from .dedup import near_dup_clusters
+
+    clusters = near_dup_clusters(
+        pairs, embeddings.select(F.col(id_col)), id_col=id_col
+    ).withColumnRenamed("doc_id", id_col)
+
+    memb = clusters.join(assign, id_col)
+    if keep == "min_id":
+        best_ids = memb.groupBy("cluster_id").agg(F.min(id_col).alias("__k"))
+    else:
+        mn = memb.groupBy("cluster_id").agg(F.min("csim").alias("csim"))
+        best_ids = (
+            memb.join(mn, ["cluster_id", "csim"])
+            .groupBy("cluster_id")
+            .agg(F.min(id_col).alias("__k"))
+        )
+    return memb.join(best_ids, "cluster_id", "left").select(
+        id_col,
+        "cell",
+        "cluster_id",
+        F.floor(F.col("csim") * 1e6 + 0.5).cast("long").alias("centroid_sim_ppm"),
+        (F.col(id_col) == F.col("__k")).alias("is_kept"),
+    )
+
+
 def score_pairs(
     pairs: DataFrame,
     embeddings: DataFrame,

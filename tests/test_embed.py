@@ -449,3 +449,79 @@ def test_ivf_candidates_two_level_all_probe_equals_bruteforce(spark, emb):
         ).collect()
     }
     assert part.issubset(bf)
+
+
+# ---------- SemDeDup (embed.semdedup) ----------
+
+def test_semdedup_policies(spark):
+    from nama_spark.operators.embed import semdedup
+    import pytest as _pytest
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.995, 0.0998]),   # near-dup of 0
+            (2, [0.9, 0.436]),      # same cell, below threshold
+            (3, [0.0, 1.0]),
+            (4, [0.1, 0.995]),      # near-dup of 3
+            (5, [-1.0, 0.0]),       # antipode -> lands in cell 1 (csim 0)
+        ],
+        ["vec_id", "embedding"],
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], ["cell", "centroid"]
+    )
+    out = {
+        r["vec_id"]: r
+        for r in semdedup(emb, threshold=0.95, centroids=cents).collect()
+    }
+    assert {i: out[i]["cell"] for i in range(6)} == {
+        0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 1
+    }
+    # duplicate groups: {0,1} and {3,4}; others singleton
+    assert out[0]["cluster_id"] == out[1]["cluster_id"]
+    assert out[3]["cluster_id"] == out[4]["cluster_id"]
+    assert len({r["cluster_id"] for r in out.values()}) == 4
+    # keep-the-boundary-member: 1 and 4 (lower centroid sim) survive
+    kept = {i for i, r in out.items() if r["is_kept"]}
+    assert kept == {1, 2, 4, 5}
+    # min_id policy keeps the smallest id instead
+    out_min = {
+        r["vec_id"]: r["is_kept"]
+        for r in semdedup(
+            emb, threshold=0.95, centroids=cents, keep="min_id"
+        ).collect()
+    }
+    assert {i for i, k in out_min.items() if k} == {0, 2, 3, 5}
+    # centroid_sim_ppm is the exact quantized cosine in ppm
+    assert out[0]["centroid_sim_ppm"] == 1_000_000
+    with _pytest.raises(ValueError):
+        semdedup(emb, keep="nope")
+
+
+def test_semdedup_kmeans_path(spark):
+    """centroids=None fits sampled k-means; every vector gets exactly one
+    row and every duplicate group keeps exactly one representative."""
+    import numpy as np
+    from nama_spark.operators.embed import semdedup
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(60):
+        base = rng.randn(8)
+        base /= np.linalg.norm(base)
+        rows.append((2 * i, [float(x) for x in base]))
+        jit = base + 0.01 * rng.randn(8)
+        jit /= np.linalg.norm(jit)
+        rows.append((2 * i + 1, [float(x) for x in jit]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = semdedup(emb, threshold=0.98, n_cells=4)
+    assert out.count() == 120
+    per_cluster = out.groupBy("cluster_id").agg(
+        F.sum(F.col("is_kept").cast("int")).alias("k")
+    )
+    assert per_cluster.where(F.col("k") != 1).count() == 0
+    # jittered twins that share a cell collapse: fewer survivors than rows
+    n_kept = out.where("is_kept").count()
+    assert n_kept < 120

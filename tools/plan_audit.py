@@ -89,6 +89,10 @@ WHITELIST: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "broadcast centroids + codebooks + "
         "per-query ADC LUT; candidate join is equi on cell id"
     },
+    "semdedup_embeddings": {
+        "BroadcastNestedLoopJoin": "broadcast 8 centroid rows for the "
+        "assignment map; the candidate join is equi on cell id",
+    },
     "mixture_rates_lang": {
         "BroadcastNestedLoopJoin": "broadcast 1-row max-rate normalizer",
         "Exchange SinglePartition": "1-row max aggregate over the "
