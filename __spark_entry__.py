@@ -925,6 +925,33 @@ def q_select_canonical_docs(spark, sf_dir):
     )
 
 
+def q_url_dedup(spark, sf_dir):
+    """dedup.url_dedup over deterministic synthetic URLs (fixture has no
+    URL column): five variants per doc-group — default-port + tracking
+    params, www + pre-sorted params, fragment + unsorted params, a distinct
+    https host, and an unparseable string. The first three canonicalize
+    identically (case/port/www/fragment/utm/trailing-slash/param-sort
+    rules, functions/url.py), so each group of 5 collapses to 3 canonical
+    pages. One hash groupBy on the short normalized key — no text moves."""
+    from nama_spark.operators.dedup import url_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    did, k = F.col("doc_id"), (F.col("doc_id") / 5).cast("long").cast("string")
+    synth = d.select(
+        "doc_id",
+        F.when(did % 5 == 0, F.concat(
+            F.lit("HTTP://Example.com:80/p/"), k, F.lit("/?utm_source=x&b=2&a=1")
+        )).when(did % 5 == 1, F.concat(
+            F.lit("http://www.example.com/p/"), k, F.lit("?a=1&b=2")
+        )).when(did % 5 == 2, F.concat(
+            F.lit("http://example.com/p/"), k, F.lit("/?b=2&a=1#s")
+        )).when(did % 5 == 3, F.concat(
+            F.lit("https://Shop.example.com:443/item/"), k
+        )).otherwise(F.concat(F.lit("plain text "), k)).alias("url"),
+    )
+    return url_dedup(synth)
+
+
 def q_semdedup_embeddings(spark, sf_dir):
     """embed.semdedup (Abbas et al. 2023): semantic dedup over the
     embeddings table with a deterministic 8-cell quantizer (cells = the
@@ -1581,6 +1608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_line_filter": q_c4_line_filter,
         "line_quality_profile": q_line_quality_profile,
         "semdedup_embeddings": q_semdedup_embeddings,
+        "url_dedup": q_url_dedup,
         "dup_span_profile": q_dup_span_profile,
         "drop_dup_span_docs": q_drop_dup_span_docs,
         "decontam_overlap": q_decontam_overlap,
@@ -3245,6 +3273,90 @@ def oracle_sql() -> dict[str, str]:
     q["assign_records"] = flagship_cte + """
         SELECT node AS repo, min(r) AS entity_group
         FROM reach GROUP BY node
+    """
+
+    # URL canonicalization replayed step-by-step (regexp_extract groups,
+    # split_part fragment strip, first-'?' split, list_filter + list_sort
+    # params, www/port/trailing-slash rules) — no capture-group replaces
+    q["url_dedup"] = r"""
+        WITH synth AS (
+            SELECT doc_id,
+                   CASE CAST(doc_id % 5 AS INTEGER)
+                       WHEN 0 THEN 'HTTP://Example.com:80/p/'
+                                   || CAST(doc_id // 5 AS VARCHAR)
+                                   || '/?utm_source=x&b=2&a=1'
+                       WHEN 1 THEN 'http://www.example.com/p/'
+                                   || CAST(doc_id // 5 AS VARCHAR)
+                                   || '?a=1&b=2'
+                       WHEN 2 THEN 'http://example.com/p/'
+                                   || CAST(doc_id // 5 AS VARCHAR)
+                                   || '/?b=2&a=1#s'
+                       WHEN 3 THEN 'https://Shop.example.com:443/item/'
+                                   || CAST(doc_id // 5 AS VARCHAR)
+                       ELSE 'plain text ' || CAST(doc_id // 5 AS VARCHAR)
+                   END AS url
+            FROM documents
+        ),
+        parsed AS (
+            SELECT doc_id, trim(url) AS u,
+                   lower(regexp_extract(trim(url),
+                       '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)(.*)$', 1))
+                       AS scheme,
+                   lower(regexp_extract(trim(url),
+                       '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)(.*)$', 2))
+                       AS host0,
+                   regexp_extract(trim(url),
+                       '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)(.*)$', 3)
+                       AS rest
+            FROM synth
+        ),
+        hosted AS (
+            SELECT *, CASE WHEN host0 LIKE 'www.%' THEN substr(host0, 5)
+                           ELSE host0 END AS host1
+            FROM parsed
+        ),
+        pieces AS (
+            SELECT doc_id, u, scheme,
+                   CASE WHEN scheme = 'http' AND host1 LIKE '%:80'
+                        THEN substr(host1, 1, length(host1) - 3)
+                        WHEN scheme = 'https' AND host1 LIKE '%:443'
+                        THEN substr(host1, 1, length(host1) - 4)
+                        ELSE host1 END AS host,
+                   split_part(rest, '#', 1) AS nofrag,
+                   strpos(split_part(rest, '#', 1), '?') AS qpos
+            FROM hosted
+        ),
+        pq AS (
+            SELECT doc_id, u, scheme, host,
+                   CASE WHEN qpos > 0 THEN substr(nofrag, 1, qpos - 1)
+                        ELSE nofrag END AS path0,
+                   CASE WHEN qpos > 0 THEN substr(nofrag, qpos + 1)
+                        ELSE '' END AS qs
+            FROM pieces
+        ),
+        canon AS (
+            SELECT doc_id,
+                   CASE WHEN scheme != '' THEN
+                       scheme || '://' || host
+                       || (CASE WHEN path0 LIKE '%/'
+                                THEN substr(path0, 1, length(path0) - 1)
+                                ELSE path0 END)
+                       || (CASE WHEN len(params) > 0
+                                THEN '?' || array_to_string(params, '&')
+                                ELSE '' END)
+                   ELSE u END AS url_norm
+            FROM (
+                SELECT *, list_sort(list_filter(string_split(qs, '&'),
+                           p -> p != '' AND NOT starts_with(p, 'utm_')
+                                AND NOT starts_with(p, 'fbclid')
+                                AND NOT starts_with(p, 'gclid'))) AS params
+                FROM pq)
+        )
+        SELECT c.doc_id, c.url_norm, m.canonical_id
+        FROM canon c
+        JOIN (SELECT url_norm, min(doc_id) AS canonical_id
+              FROM canon GROUP BY url_norm) m
+          ON m.url_norm = c.url_norm
     """
 
     # SemDeDup: deterministic 8-cell quantizer (cells = first 8 vectors),

@@ -803,3 +803,25 @@ def dedup_paragraphs(
             .cast("long").alias("n_dropped"),
         )
     )
+
+
+# ---------- URL-level dedup ----------
+
+def url_dedup(
+    docs: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """(``id_col``, url_norm, canonical_id) — exact dedup on the CANONICAL
+    form of a URL column (functions/url.py rule set: case/port/www/
+    fragment/tracking-param/trailing-slash normalization). canonical_id is
+    the min id among docs sharing a normalized URL; filter
+    ``id == canonical_id`` to keep one fetch per page. This is the first,
+    cheapest dedup stage of a web-corpus build (CCNet/FineWeb order:
+    URL dedup → exact text → near-dup) — one hash groupBy on a short
+    string key, no text ever shuffles."""
+    from nama_spark.functions.url import normalize_url
+
+    normed = docs.select(
+        F.col(id_col), normalize_url(url_col).alias("url_norm")
+    )
+    canon = normed.groupBy("url_norm").agg(F.min(id_col).alias("canonical_id"))
+    return normed.join(canon, "url_norm").select(id_col, "url_norm", "canonical_id")

@@ -434,3 +434,33 @@ def test_c4_line_filter(spark):
     assert prof[1]["n_bullet"] == 2
     assert prof[1]["n_ellipsis"] == 1
     assert prof[1]["n_short"] == 2         # "- home" (2w), "ok." (1w)
+
+
+# ---------- URL canonicalization + dedup ----------
+
+def test_normalize_url_and_dedup(spark):
+    from nama_spark.functions.url import normalize_url, url_host
+    from nama_spark.operators.dedup import url_dedup
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, "HTTP://Example.com:80/Path/7/?utm_source=x&b=2&a=1"),
+        (1, "http://www.example.com/Path/7?a=1&b=2"),
+        (2, "http://example.com/Path/7/?b=2&a=1#section"),
+        (3, "https://Shop.example.com:443/item/9"),
+        (4, "  not a url at all  "),
+        (5, "http://x.com/?utm_source=1&gclid=2&fbclid=3"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "url"])
+    n = {r["doc_id"]: r["n"] for r in docs.select(
+        "doc_id", normalize_url("url").alias("n")).collect()}
+    assert n[0] == n[1] == n[2] == "http://example.com/Path/7?a=1&b=2"
+    assert n[3] == "https://shop.example.com/item/9"
+    assert n[4] == "not a url at all"       # unparseable: trimmed only
+    assert n[5] == "http://x.com"           # tracking-only query drops
+    h = {r["doc_id"]: r["h"] for r in docs.select(
+        "doc_id", url_host("url").alias("h")).collect()}
+    assert h[0] == "example.com" and h[3] == "shop.example.com" and h[4] == ""
+    out = {r["doc_id"]: r["canonical_id"] for r in url_dedup(docs).collect()}
+    assert out[0] == out[1] == out[2] == 0
+    assert out[3] == 3 and out[4] == 4 and out[5] == 5
