@@ -925,6 +925,20 @@ def q_select_canonical_docs(spark, sf_dir):
     )
 
 
+def q_ngram_lm_surprisal(spark, sf_dir):
+    """lm.ngram_lm_surprisal (CCNet perplexity gate, integer-exact twin):
+    a bigram count model fit on the doc_id % 3 != 0 slice scores the
+    held-out slice by whole-bit Laplace surprisal (floor-log2 of exact
+    integer counts — bit-identical cross-engine where float log-prob sums
+    are not). Fit = one explode + groupBy on the reference; scoring is two
+    equi-joins on the context key."""
+    from nama_spark.operators.lm import ngram_lm_fit, ngram_lm_surprisal
+
+    d = _t(spark, sf_dir, "documents")
+    model = ngram_lm_fit(d.where(F.col("doc_id") % 3 != 0), n=2)
+    return ngram_lm_surprisal(d.where(F.col("doc_id") % 3 == 0), model, n=2)
+
+
 def q_url_dedup(spark, sf_dir):
     """dedup.url_dedup over deterministic synthetic URLs (fixture has no
     URL column): five variants per doc-group — default-port + tracking
@@ -1609,6 +1623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_quality_profile": q_line_quality_profile,
         "semdedup_embeddings": q_semdedup_embeddings,
         "url_dedup": q_url_dedup,
+        "ngram_lm_surprisal": q_ngram_lm_surprisal,
         "dup_span_profile": q_dup_span_profile,
         "drop_dup_span_docs": q_drop_dup_span_docs,
         "decontam_overlap": q_decontam_overlap,
@@ -3273,6 +3288,62 @@ def oracle_sql() -> dict[str, str]:
     q["assign_records"] = flagship_cte + """
         SELECT node AS repo, min(r) AS entity_group
         FROM reach GROUP BY node
+    """
+
+    # bigram Laplace surprisal in whole bits: floor_log2(x) =
+    # length(bin(x)) - 1 on exact integer counts — engine-portable where
+    # float log sums are not; fit slice doc_id % 3 != 0, scored slice == 0
+    q["ngram_lm_surprisal"] = r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                               x -> x != '') AS l
+            FROM documents
+        ),
+        ref_u AS (
+            SELECT doc_id, l, generate_subscripts(l, 1) AS i,
+                   unnest(l) AS token
+            FROM toks WHERE doc_id % 3 != 0 AND len(l) > 0
+        ),
+        ref_rows AS (
+            SELECT CASE WHEN i = 1 THEN '<s>' ELSE l[i - 1] END AS context,
+                   token
+            FROM ref_u
+        ),
+        model AS (
+            SELECT context, token, count(*) AS c
+            FROM ref_rows GROUP BY context, token
+        ),
+        v AS (SELECT count(DISTINCT token) AS v FROM model),
+        ctx_tot AS (
+            SELECT context, sum(c) AS ctx_c FROM model GROUP BY context
+        ),
+        cand_u AS (
+            SELECT doc_id, l, generate_subscripts(l, 1) AS i,
+                   unnest(l) AS token
+            FROM toks WHERE doc_id % 3 = 0 AND len(l) > 0
+        ),
+        cand AS (
+            SELECT doc_id,
+                   CASE WHEN i = 1 THEN '<s>' ELSE l[i - 1] END AS context,
+                   token
+            FROM cand_u
+        ),
+        scored AS (
+            SELECT cand.doc_id,
+                   coalesce(m.c, 0) AS c,
+                   coalesce(ct.ctx_c, 0) AS ctx_c
+            FROM cand
+            LEFT JOIN model m
+              ON m.context = cand.context AND m.token = cand.token
+            LEFT JOIN ctx_tot ct ON ct.context = cand.context
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum((length(bin(ctx_c + (SELECT v FROM v))) - 1)
+                        - (length(bin(c + 1)) - 1)) AS BIGINT)
+                   AS surprisal_bits
+        FROM scored GROUP BY doc_id
     """
 
     # URL canonicalization replayed step-by-step (regexp_extract groups,

@@ -23,6 +23,9 @@ operators — each stage is the bucketed/scale path, not a baseline:
     3b. repetition gate   (--gopher-repetition) drop documents failing any
                           Gopher Table-A1 repetition rule (top-2/3/4-gram
                           and duplicate-5..10-gram char-mass caps)
+    3c. LM perplexity     (--lm-ref PATH) bigram count LM fit on a trusted
+                          reference; drop docs over --lm-max-avg-bits
+                          whole-bit surprisal (CCNet gate, integer-exact)
     4. language filter    lang-ID ∈ --langs (marker-token n-gram heuristic)
     5. annotate           token counts + rolling-hash fingerprint
     5b. decontamination   (--decontam-eval PATH) drop docs whose distinct
@@ -108,6 +111,12 @@ def parse_args(argv=None):
                    help="domain column for mixture sampling (default: the "
                         "lang column the annotate stage adds)")
     p.add_argument("--mixture-seed", type=int, default=0)
+    p.add_argument("--lm-ref", default=None,
+                   help="parquet of reference documents; fit a bigram "
+                        "count LM on it and drop docs whose average "
+                        "whole-bit surprisal exceeds --lm-max-avg-bits "
+                        "(CCNet perplexity gate, integer-exact)")
+    p.add_argument("--lm-max-avg-bits", type=float, default=8.0)
     p.add_argument("--c4-lines", action="store_true",
                    help="C4-style line cleaning BEFORE dedup: keep only "
                         "terminal-punctuation lines with >= --c4-min-words "
@@ -284,6 +293,22 @@ def main(argv=None):
         docs = docs.where(F.col("lang").isin(langs))
     docs = docs.localCheckpoint(eager=False)
     funnel["after_filters"] = docs.count()
+
+    # 3c. LM perplexity gate — fit the bigram count model on the trusted
+    # reference (small by definition: CCNet fits Wikipedia, scores the
+    # crawl), gate candidates on integer whole-bit surprisal
+    if args.lm_ref:
+        from nama_spark.operators.lm import ngram_lm_filter, ngram_lm_fit
+
+        lm_model = ngram_lm_fit(
+            spark.read.parquet(args.lm_ref), n=2,
+            text_col=args.text_col, id_col=args.id_col,
+        )
+        docs = ngram_lm_filter(
+            docs, lm_model, max_avg_bits=args.lm_max_avg_bits,
+            text_col=args.text_col, id_col=args.id_col,
+        ).localCheckpoint(eager=False)
+        funnel["after_lm_gate"] = docs.count()
 
     # 5b. benchmark decontamination — on the post-filter survivors (the
     # cheapest point: every earlier stage only shrinks the corpus). The

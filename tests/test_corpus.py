@@ -464,3 +464,67 @@ def test_normalize_url_and_dedup(spark):
     out = {r["doc_id"]: r["canonical_id"] for r in url_dedup(docs).collect()}
     assert out[0] == out[1] == out[2] == 0
     assert out[3] == 3 and out[4] == 4 and out[5] == 5
+
+
+# ---------- n-gram LM perplexity filtering (operators/lm.py) ----------
+
+def test_ngram_lm_matches_python_oracle(spark):
+    import math
+
+    from nama_spark.operators.lm import (
+        ngram_lm_filter,
+        ngram_lm_fit,
+        ngram_lm_score,
+        ngram_lm_surprisal,
+    )
+
+    ref = spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (1, "the dog sat on the rug")],
+        ["doc_id", "text"],
+    )
+    model = ngram_lm_fit(ref, n=2)
+    got = {(r["context"], r["token"]): r["c"] for r in model.collect()}
+
+    def py_rows(text):
+        toks = text.lower().split()
+        return [("<s>" if i == 0 else toks[i - 1], t) for i, t in enumerate(toks)]
+
+    expect = {}
+    for t in ["the cat sat on the mat", "the dog sat on the rug"]:
+        for ct in py_rows(t):
+            expect[ct] = expect.get(ct, 0) + 1
+    assert got == expect
+
+    cand = spark.createDataFrame(
+        [(10, "the cat sat"), (11, "zebra quantum flux")], ["doc_id", "text"]
+    )
+    v = len({t for (_, t) in expect})
+    ctx_tot = {}
+    for (c, _), n in expect.items():
+        ctx_tot[c] = ctx_tot.get(c, 0) + n
+
+    def py_score(text):
+        lps, bits = [], 0
+        for c, t in py_rows(text):
+            cnt = expect.get((c, t), 0)
+            ctx = ctx_tot.get(c, 0)
+            lps.append(math.log2((cnt + 1) / (ctx + v)))
+            bits += (ctx + v).bit_length() - 1 - ((cnt + 1).bit_length() - 1)
+        return sum(lps) / len(lps), bits
+
+    sc = {r["doc_id"]: r for r in ngram_lm_score(cand, model).collect()}
+    su = {r["doc_id"]: r for r in ngram_lm_surprisal(cand, model).collect()}
+    for did, text in [(10, "the cat sat"), (11, "zebra quantum flux")]:
+        avg, bits = py_score(text)
+        assert sc[did]["avg_logprob"] == pytest.approx(avg)
+        assert sc[did]["perplexity"] == pytest.approx(2 ** -avg)
+        assert su[did]["surprisal_bits"] == bits
+    # gibberish scores strictly worse on both scales
+    assert sc[11]["perplexity"] > sc[10]["perplexity"]
+    assert su[11]["surprisal_bits"] > su[10]["surprisal_bits"]
+    # the gate keeps fluent text, drops gibberish; schema-preserving
+    kept = ngram_lm_filter(cand, model, max_avg_bits=2.1)
+    assert kept.columns == cand.columns
+    assert {r["doc_id"] for r in kept.collect()} == {10}
+    with pytest.raises(ValueError):
+        ngram_lm_fit(ref, n=1)

@@ -711,3 +711,52 @@ def test_run_corpus_pipeline_c4_lines(spark, tmp_path):
         "The ship sailed at dawn toward the open water today.\n"
         "Cargo manifests were checked twice by the harbourmaster."
     )
+
+
+def test_run_corpus_pipeline_lm_gate(spark, tmp_path):
+    """--lm-ref fits a bigram LM on the reference parquet and drops
+    high-surprisal (gibberish) documents."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    try:
+        import run_corpus_pipeline
+    finally:
+        sys.path.pop(0)
+
+    ref = spark.createDataFrame(
+        [
+            (100, "the ship sailed toward the harbour at dawn"),
+            (101, "the crew checked the cargo before the ship sailed"),
+        ],
+        ["doc_id", "text"],
+    )
+    ref_p = str(tmp_path / "ref.parquet")
+    ref.write.parquet(ref_p)
+    docs = spark.createDataFrame(
+        [
+            (1, "the ship sailed toward the cargo at dawn"),
+            (2, "zxq vbnm qwerty plok mjui zzzz xxxx yyyy"),
+        ],
+        ["doc_id", "text"],
+    )
+    inp = str(tmp_path / "docs.parquet")
+    docs.write.parquet(inp)
+
+    import io
+    from contextlib import redirect_stdout
+
+    out = str(tmp_path / "corpus")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = run_corpus_pipeline.main([
+            "--input", inp, "--output", out,
+            "--lm-ref", ref_p, "--lm-max-avg-bits", "2.7",
+        ])
+    assert rc == 0
+    summary = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert summary["funnel"]["after_lm_gate"] == 1
+    kept = {r["doc_id"] for r in
+            spark.read.parquet(out + "/shards").select("doc_id").collect()}
+    assert kept == {1}
