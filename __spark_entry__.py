@@ -1045,6 +1045,20 @@ def q_drop_dup_span_docs(spark, sf_dir):
     )
 
 
+def q_remove_dup_spans(spark, sf_dir):
+    """dedup.remove_duplicated_spans — the span-level ExactSubstr ACTION
+    (Lee et al., ACL 2022: the released tool removes EVERY occurrence of
+    a duplicated substring): cut each token covered by a duplicated k=4
+    window and reassemble survivors in original order. Complements the
+    document-level gate (drop_dup_span_docs) the way dedup_paragraphs
+    complements exact dedup."""
+    from nama_spark.operators.dedup import remove_duplicated_spans
+
+    return remove_duplicated_spans(
+        _t(spark, sf_dir, "documents"), k=4, min_occ=2
+    )
+
+
 def q_repetition_profile(spark, sf_dir):
     """Gopher repetition signals (corpus.repetition_profile — Rae et al.
     2021, Table A1): per-doc char-mass of the most repeated 2-/3-gram and
@@ -1614,6 +1628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # later rotation.
     return {
         # --- NEW this round (r05) ---
+        "remove_dup_spans": q_remove_dup_spans,
         "repetition_profile": q_repetition_profile,
         "gopher_repetition_filter": q_gopher_repetition_filter,
         "cap_per_domain": q_cap_per_domain,
@@ -2718,6 +2733,51 @@ def oracle_sql() -> dict[str, str]:
         SELECT d.doc_id, d.lang, d.source, d.n_chars
         FROM documents d JOIN prof p ON p.doc_id = d.doc_id
         WHERE p.frac <= 0.2
+    """
+
+    # span-level removal on the same signal: every token position covered
+    # by a duplicated k=4 window is cut; survivors reassemble in original
+    # order (original case; duplication test is case-folded like Spark's
+    # md5(lower(...)) window hash)
+    q["remove_dup_spans"] = r"""
+        WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+                   FROM documents),
+        win AS (
+            SELECT doc_id, i,
+                   CASE WHEN len(ws) >= 4
+                        THEN lower(array_to_string(ws[i+1:i+4], ' '))
+                        ELSE lower(array_to_string(ws, ' ')) END AS wtext,
+                   CASE WHEN len(ws) >= 4 THEN 4 ELSE len(ws) END AS clen
+            FROM (SELECT doc_id, ws,
+                         unnest(CASE WHEN len(ws) >= 4 THEN range(0, len(ws)-3)
+                                     ELSE [0] END) AS i
+                  FROM w)
+        ),
+        occ AS (SELECT wtext, count(*) AS occ FROM win GROUP BY wtext),
+        dup AS (SELECT doc_id, i, clen FROM win JOIN occ USING (wtext)
+                WHERE occ >= 2),
+        cov AS (SELECT DISTINCT doc_id, unnest(range(i, i + clen)) AS pos
+                FROM dup),
+        tokpos AS (
+            SELECT doc_id, generate_subscripts(ws, 1) - 1 AS pos,
+                   unnest(ws) AS tok
+            FROM w
+        ),
+        kept AS (
+            SELECT t.* FROM tokpos t
+            ANTI JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
+        ),
+        reasm AS (
+            SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id
+        ),
+        totals AS (SELECT doc_id, count(*) AS n_tokens FROM tokpos
+                   GROUP BY doc_id)
+        SELECT t.doc_id, coalesce(r.text_clean, '') AS text_clean,
+               CAST(t.n_tokens AS BIGINT) AS n_tokens,
+               CAST(t.n_tokens - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+        FROM totals t LEFT JOIN reasm r ON r.doc_id = t.doc_id
     """
 
     # decontamination: distinct 3-word-gram overlap of each training doc

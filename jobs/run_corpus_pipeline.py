@@ -80,6 +80,12 @@ def parse_args(argv=None):
                         "gate); 0 disables")
     p.add_argument("--span-k", type=int, default=16,
                    help="window length (tokens) for the span-dup gate")
+    p.add_argument("--span-action", choices=("drop", "remove"),
+                   default="drop",
+                   help="'drop' removes whole documents over the dup-frac "
+                        "cap; 'remove' cuts the duplicated spans themselves "
+                        "(ExactSubstr removal, Lee et al. 2022) and keeps "
+                        "the cleaned text — emptied docs are dropped")
     p.add_argument("--gopher-repetition", action="store_true",
                    help="drop docs failing any Gopher Table-A1 repetition "
                         "rule (paper-default thresholds)")
@@ -229,10 +235,36 @@ def main(argv=None):
         funnel["paragraphs_dropped"] = int(dropped or 0)
         funnel["after_paragraph_dedup"] = docs.count()
 
-    # 1c. duplicated-span document gate (the ExactSubstr signal): drop
-    # documents that are mostly verbatim copies of corpus-wide spans even
-    # when no single whole-document near-duplicate exists
-    if args.span_max_dup_frac > 0:
+    # 1c. duplicated-span stage (the ExactSubstr signal). action=drop:
+    # remove documents that are mostly verbatim copies of corpus-wide
+    # spans even when no whole-document near-duplicate exists.
+    # action=remove: cut the duplicated spans themselves (every
+    # occurrence, Lee et al. 2022) and keep the cleaned text.
+    if args.span_action == "remove":
+        from nama_spark.operators.dedup import remove_duplicated_spans
+
+        cleaned = remove_duplicated_spans(
+            docs, k=args.span_k, text_col=args.text_col, id_col=args.id_col,
+        ).localCheckpoint(eager=False)
+        stats = cleaned.agg(
+            F.sum("n_removed").alias("cut"),
+            F.count(F.when(F.col("text_clean") == "", 1)).alias("emptied"),
+        ).first()
+        docs = (
+            docs.drop(args.text_col)
+            .join(
+                cleaned.where(F.col("text_clean") != "").select(
+                    args.id_col,
+                    F.col("text_clean").alias(args.text_col),
+                ),
+                args.id_col,
+            )
+            .localCheckpoint(eager=False)
+        )
+        funnel["span_tokens_removed"] = int(stats["cut"] or 0)
+        funnel["span_docs_emptied"] = int(stats["emptied"] or 0)
+        funnel["after_span_removal"] = docs.count()
+    elif args.span_max_dup_frac > 0:
         from nama_spark.operators.dedup import drop_duplicated_span_docs
 
         docs = drop_duplicated_span_docs(

@@ -741,6 +741,97 @@ def drop_duplicated_span_docs(
     return docs.join(keep.select(id_col), id_col, "left_semi")
 
 
+def remove_duplicated_spans(
+    docs: DataFrame,
+    k: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_occ: int = 2,
+) -> DataFrame:
+    """ExactSubstr span REMOVAL (Lee et al., ACL 2022 — the released
+    deduplicate-text-datasets tool removes EVERY occurrence of a
+    duplicated substring; the paper notes this over-removal is harmless):
+    cut from each document every token covered by a k-token window whose
+    exact (case-folded) sequence occurs ≥ ``min_occ`` times corpus-wide,
+    and reassemble the survivors in original order. The document-level
+    gate on the same signal is drop_duplicated_span_docs; this is the
+    span-level action — a page quoting one boilerplate block loses the
+    block, not the page.
+
+    Returns (``id_col``, text_clean, n_tokens, n_removed); fully-
+    duplicated documents survive with text_clean = ''.
+
+    Shape at scale: window hashes are md5s of joined slices (the
+    duplicated_span_profile projection), ONE occurrence groupBy on the
+    hash (hot boilerplate windows are single agg rows), coverage is an
+    explode of duplicated windows × k positions (≤ k·tokens rows, linear),
+    removal is a left-anti join on (doc, pos) — duplicate coverage rows
+    need no distinct — and re-assembly is the dedup_paragraphs groupBy
+    with an in-JVM array_sort. No pair enumeration, no windows."""
+    raw = F.split(F.trim(F.col(text_col)), r"\s+")
+    tokenized = docs.select(
+        F.col(id_col).alias("__id"), raw.alias("__toks")
+    ).localCheckpoint(eager=False)
+    t = F.col("__toks")
+    n = F.size(t)
+    wins = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - F.lit(k)),
+            lambda i: F.struct(
+                i.alias("wpos"),
+                F.md5(F.lower(F.array_join(F.slice(t, i + 1, k), " "))).alias("h"),
+                F.lit(k).alias("clen"),
+            ),
+        ),
+    ).otherwise(
+        F.array(
+            F.struct(
+                F.lit(0).alias("wpos"),
+                F.md5(F.lower(F.array_join(t, " "))).alias("h"),
+                n.alias("clen"),
+            )
+        )
+    )
+    winpos = tokenized.select("__id", F.explode(wins).alias("w")).select(
+        "__id", F.col("w.wpos").alias("wpos"), F.col("w.h").alias("h"),
+        F.col("w.clen").alias("clen"),
+    )
+    occ = winpos.groupBy("h").agg(F.count(F.lit(1)).alias("occ"))
+    dup = winpos.join(occ.where(F.col("occ") >= min_occ).select("h"), "h")
+    covered = dup.select(
+        "__id",
+        F.explode(
+            F.sequence(F.col("wpos"), F.col("wpos") + F.col("clen") - 1)
+        ).alias("pos"),
+    )
+    tokpos = tokenized.select(
+        "__id", F.posexplode(t).alias("pos", "tok")
+    )
+    kept = tokpos.join(covered, ["__id", "pos"], "left_anti")
+    reasm = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = tokpos.groupBy("__id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    return (
+        totals.join(reasm, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long").alias("n_removed"),
+        )
+    )
+
+
 def dedup_paragraphs(
     docs: DataFrame,
     text_col: str = "text",

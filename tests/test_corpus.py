@@ -528,3 +528,50 @@ def test_ngram_lm_matches_python_oracle(spark):
     assert {r["doc_id"] for r in kept.collect()} == {10}
     with pytest.raises(ValueError):
         ngram_lm_fit(ref, n=1)
+
+
+# ---------- ExactSubstr span removal (dedup.py) ----------
+
+def test_remove_duplicated_spans(spark):
+    from nama_spark.operators.dedup import remove_duplicated_spans
+
+    boiler = "all rights reserved contact us"          # 5 tokens
+    docs = spark.createDataFrame(
+        [
+            (0, "unique alpha beta gamma " + boiler),
+            (1, boiler + " other phrasing entirely here"),
+            (2, "totally fresh content nothing shared"),
+            (3, "tiny doc"),                            # < k, unique
+            (4, "tiny doc"),                            # < k, duplicated whole
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicated_spans(docs, k=5, min_occ=2).collect()
+    }
+    # the 5-token boilerplate window occurs twice -> cut from both docs
+    assert out[0]["text_clean"] == "unique alpha beta gamma"
+    assert out[0]["n_tokens"] == 9 and out[0]["n_removed"] == 5
+    assert out[1]["text_clean"] == "other phrasing entirely here"
+    # untouched docs
+    assert out[2]["n_removed"] == 0 and out[2]["text_clean"] == docs.collect()[2]["text"]
+    # short docs hash whole-text: the duplicated pair empties, uniqueness impossible
+    assert out[3]["text_clean"] == "" and out[4]["text_clean"] == ""
+    assert out[3]["n_removed"] == 2
+
+    # python oracle on a longer overlap: a 6-token shared span with k=5
+    # duplicates 2 windows covering all 6 tokens
+    span = "one two three four five six"
+    docs2 = spark.createDataFrame(
+        [(10, "start " + span + " finish"), (11, span)],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r
+        for r in remove_duplicated_spans(docs2, k=5, min_occ=2).collect()
+    }
+    assert got[10]["text_clean"] == "start finish"
+    assert got[10]["n_removed"] == 6
+    # doc 11 is exactly the span (len 6 >= k): both its windows duplicated
+    assert got[11]["text_clean"] == ""

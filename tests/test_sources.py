@@ -530,6 +530,61 @@ def test_run_corpus_pipeline_span_and_repetition_gates(spark, tmp_path):
     assert kept.isdisjoint({90, 91, 95}) and set(range(10)) <= kept
 
 
+def test_run_corpus_pipeline_span_remove(spark, tmp_path):
+    """--span-action remove cuts the duplicated spans instead of dropping
+    documents: the shared span vanishes from surviving text, fully-
+    duplicated docs empty out and drop, and the funnel records tokens
+    removed / docs emptied."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    try:
+        import run_corpus_pipeline
+    finally:
+        sys.path.pop(0)
+
+    shared = "this exact span of many tokens is repeated verbatim across documents"
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"tok{i}x{j}" for j in range(60))) for i in range(10)]
+        + [(90, shared + " plus a tiny unique tail ninety"),
+           (91, shared + " plus a tiny unique tail ninetyone"),
+           (97, shared)],   # the whole doc is the duplicated span -> empties
+        ["doc_id", "text"],
+    )
+    inp = str(tmp_path / "docs.parquet")
+    docs.write.parquet(inp)
+
+    out = str(tmp_path / "corpus")
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = run_corpus_pipeline.main([
+            "--input", inp, "--output", out,
+            "--span-action", "remove", "--span-k", "4",
+            "--near-dup-threshold", "0.95",
+        ])
+    assert rc == 0
+    summary = json.loads(buf.getvalue().strip().splitlines()[-1])
+    funnel = summary["funnel"]
+    # the 11-token span is cut from all three carriers, and the boundary +
+    # tail windows ("... documents plus", "plus a tiny unique", …) are ALSO
+    # cross-doc duplicates of each other, so 90/91 keep only their final
+    # token (every-occurrence removal is aggressive by design — Lee et al.
+    # call the over-removal harmless); doc 97 empties entirely
+    assert funnel["span_tokens_removed"] == 43
+    assert funnel["span_docs_emptied"] == 1
+    assert funnel["after_span_removal"] == funnel["after_exact_dedup"] - 1
+    shards = spark.read.parquet(out + "/shards")
+    rows = {r["doc_id"]: r["text"] for r in shards.collect()}
+    assert 97 not in rows
+    assert rows[90] == "ninety"
+    assert rows[91] == "ninetyone"
+    assert set(range(10)) <= set(rows)
+
+
 def test_run_corpus_pipeline_canonical_priority(spark, tmp_path):
     """--canonical-priority keeps the HIGHEST-priority member of each
     near-dup cluster (FineWeb keep-the-best) instead of the min-id."""
