@@ -1059,6 +1059,33 @@ def q_remove_dup_spans(spark, sf_dir):
     )
 
 
+def q_quality_classifier_score(spark, sf_dir):
+    """Model-based quality scoring (operators/classifier.py — the
+    fastText / FineWeb-Edu-style filter): NB-share integer weights fit
+    on the lang='en' slice vs the rest over md5-hashed bag-of-words
+    (n=4096, the engine-portable hash), then the integer-exact
+    weight·count dot product for every document. Production training is
+    logreg_fit (relational gradient descent, pytest-verified); this
+    closed-form twin keeps the whole scoring path in BIGINT arithmetic
+    so it verifies bit-for-bit cross-engine."""
+    from nama_spark.operators.classifier import (
+        hashed_token_features,
+        nb_share_score,
+        nb_share_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = hashed_token_features(
+        docs, n_features=4096, hash="md5"
+    ).localCheckpoint(eager=False)
+    en = docs.where(F.col("lang") == "en").select("doc_id")
+    weights = nb_share_weights(
+        feats.join(en, "doc_id", "left_semi"),
+        feats.join(en, "doc_id", "left_anti"),
+    )
+    return nb_share_score(feats, weights)
+
+
 def q_repetition_profile(spark, sf_dir):
     """Gopher repetition signals (corpus.repetition_profile — Rae et al.
     2021, Table A1): per-doc char-mass of the most repeated 2-/3-gram and
@@ -1628,6 +1655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # later rotation.
     return {
         # --- NEW this round (r05) ---
+        "quality_classifier_score": q_quality_classifier_score,
         "remove_dup_spans": q_remove_dup_spans,
         "repetition_profile": q_repetition_profile,
         "gopher_repetition_filter": q_gopher_repetition_filter,
@@ -2778,6 +2806,41 @@ def oracle_sql() -> dict[str, str]:
                CAST(t.n_tokens AS BIGINT) AS n_tokens,
                CAST(t.n_tokens - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
         FROM totals t LEFT JOIN reasm r ON r.doc_id = t.doc_id
+    """
+
+    # NB-share quality classifier: md5-hashed bag-of-words (first 4 hex
+    # digits mod 4096 — DuckDB parses the '0x' cast), Laplace-smoothed
+    # target-share weights in integer milli-units (integer division
+    # floors identically in both engines), integer dot-product score
+    q["quality_classifier_score"] = r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+            FROM documents
+        ),
+        feats AS (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5(tok), 1, 4) AS INTEGER) % 4096 AS f,
+                   count(*) AS x
+            FROM toks WHERE tok != ''
+            GROUP BY doc_id, f
+        ),
+        en AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+        tc AS (SELECT f, sum(x) AS ct FROM feats
+               WHERE doc_id IN (SELECT doc_id FROM en) GROUP BY f),
+        rc AS (SELECT f, sum(x) AS cr FROM feats
+               WHERE doc_id NOT IN (SELECT doc_id FROM en) GROUP BY f),
+        w AS (
+            SELECT coalesce(tc.f, rc.f) AS f,
+                   (1000 * (coalesce(ct, 0) + 1))
+                   // (coalesce(ct, 0) + coalesce(cr, 0) + 2) - 500 AS w_milli
+            FROM tc FULL JOIN rc ON tc.f = rc.f
+        )
+        SELECT feats.doc_id,
+               CAST(sum(x) AS BIGINT) AS n_toks,
+               CAST(sum(x * coalesce(w_milli, 0)) AS BIGINT) AS logit_milli
+        FROM feats LEFT JOIN w USING (f)
+        GROUP BY feats.doc_id
     """
 
     # decontamination: distinct 3-word-gram overlap of each training doc

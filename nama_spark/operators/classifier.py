@@ -1,0 +1,276 @@
+"""Model-based quality classification over hashed bag-of-words features.
+
+The production LLM-corpus pattern (fastText quality filters; FineWeb-Edu's
+classifier gate): score every document with a linear model over hashed
+token features and keep the high-scoring slice. The reference engine has
+no model-based filter (its learning surface is the embedding similarity
+model, nama/embedding_similarity.py); this module is part of the
+beyond-reference training-data-pipeline layer, built Spark-first:
+
+- features are skinny relational rows ``(id, f, x)`` — never per-row
+  Python, never materialized dense vectors;
+- training is full-batch logistic-regression gradient descent expressed
+  as TWO aggregations per iteration (a broadcast-weights join → per-doc
+  logit, then a per-feature gradient agg). The weight vector — bounded
+  by ``n_features``, i.e. model-sized, NOT data-sized — rides the driver
+  between iterations and enters each job as a broadcast join, the
+  parameter-server-on-driver shape. Every iteration is one linear scan
+  of the pinned feature table: at 100 TB the cost is n_iter scans, no
+  shuffle ever exceeds ``n_features`` rows on the gradient side;
+- inference is one broadcast join + one groupBy — and an integer-exact
+  variant (``nb_share_weights`` / ``nb_share_score``) exists so the
+  scoring path is verifiable bit-for-bit against an external engine
+  (floats cross engines drift; smoothed-count integer arithmetic
+  cannot).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def hashed_token_features(
+    docs: DataFrame,
+    n_features: int = 1 << 18,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash: str = "spark",
+    binary: bool = False,
+) -> DataFrame:
+    """Whitespace-tokenized, case-folded hashed bag-of-words: one skinny
+    row ``(id_col, f, x)`` per (document, feature) with x = token count
+    (or 1 when ``binary``). ``hash="spark"`` uses the JVM murmur3
+    (`F.hash`) — the fast path. ``hash="md5"`` derives the index from
+    the first 4 hex digits of md5 (requires n_features ≤ 65536) — an
+    engine-portable hash any SQL engine can reproduce, used by the
+    correctness oracles (same trick as the md5 embedder,
+    operators/embed.py).
+
+    Documents with no tokens produce no rows — scorers re-attach them
+    via a left join (see quality_filter)."""
+    if hash not in ("spark", "md5"):
+        raise ValueError(f"unknown hash mode {hash!r}")
+    if hash == "md5" and n_features > 1 << 16:
+        raise ValueError("md5 hash mode supports n_features <= 65536")
+    tok = F.explode(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    ).alias("__tok")
+    toks = docs.select(F.col(id_col).alias("__id"), tok).where(
+        F.col("__tok") != ""
+    )
+    if hash == "spark":
+        f = F.pmod(F.hash("__tok"), F.lit(n_features))
+    else:
+        f = (
+            F.conv(F.substring(F.md5("__tok"), 1, 4), 16, 10).cast("long")
+            % n_features
+        )
+    agg = (
+        toks.select("__id", f.cast("long").alias("f"))
+        .groupBy("__id", "f")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    if binary:
+        agg = agg.withColumn("x", F.lit(1).cast("long"))
+    return agg.select(F.col("__id").alias(id_col), "f", "x")
+
+
+def logreg_fit(
+    features: DataFrame,
+    labels: DataFrame,
+    n_iter: int = 40,
+    lr: float = 0.5,
+    l2: float = 0.0,
+    id_col: str = "doc_id",
+    label_col: str = "label",
+):
+    """Full-batch logistic regression by relational gradient descent.
+
+    ``features`` is the (id, f, x) table from hashed_token_features;
+    ``labels`` is (id, label∈{0,1}). Per iteration: (1) logit_i =
+    Σ_f x·w via a broadcast join on f and a groupBy on the id, (2)
+    residual r_i = σ(logit_i + b) − y_i, (3) per-feature gradient
+    Σ_i x·r / n via a groupBy on f, collected to the driver (≤ distinct
+    features ≤ n_features rows — model-sized), (4) w ← w − lr·(g + l2·w).
+    Deterministic given the input (no sampling; float sums are
+    order-dependent only at ulp level).
+
+    Returns (weights DataFrame (f, w), intercept float)."""
+    spark = features.sparkSession
+    feats = (
+        features.select(
+            F.col(id_col).alias("__id"),
+            F.col("f").cast("long").alias("f"),
+            F.col("x").cast("double").alias("x"),
+        )
+        .join(
+            labels.select(
+                F.col(id_col).alias("__id"),
+                F.col(label_col).cast("double").alias("y"),
+            ),
+            "__id",
+        )
+        .localCheckpoint(eager=False)
+    )
+    n_docs = feats.select("__id").distinct().count()
+    if n_docs == 0:
+        raise ValueError("logreg_fit: no labeled documents with features")
+    w: dict[int, float] = {}
+    b = 0.0
+    for _ in range(n_iter):
+        if w:
+            wdf = spark.createDataFrame(list(w.items()), "f long, w double")
+            scored = feats.join(F.broadcast(wdf), "f", "left")
+        else:
+            scored = feats.withColumn("w", F.lit(None).cast("double"))
+        resid = (
+            scored.groupBy("__id", "y")
+            .agg(F.sum(F.col("x") * F.coalesce("w", F.lit(0.0))).alias("z"))
+            .select(
+                "__id",
+                (
+                    F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("z") + F.lit(b))))
+                    - F.col("y")
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=False)  # reused by grad AND gb
+        )
+        grad = (
+            feats.join(resid, "__id")
+            .groupBy("f")
+            .agg((F.sum(F.col("x") * F.col("r")) / n_docs).alias("g"))
+            .collect()
+        )
+        gb = resid.agg(F.avg("r").alias("gb")).first()["gb"]
+        for row in grad:
+            fi, g = row["f"], row["g"]
+            w[fi] = w.get(fi, 0.0) - lr * (g + l2 * w.get(fi, 0.0))
+        b -= lr * gb
+    wdf = spark.createDataFrame(
+        list(w.items()) or [(0, 0.0)], "f long, w double"
+    )
+    if not w:
+        wdf = wdf.where(F.lit(False))
+    return wdf, b
+
+
+def logreg_score(
+    features: DataFrame,
+    weights: DataFrame,
+    intercept: float = 0.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, logit, prob) for every document with ≥1 feature row: one
+    broadcast join on f, one groupBy on the id. Feature-less documents
+    are absent (their logit is the bare intercept; quality_filter
+    re-attaches them)."""
+    return (
+        features.join(F.broadcast(weights), "f", "left")
+        .groupBy(F.col(id_col))
+        .agg(
+            (
+                F.sum(F.col("x") * F.coalesce("w", F.lit(0.0)))
+                + F.lit(float(intercept))
+            ).alias("logit")
+        )
+        .select(
+            id_col,
+            "logit",
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("logit")))).alias("prob"),
+        )
+    )
+
+
+def quality_filter(
+    docs: DataFrame,
+    weights: DataFrame,
+    intercept: float = 0.0,
+    min_prob: float = 0.5,
+    n_features: int = 1 << 18,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash: str = "spark",
+) -> DataFrame:
+    """Keep documents the classifier scores ≥ ``min_prob``. Schema-
+    preserving. Documents with no tokens score at the bare intercept
+    (left join + coalesce), so an empty page passes only if the model's
+    prior does."""
+    import math
+
+    scored = logreg_score(
+        hashed_token_features(
+            docs, n_features=n_features, text_col=text_col, id_col=id_col,
+            hash=hash,
+        ),
+        weights,
+        intercept,
+        id_col=id_col,
+    )
+    prior = 1.0 / (1.0 + math.exp(-float(intercept)))
+    return (
+        docs.join(scored.select(id_col, "prob"), id_col, "left")
+        .where(F.coalesce("prob", F.lit(prior)) >= min_prob)
+        .drop("prob")
+    )
+
+
+def nb_share_weights(
+    features_target: DataFrame,
+    features_rest: DataFrame,
+    milli: int = 1000,
+) -> DataFrame:
+    """Integer-exact Naive-Bayes-flavored token weights: for each hashed
+    feature, the Laplace-smoothed share of its mass that sits in the
+    TARGET corpus, centered at zero, in fixed-point milli-units:
+
+        w = (milli·(ct+1)) // (ct+cr+2)  −  milli//2
+
+    (ct, cr = total counts in target / rest). A monotone proxy of the NB
+    log-odds ln(p_t/p_r) that stays in BIGINT arithmetic end-to-end —
+    integer division floors identically in every engine, so scores built
+    from these weights verify bit-for-bit cross-engine (the same reason
+    the calibration sweep quantizes cosines, score.py:319). Production
+    training uses logreg_fit; this closed-form variant needs ONE pass
+    over each corpus and no labels beyond the corpus split itself.
+
+    Returns (f, w_milli) covering features seen in either corpus."""
+    ct = features_target.groupBy("f").agg(F.sum("x").alias("ct"))
+    cr = features_rest.groupBy("f").agg(F.sum("x").alias("cr"))
+    half = int(milli) // 2
+    return (
+        ct.join(cr, "f", "full")
+        .select(
+            "f",
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+            F.coalesce("cr", F.lit(0)).alias("cr"),
+        )
+        .select(
+            "f",
+            (
+                F.expr(f"({int(milli)} * (ct + 1)) div (ct + cr + 2)")
+                - F.lit(half)
+            ).cast("long").alias("w_milli"),
+        )
+    )
+
+
+def nb_share_score(
+    features: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_toks, logit_milli): integer dot product of token counts
+    with nb_share_weights — exact in any engine. A feature absent from
+    both training corpora can only appear when scoring a different
+    corpus than the weights were fit on; the left join + coalesce(0)
+    gives such features neutral weight."""
+    return (
+        features.join(F.broadcast(weights), "f", "left")
+        .groupBy(F.col(id_col))
+        .agg(
+            F.sum("x").cast("long").alias("n_toks"),
+            F.sum(F.col("x") * F.coalesce("w_milli", F.lit(0)))
+            .cast("long")
+            .alias("logit_milli"),
+        )
+    )

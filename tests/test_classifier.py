@@ -1,0 +1,167 @@
+"""Model-based quality classifier (operators/classifier.py): relational
+logistic regression over hashed bag-of-words, plus the integer-exact
+NB-share scorer the oracles use."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from nama_spark.operators.classifier import (
+    hashed_token_features,
+    logreg_fit,
+    logreg_score,
+    nb_share_score,
+    nb_share_weights,
+    quality_filter,
+)
+
+
+def _fixture_docs(spark):
+    """40 separable docs: positives talk about science, negatives are
+    casino spam; two held-out docs of each kind."""
+    pos = [
+        f"careful {w} analysis of the experiment results number {i}"
+        for i, w in enumerate(
+            ["thorough", "detailed", "rigorous", "novel", "replicated"] * 4
+        )
+    ]
+    neg = [
+        f"win big casino bonus jackpot click now offer {i}"
+        for i in range(20)
+    ]
+    rows = [(i, t, 1) for i, t in enumerate(pos)] + [
+        (100 + i, t, 0) for i, t in enumerate(neg)
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "label"])
+
+
+def test_hashed_token_features_modes(spark):
+    docs = spark.createDataFrame(
+        [(1, "Alpha beta ALPHA"), (2, ""), (3, "   ")],
+        ["doc_id", "text"],
+    )
+    sp = hashed_token_features(docs, n_features=1 << 10).collect()
+    # case-folded: 'alpha' counted twice, one row per (doc, feature)
+    assert {(r["doc_id"], r["x"]) for r in sp} == {(1, 2), (1, 1)}
+    assert all(0 <= r["f"] < (1 << 10) for r in sp)
+    # token-less docs produce no rows
+    assert {r["doc_id"] for r in sp} == {1}
+
+    md = hashed_token_features(docs, n_features=4096, hash="md5").collect()
+    assert {(r["doc_id"], r["x"]) for r in md} == {(1, 2), (1, 1)}
+    assert all(0 <= r["f"] < 4096 for r in md)
+    # engine-portable index: first 4 md5 hex digits mod n
+    exp = {int("0x" + __import__("hashlib").md5(t.encode()).hexdigest()[:4], 16) % 4096
+           for t in ("alpha", "beta")}
+    assert {r["f"] for r in md} == exp
+
+    with pytest.raises(ValueError):
+        hashed_token_features(docs, n_features=1 << 17, hash="md5")
+    with pytest.raises(ValueError):
+        hashed_token_features(docs, hash="sha")
+
+    binary = hashed_token_features(docs, n_features=1 << 10, binary=True)
+    assert {r["x"] for r in binary.collect()} == {1}
+
+
+def test_logreg_fit_separates(spark):
+    docs = _fixture_docs(spark)
+    train = docs.where(F.col("doc_id") % 10 != 7)
+    test = docs.where(F.col("doc_id") % 10 == 7)
+    feats = hashed_token_features(train, n_features=1 << 12)
+    weights, b = logreg_fit(
+        feats, train.select("doc_id", "label"), n_iter=40, lr=1.0
+    )
+    scored = logreg_score(
+        hashed_token_features(test, n_features=1 << 12), weights, b
+    ).join(test.select("doc_id", "label"), "doc_id")
+    rows = scored.collect()
+    assert len(rows) == 4
+    # perfect held-out separation on the separable fixture
+    assert all((r["prob"] >= 0.5) == (r["label"] == 1) for r in rows)
+    # signed weights: a clear spam token scores below a clear science token
+    wmap = {r["f"]: r["w"] for r in weights.collect()}
+    fmap = {
+        r["__tok"]: r["f"]
+        for r in spark.createDataFrame(
+            [("casino",), ("experiment",)], ["__tok"]
+        )
+        .select("__tok", F.pmod(F.hash("__tok"), F.lit(1 << 12)).alias("f"))
+        .collect()
+    }
+    assert wmap[fmap["casino"]] < 0 < wmap[fmap["experiment"]]
+
+
+def test_logreg_score_matches_numpy(spark):
+    docs = _fixture_docs(spark)
+    feats = hashed_token_features(docs, n_features=1 << 12)
+    weights, b = logreg_fit(
+        feats, docs.select("doc_id", "label"), n_iter=5, lr=0.5
+    )
+    wmap = {r["f"]: r["w"] for r in weights.collect()}
+    got = {r["doc_id"]: r["logit"] for r in logreg_score(feats, weights, b).collect()}
+    exp = {}
+    for r in feats.collect():
+        exp[r["doc_id"]] = exp.get(r["doc_id"], b) + r["x"] * wmap.get(r["f"], 0.0)
+    assert set(got) == set(exp)
+    for k in got:
+        assert got[k] == pytest.approx(exp[k], abs=1e-9)
+
+
+def test_quality_filter_and_empty_docs(spark):
+    docs = _fixture_docs(spark)
+    feats = hashed_token_features(docs, n_features=1 << 12)
+    weights, b = logreg_fit(
+        feats, docs.select("doc_id", "label"), n_iter=40, lr=1.0
+    )
+    with_empty = docs.select("doc_id", "text").union(
+        spark.createDataFrame([(999, "")], ["doc_id", "text"])
+    )
+    kept = quality_filter(
+        with_empty, weights, b, min_prob=0.5, n_features=1 << 12
+    )
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert ids.issuperset(set(range(20))) and ids.isdisjoint(
+        set(range(100, 120))
+    )
+    # the token-less doc falls back to the intercept-only prior
+    assert (999 in ids) == (1.0 / (1.0 + math.exp(-b)) >= 0.5)
+    assert kept.columns == ["doc_id", "text"]
+
+
+def test_nb_share_weights_exact(spark):
+    """Integer weights match a python-int oracle exactly, and the score
+    separates the corpora by construction."""
+    docs = _fixture_docs(spark)
+    n = 4096
+    feats = hashed_token_features(docs, n_features=n, hash="md5")
+    target = feats.join(
+        docs.where(F.col("label") == 1).select("doc_id"), "doc_id", "left_semi"
+    )
+    rest = feats.join(
+        docs.where(F.col("label") == 0).select("doc_id"), "doc_id", "left_semi"
+    )
+    wdf = nb_share_weights(target, rest)
+    # python oracle over collected counts
+    tc, rc = {}, {}
+    for r in target.collect():
+        tc[r["f"]] = tc.get(r["f"], 0) + r["x"]
+    for r in rest.collect():
+        rc[r["f"]] = rc.get(r["f"], 0) + r["x"]
+    exp = {
+        f: (1000 * (tc.get(f, 0) + 1)) // (tc.get(f, 0) + rc.get(f, 0) + 2) - 500
+        for f in set(tc) | set(rc)
+    }
+    got = {r["f"]: r["w_milli"] for r in wdf.collect()}
+    assert got == exp
+
+    scores = nb_share_score(feats, wdf).join(
+        docs.select("doc_id", "label"), "doc_id"
+    )
+    rows = scores.collect()
+    pos = [r["logit_milli"] for r in rows if r["label"] == 1]
+    neg = [r["logit_milli"] for r in rows if r["label"] == 0]
+    assert min(pos) > 0 > max(neg)
+    # n_toks is the document token count
+    assert all(r["n_toks"] == 9 for r in rows if r["label"] == 0)
