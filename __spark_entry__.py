@@ -1086,6 +1086,33 @@ def q_quality_classifier_score(spark, sf_dir):
     return nb_share_score(feats, weights)
 
 
+def q_dsir_hbits_score(spark, sf_dir):
+    """DSIR importance scores (classifier.dsir_weights/dsir_score — Xie
+    et al., NeurIPS 2023): hashed-unigram LM log-ratio of the lang='en'
+    target slice vs the rest, scored per document. The board row hashes
+    the integer HALF-BIT twin (floor_log2 of squared smoothed counts —
+    bit-lengths are engine-independent, the lm.py surprisal trick); the
+    float w_log2 path drives dsir_resample and is pytest-verified."""
+    from nama_spark.operators.classifier import (
+        dsir_score,
+        dsir_weights,
+        hashed_token_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = hashed_token_features(
+        docs, n_features=4096, hash="md5"
+    ).localCheckpoint(eager=False)
+    en = docs.where(F.col("lang") == "en").select("doc_id")
+    weights = dsir_weights(
+        feats.join(en, "doc_id", "left_semi"),
+        feats.join(en, "doc_id", "left_anti"),
+    )
+    return dsir_score(feats, weights).select(
+        "doc_id", "n_toks", "logit_hbits"
+    )
+
+
 def q_repetition_profile(spark, sf_dir):
     """Gopher repetition signals (corpus.repetition_profile — Rae et al.
     2021, Table A1): per-doc char-mass of the most repeated 2-/3-gram and
@@ -1656,6 +1683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- NEW this round (r05) ---
         "quality_classifier_score": q_quality_classifier_score,
+        "dsir_hbits_score": q_dsir_hbits_score,
         "remove_dup_spans": q_remove_dup_spans,
         "repetition_profile": q_repetition_profile,
         "gopher_repetition_filter": q_gopher_repetition_filter,
@@ -2839,6 +2867,41 @@ def oracle_sql() -> dict[str, str]:
         SELECT feats.doc_id,
                CAST(sum(x) AS BIGINT) AS n_toks,
                CAST(sum(x * coalesce(w_milli, 0)) AS BIGINT) AS logit_milli
+        FROM feats LEFT JOIN w USING (f)
+        GROUP BY feats.doc_id
+    """
+
+    # DSIR half-bit importance twin: same md5 feature hash; w_hbits =
+    # flog2((ct+1)^2) - flog2((cr+1)^2) via binary-string lengths
+    q["dsir_hbits_score"] = r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+            FROM documents
+        ),
+        feats AS (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5(tok), 1, 4) AS INTEGER) % 4096 AS f,
+                   count(*) AS x
+            FROM toks WHERE tok != ''
+            GROUP BY doc_id, f
+        ),
+        en AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+        tc AS (SELECT f, sum(x) AS ct FROM feats
+               WHERE doc_id IN (SELECT doc_id FROM en) GROUP BY f),
+        rc AS (SELECT f, sum(x) AS cr FROM feats
+               WHERE doc_id NOT IN (SELECT doc_id FROM en) GROUP BY f),
+        w AS (
+            SELECT coalesce(tc.f, rc.f) AS f,
+                   (length(bin((coalesce(ct, 0) + 1)
+                               * (coalesce(ct, 0) + 1))) - 1)
+                   - (length(bin((coalesce(cr, 0) + 1)
+                                 * (coalesce(cr, 0) + 1))) - 1) AS w_hbits
+            FROM tc FULL JOIN rc ON tc.f = rc.f
+        )
+        SELECT feats.doc_id,
+               CAST(sum(x) AS BIGINT) AS n_toks,
+               CAST(sum(x * coalesce(w_hbits, 0)) AS BIGINT) AS logit_hbits
         FROM feats LEFT JOIN w USING (f)
         GROUP BY feats.doc_id
     """

@@ -214,6 +214,136 @@ def quality_filter(
     )
 
 
+def _flog2(c):
+    """floor(log2(x)) for a positive integer column, exactly, in any
+    engine: length of the binary string minus one (the lm.py whole-bit
+    idiom, operators/lm.py:144)."""
+    return (F.length(F.bin(c)) - 1).cast("long")
+
+
+def dsir_weights(
+    features_target: DataFrame,
+    features_raw: DataFrame,
+) -> DataFrame:
+    """DSIR importance log-ratios (Xie et al., NeurIPS 2023 — Data
+    Selection via Importance Resampling): per hashed feature,
+
+        w_log2 = log2 p_target(f) − log2 p_raw(f)
+
+    under Laplace-smoothed hashed-unigram LMs (p(f) = (c+1)/(N+V) with V
+    = features seen in either corpus). ``w_log2`` is the float
+    production weight. ``w_hbits`` is an integer HALF-bit twin:
+    floor_log2((ct+1)²) − floor_log2((cr+1)²), the per-corpus
+    normalization constants dropped (they shift every document's score
+    by count·const, which standardization — and equal-length comparison
+    — ignores). Squaring keeps BIGINT exact for counts < 3·10⁹; the
+    bit-length of an integer is engine-independent, so scores built from
+    w_hbits verify hash-exact cross-engine (the lm.py surprisal trick).
+
+    Returns (f, ct, cr, w_log2, w_hbits)."""
+    import math
+
+    ct = features_target.groupBy("f").agg(F.sum("x").alias("ct"))
+    cr = features_raw.groupBy("f").agg(F.sum("x").alias("cr"))
+    both = (
+        ct.join(cr, "f", "full")
+        .select(
+            "f",
+            F.coalesce("ct", F.lit(0)).cast("long").alias("ct"),
+            F.coalesce("cr", F.lit(0)).cast("long").alias("cr"),
+        )
+        .localCheckpoint(eager=False)  # reused: totals agg + output
+    )
+    tot = both.agg(
+        F.sum("ct").alias("nt"),
+        F.sum("cr").alias("nr"),
+        F.count(F.lit(1)).alias("v"),
+    ).first()
+    nt, nr, v = tot["nt"] or 0, tot["nr"] or 0, tot["v"]
+    const = math.log2(nr + v) - math.log2(nt + v)
+    return both.select(
+        "f",
+        "ct",
+        "cr",
+        (
+            F.log2(F.col("ct") + 1) - F.log2(F.col("cr") + 1) + F.lit(const)
+        ).alias("w_log2"),
+        (
+            _flog2((F.col("ct") + 1) * (F.col("ct") + 1))
+            - _flog2((F.col("cr") + 1) * (F.col("cr") + 1))
+        ).alias("w_hbits"),
+    )
+
+
+def dsir_score(
+    features: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_toks, logit_log2, logit_hbits): per-document importance =
+    Σ count·w over the document's hashed features — one broadcast join,
+    one groupBy. ``logit_log2`` drives resampling; ``logit_hbits`` is
+    the integer twin the oracles hash."""
+    return (
+        features.join(F.broadcast(weights), "f", "left")
+        .groupBy(F.col(id_col))
+        .agg(
+            F.sum("x").cast("long").alias("n_toks"),
+            F.sum(F.col("x") * F.coalesce("w_log2", F.lit(0.0))).alias(
+                "logit_log2"
+            ),
+            F.sum(F.col("x") * F.coalesce("w_hbits", F.lit(0)))
+            .cast("long")
+            .alias("logit_hbits"),
+        )
+    )
+
+
+def dsir_resample(
+    scored: DataFrame,
+    k: int,
+    seed: str = "dsir",
+    temperature: float = 1.0,
+    id_col: str = "doc_id",
+    length_normalize: bool = True,
+) -> DataFrame:
+    """Gumbel top-k importance resampling: keep the k documents with the
+    largest  logit/T + Gumbel(md5(seed‖id))  — exactly sampling-without-
+    replacement ∝ exp(logit/T), reproducible under repartitioning
+    because the noise is keyed on the id, never on partition layout (the
+    sample_mixture determinism rule, corpus.py:133). ``length_normalize``
+    divides the logit by the token count first (DSIR's per-token
+    average), so long documents don't dominate purely by length. Global
+    top-k compiles to TakeOrderedAndProject — no full sort shuffle.
+    T→0 degenerates to deterministic top-k by score."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    logit = F.col("logit_log2")
+    if length_normalize:
+        logit = logit / F.greatest(F.col("n_toks"), F.lit(1)).cast("double")
+    u48 = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("\x1f", F.lit(seed), F.col(id_col))), 1, 12),
+            16,
+            10,
+        ).cast("decimal(20,0)")
+        .cast("double")
+        + 0.5
+    ) / F.lit(float(1 << 48))
+    gumbel = -F.log(-F.log(u48))
+    key = (
+        logit / F.lit(float(temperature)) + gumbel
+        if temperature > 0
+        else logit
+    )
+    return (
+        scored.withColumn("__key", key)
+        .orderBy(F.col("__key").desc(), F.col(id_col))
+        .limit(k)
+        .drop("__key")
+    )
+
+
 def nb_share_weights(
     features_target: DataFrame,
     features_rest: DataFrame,

@@ -165,3 +165,91 @@ def test_nb_share_weights_exact(spark):
     assert min(pos) > 0 > max(neg)
     # n_toks is the document token count
     assert all(r["n_toks"] == 9 for r in rows if r["label"] == 0)
+
+
+# ---------- DSIR importance resampling ----------
+
+def _split_feats(spark, docs, n=4096):
+    feats = hashed_token_features(docs, n_features=n, hash="md5")
+    target = feats.join(
+        docs.where(F.col("label") == 1).select("doc_id"), "doc_id", "left_semi"
+    )
+    raw = feats.join(
+        docs.where(F.col("label") == 0).select("doc_id"), "doc_id", "left_semi"
+    )
+    return feats, target, raw
+
+
+def test_dsir_weights_exact(spark):
+    from nama_spark.operators.classifier import dsir_score, dsir_weights
+
+    docs = _fixture_docs(spark)
+    feats, target, raw = _split_feats(spark, docs)
+    wdf = dsir_weights(target, raw)
+    rows = wdf.collect()
+    tc, rc = {}, {}
+    for r in target.collect():
+        tc[r["f"]] = tc.get(r["f"], 0) + r["x"]
+    for r in raw.collect():
+        rc[r["f"]] = rc.get(r["f"], 0) + r["x"]
+    nt, nr, v = sum(tc.values()), sum(rc.values()), len(set(tc) | set(rc))
+    for r in rows:
+        ct, cr = tc.get(r["f"], 0), rc.get(r["f"], 0)
+        exp_log2 = (
+            math.log2((ct + 1) / (nt + v)) - math.log2((cr + 1) / (nr + v))
+        )
+        assert r["w_log2"] == pytest.approx(exp_log2, abs=1e-9)
+        exp_hbits = ((ct + 1) ** 2).bit_length() - 1 - (
+            ((cr + 1) ** 2).bit_length() - 1
+        )
+        assert r["w_hbits"] == exp_hbits
+        assert (r["ct"], r["cr"]) == (ct, cr)
+
+    scored = dsir_score(feats, wdf).join(
+        docs.select("doc_id", "label"), "doc_id"
+    ).collect()
+    pos = [r["logit_log2"] for r in scored if r["label"] == 1]
+    neg = [r["logit_log2"] for r in scored if r["label"] == 0]
+    assert min(pos) > max(neg)
+    posh = [r["logit_hbits"] for r in scored if r["label"] == 1]
+    negh = [r["logit_hbits"] for r in scored if r["label"] == 0]
+    assert min(posh) > max(negh)
+
+
+def test_dsir_resample(spark):
+    from nama_spark.operators.classifier import (
+        dsir_resample,
+        dsir_score,
+        dsir_weights,
+    )
+
+    docs = _fixture_docs(spark)
+    feats, target, raw = _split_feats(spark, docs)
+    scored = dsir_score(feats, dsir_weights(target, raw)).localCheckpoint()
+
+    a = {r["doc_id"] for r in dsir_resample(scored, 10, seed="s1").collect()}
+    b = {r["doc_id"] for r in dsir_resample(scored, 10, seed="s1").collect()}
+    c = {r["doc_id"] for r in dsir_resample(scored, 10, seed="s2").collect()}
+    assert a == b and len(a) == 10
+    assert c != a  # a different seed redraws the Gumbel noise
+    # noise is id-keyed: partition layout cannot change the draw
+    d = {
+        r["doc_id"]
+        for r in dsir_resample(scored.repartition(13), 10, seed="s1").collect()
+    }
+    assert d == a
+    # T->0: deterministic top-k by length-normalized logit
+    t0 = {
+        r["doc_id"]
+        for r in dsir_resample(scored, 10, temperature=0).collect()
+    }
+    byscore = sorted(
+        scored.collect(),
+        key=lambda r: (-r["logit_log2"] / max(r["n_toks"], 1), r["doc_id"]),
+    )
+    assert t0 == {r["doc_id"] for r in byscore[:10]}
+    # importance sampling at T=1 still prefers the target-like docs
+    assert sum(1 for i in a if i < 100) >= 8
+
+    with pytest.raises(ValueError):
+        dsir_resample(scored, 0)
