@@ -11,11 +11,12 @@ operators — each stage is the bucketed/scale path, not a baseline:
     1b. paragraph dedup   (--paragraph-min-df > 0) CCNet-style: drop every
                           paragraph whose normalized form appears in ≥ df
                           distinct docs (boilerplate); empty docs drop out
-    1c. span-dup gate     (--span-max-dup-frac > 0) drop documents whose
+    1c. span-dup stage    (--span-max-dup-frac > 0) drop documents whose
                           fraction of duplicated k-token windows exceeds
                           the cap (ExactSubstr signal, Lee et al. 2022 —
                           catches mostly-verbatim pages whole-doc MinHash
-                          misses)
+                          misses); --span-action remove instead cuts the
+                          duplicated spans and keeps the cleaned text
     2. near-dup removal   MinHash + banded LSH pairs → CC clusters →
                           keep min doc_id per cluster
     3. quality filter     quality_score ≥ --min-quality
@@ -28,11 +29,18 @@ operators — each stage is the bucketed/scale path, not a baseline:
                           whole-bit surprisal (CCNet gate, integer-exact)
     4. language filter    lang-ID ∈ --langs (marker-token n-gram heuristic)
     5. annotate           token counts + rolling-hash fingerprint
+    5a. quality model     (--quality-ref PATH) integer NB-share classifier
+                          fit reference-vs-corpus; keep docs scoring
+                          ≥ --quality-min-milli per token (fastText-style
+                          model gate, deterministic integer arithmetic)
     5b. decontamination   (--decontam-eval PATH) drop docs whose distinct
                           n-gram overlap vs the eval set exceeds
                           --decontam-max-overlap (GPT-3 appendix-C rule)
     5c. mixture sampling  (--mixture-temperature > 0) temperature-rebalance
                           the domain mixture (deterministic, append-stable)
+    5c'. DSIR selection   (--dsir-ref PATH --dsir-keep K) keep K docs by
+                          Gumbel top-k importance resampling toward the
+                          target distribution (Xie et al. 2023)
     5d. PII redaction     (--redact-pii [kinds]) mask emails / SSNs /
                           phones / IPv4s in place with typed placeholders
                           (Dolma/FineWeb practice); per-kind totals in the
@@ -123,6 +131,28 @@ def parse_args(argv=None):
                         "whole-bit surprisal exceeds --lm-max-avg-bits "
                         "(CCNet perplexity gate, integer-exact)")
     p.add_argument("--lm-max-avg-bits", type=float, default=8.0)
+    p.add_argument("--quality-ref", default=None,
+                   help="parquet of high-quality reference documents; fit "
+                        "integer NB-share weights (reference vs this "
+                        "corpus) and keep docs whose per-token score is "
+                        ">= --quality-min-milli (model-based quality gate, "
+                        "fastText-style, integer-exact)")
+    p.add_argument("--quality-min-milli", type=int, default=0,
+                   help="avg milli-units per token the classifier must "
+                        "assign. NOTE: when the corpus is much larger "
+                        "than the reference, most token shares (and so "
+                        "most scores) sit below 0 — calibrate the "
+                        "threshold on a scored sample, the scale is "
+                        "relative, not absolute")
+    p.add_argument("--quality-features", type=int, default=1 << 18)
+    p.add_argument("--dsir-ref", default=None,
+                   help="parquet of target-distribution documents; score "
+                        "every doc with DSIR importance log-ratios "
+                        "(target vs this corpus) and keep --dsir-keep "
+                        "docs by Gumbel top-k resampling")
+    p.add_argument("--dsir-keep", type=int, default=0)
+    p.add_argument("--dsir-temperature", type=float, default=1.0)
+    p.add_argument("--dsir-seed", type=int, default=0)
     p.add_argument("--c4-lines", action="store_true",
                    help="C4-style line cleaning BEFORE dedup: keep only "
                         "terminal-punctuation lines with >= --c4-min-words "
@@ -342,6 +372,39 @@ def main(argv=None):
         ).localCheckpoint(eager=False)
         funnel["after_lm_gate"] = docs.count()
 
+    # 5a. model-based quality gate — NB-share integer weights fit with
+    # the trusted reference as target and THIS corpus as raw (one pass
+    # over each), then an integer per-token threshold. The weight table
+    # is model-sized and broadcasts; the corpus never shuffles wide.
+    if args.quality_ref:
+        from nama_spark.operators.classifier import (
+            hashed_token_features,
+            nb_share_score,
+            nb_share_weights,
+        )
+
+        ref_feats = hashed_token_features(
+            spark.read.parquet(args.quality_ref),
+            n_features=args.quality_features,
+            text_col=args.text_col, id_col=args.id_col,
+        )
+        corpus_feats = hashed_token_features(
+            docs, n_features=args.quality_features,
+            text_col=args.text_col, id_col=args.id_col,
+        ).localCheckpoint(eager=False)
+        qscores = nb_share_score(
+            corpus_feats, nb_share_weights(ref_feats, corpus_feats),
+            id_col=args.id_col,
+        )
+        keep = qscores.where(
+            F.col("logit_milli")
+            >= F.lit(args.quality_min_milli) * F.col("n_toks")
+        ).select(args.id_col)
+        docs = docs.join(keep, args.id_col, "left_semi").localCheckpoint(
+            eager=False
+        )
+        funnel["after_quality_model"] = docs.count()
+
     # 5b. benchmark decontamination — on the post-filter survivors (the
     # cheapest point: every earlier stage only shrinks the corpus). The
     # eval n-gram set is broadcast; the corpus never shuffles wide.
@@ -370,6 +433,41 @@ def main(argv=None):
             domain_col=args.mixture_domain_col, id_col=args.id_col,
         ).localCheckpoint(eager=False)
         funnel["after_mixture"] = docs.count()
+
+    # 5c'. DSIR selection — importance-resample toward the target
+    # distribution (weights fit target-vs-this-corpus, Gumbel top-k with
+    # id-keyed noise: deterministic, repartition-safe)
+    if args.dsir_ref and args.dsir_keep > 0:
+        from nama_spark.operators.classifier import (
+            dsir_resample,
+            dsir_score,
+            dsir_weights,
+            hashed_token_features,
+        )
+
+        ref_feats = hashed_token_features(
+            spark.read.parquet(args.dsir_ref),
+            n_features=args.quality_features,
+            text_col=args.text_col, id_col=args.id_col,
+        )
+        corpus_feats = hashed_token_features(
+            docs, n_features=args.quality_features,
+            text_col=args.text_col, id_col=args.id_col,
+        ).localCheckpoint(eager=False)
+        selected = dsir_resample(
+            dsir_score(
+                corpus_feats, dsir_weights(ref_feats, corpus_feats),
+                id_col=args.id_col,
+            ),
+            args.dsir_keep,
+            seed=str(args.dsir_seed),
+            temperature=args.dsir_temperature,
+            id_col=args.id_col,
+        )
+        docs = docs.join(
+            selected.select(args.id_col), args.id_col, "left_semi"
+        ).localCheckpoint(eager=False)
+        funnel["after_dsir"] = docs.count()
 
     # 5d. PII redaction — last text-mutating stage, so every earlier
     # signal (hashes, shingles, quality) was computed on the raw text and

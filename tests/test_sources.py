@@ -815,3 +815,70 @@ def test_run_corpus_pipeline_lm_gate(spark, tmp_path):
     kept = {r["doc_id"] for r in
             spark.read.parquet(out + "/shards").select("doc_id").collect()}
     assert kept == {1}
+
+
+def test_run_corpus_pipeline_quality_model_and_dsir(spark, tmp_path):
+    """--quality-ref fits the integer NB-share classifier against a
+    trusted reference and gates per-token score; --dsir-ref/--dsir-keep
+    then importance-resamples toward the reference distribution. Spam
+    docs fail the model gate; DSIR keeps the reference-like survivors."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    try:
+        import run_corpus_pipeline
+    finally:
+        sys.path.pop(0)
+
+    science = [
+        f"careful thorough analysis of the experiment results number {i}"
+        for i in range(12)
+    ]
+    spam = [f"win big casino bonus jackpot click now offer {i}"
+            for i in range(6)]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(science)]
+        + [(100 + i, t) for i, t in enumerate(spam)],
+        ["doc_id", "text"],
+    )
+    inp = str(tmp_path / "docs.parquet")
+    docs.write.parquet(inp)
+    # the reference must be distributionally LIKE the good slice (the
+    # CCNet/DSIR setup: Wikipedia as reference for quality web text) —
+    # same template, disjoint ids
+    ref = spark.createDataFrame(
+        [(1000 + i,
+          "careful thorough analysis of the experiment results "
+          f"number ref{i}")
+         for i in range(8)],
+        ["doc_id", "text"],
+    )
+    refp = str(tmp_path / "ref.parquet")
+    ref.write.parquet(refp)
+
+    out = str(tmp_path / "corpus")
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = run_corpus_pipeline.main([
+            "--input", inp, "--output", out,
+            "--quality-ref", refp, "--quality-min-milli", "-150",
+            "--quality-features", "4096",
+            "--dsir-ref", refp, "--dsir-keep", "8", "--dsir-seed", "7",
+            "--near-dup-threshold", "0.95",
+        ])
+    assert rc == 0
+    summary = json.loads(buf.getvalue().strip().splitlines()[-1])
+    funnel = summary["funnel"]
+    keys = list(funnel)
+    assert (keys.index("after_filters") < keys.index("after_quality_model")
+            < keys.index("after_dsir"))
+    # the model gate drops the spam slice (shares no tokens with the ref)
+    assert funnel["after_quality_model"] <= funnel["after_filters"] - 6
+    assert funnel["after_dsir"] == 8
+    shards = spark.read.parquet(out + "/shards")
+    kept = {r["doc_id"] for r in shards.select("doc_id").collect()}
+    assert len(kept) == 8 and kept <= set(range(12))
