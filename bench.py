@@ -248,6 +248,44 @@ def bench_ngram_jaccard(spark, sf_dir):
     return wall, {"jaccard_pairs": n}
 
 
+def bench_quality_dsir(spark, sf_dir):
+    """Model-based quality scoring + DSIR selection end-to-end (the two
+    classifier.py paths a corpus run pays): hashed features over the
+    scaled corpus, NB-share integer scores for EVERY doc, then DSIR
+    importance weights + Gumbel top-(n/10) resampling. Reference slice =
+    lang='en' (the realistic ref-vs-corpus contrastive fit). Honors
+    SPARK_GRAFT_DOC_MULT like the other corpus benches."""
+    from pyspark.sql import functions as F
+
+    from nama_spark.operators.classifier import (
+        dsir_resample,
+        dsir_score,
+        dsir_weights,
+        hashed_token_features,
+        nb_share_score,
+        nb_share_weights,
+    )
+
+    docs = _docs_scaled(spark, sf_dir).cache()
+    n_docs = docs.count()
+    t0 = time.time()
+    feats = hashed_token_features(docs, n_features=1 << 18).localCheckpoint(
+        eager=False
+    )
+    en = docs.where(F.col("lang") == "en").select("doc_id")
+    tgt = feats.join(en, "doc_id", "left_semi")
+    raw = feats.join(en, "doc_id", "left_anti")
+    n_scored = nb_share_score(feats, nb_share_weights(tgt, raw)).count()
+    kept = dsir_resample(
+        dsir_score(feats, dsir_weights(tgt, raw)),
+        max(10, n_docs // 10),
+        seed="bench",
+    ).count()
+    wall = time.time() - t0
+    docs.unpersist()
+    return wall, {"quality_scored": n_scored, "dsir_kept": kept}
+
+
 def bench_winnow_dedup(spark, sf_dir):
     """Full-corpus winnowing near-dup pairs at library defaults (the driver
     query subsets to doc_id<250 for oracle cost — too small to time).
@@ -586,6 +624,7 @@ def main():
     run("events_hourly", bench_sql, sf_dir, "events_hourly")
     run("sessionize_window", bench_sql, sf_dir, "events_sessionize_window")
     run("sessionize_capped", bench_sql, sf_dir, "events_sessionize_capped")
+    run("quality_dsir", bench_quality_dsir, sf_dir)
     run("winnow_dedup", bench_winnow_dedup, sf_dir)
     run("sorted_neighborhood", bench_sorted_neighborhood, sf_dir, n_entities)
 
