@@ -1113,6 +1113,27 @@ def q_dsir_hbits_score(spark, sf_dir):
     )
 
 
+def q_bpe_pair_counts(spark, sf_dir):
+    """BPE training objective, first iteration (bpe.pair_counts over the
+    initial character symbols — Sennrich et al. 2016): adjacent-pair
+    frequencies over the word-frequency table, end-of-word marker on the
+    last character. The iterative merge loop itself is pytest-verified
+    against a from-spec Python oracle (test_bpe.py); this row pins the
+    one aggregation every merge iteration repeats."""
+    from nama_spark.operators.bpe import (
+        _initial_symbols,
+        pair_counts,
+        word_counts,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return pair_counts(_initial_symbols(word_counts(docs))).select(
+        F.col("left").alias("l_sym"),
+        F.col("right").alias("r_sym"),
+        "cnt",
+    )
+
+
 def q_repetition_profile(spark, sf_dir):
     """Gopher repetition signals (corpus.repetition_profile — Rae et al.
     2021, Table A1): per-doc char-mass of the most repeated 2-/3-gram and
@@ -1684,6 +1705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW this round (r05) ---
         "quality_classifier_score": q_quality_classifier_score,
         "dsir_hbits_score": q_dsir_hbits_score,
+        "bpe_pair_counts": q_bpe_pair_counts,
         "remove_dup_spans": q_remove_dup_spans,
         "repetition_profile": q_repetition_profile,
         "gopher_repetition_filter": q_gopher_repetition_filter,
@@ -2869,6 +2891,31 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(x * coalesce(w_milli, 0)) AS BIGINT) AS logit_milli
         FROM feats LEFT JOIN w USING (f)
         GROUP BY feats.doc_id
+    """
+
+    # BPE first-iteration pair counts: per-CHARACTER symbols (substr is
+    # character-based like Spark's split-by-empty), end-of-word marker
+    # appended to the last char, counts weighted by word frequency
+    q["bpe_pair_counts"] = r"""
+        WITH w AS (
+            SELECT word, count(*) AS n
+            FROM (SELECT unnest(string_split_regex(trim(lower(text)),
+                                                   '\s+')) AS word
+                  FROM documents)
+            WHERE word != ''
+            GROUP BY word
+        ),
+        pos AS (
+            SELECT word, n, unnest(range(1, length(word))) AS i
+            FROM w WHERE length(word) >= 2
+        )
+        SELECT substr(word, i, 1) AS l_sym,
+               CASE WHEN i + 1 = length(word)
+                    THEN substr(word, i + 1, 1) || chr(9601)
+                    ELSE substr(word, i + 1, 1) END AS r_sym,
+               CAST(sum(n) AS BIGINT) AS cnt
+        FROM pos
+        GROUP BY l_sym, r_sym
     """
 
     # DSIR half-bit importance twin: same md5 feature hash; w_hbits =
