@@ -570,6 +570,21 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return pairs.select("id0", "id1", F.round("jaccard", 5).alias("jaccard"))
 
 
+def q_containment_pairs(spark, sf_dir):
+    """dedup.containment_pairs — asymmetric near-dup detection (Broder
+    1997 containment): |A∩B| / min(|A|,|B|) over 3-word shingle sets,
+    same [2,1000]-df candidate blocks as the Jaccard query. Catches
+    quoted-inside pairs symmetric Jaccard misses."""
+    from nama_spark.operators.dedup import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    out = containment_pairs(docs, k=3, threshold=0.5)
+    return out.select(
+        "id0", "id1", "n0", "n1",
+        F.round("containment", 5).alias("containment"),
+    )
+
+
 def q_minhash_lsh_dedup(spark, sf_dir):
     from nama_spark.operators.dedup import minhash_lsh_pairs
 
@@ -1706,6 +1721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier_score": q_quality_classifier_score,
         "dsir_hbits_score": q_dsir_hbits_score,
         "bpe_pair_counts": q_bpe_pair_counts,
+        "containment_pairs": q_containment_pairs,
         "remove_dup_spans": q_remove_dup_spans,
         "repetition_profile": q_repetition_profile,
         "gopher_repetition_filter": q_gopher_repetition_filter,
@@ -2477,6 +2493,21 @@ def oracle_sql() -> dict[str, str]:
         WITH {_SQL_JACCARD_PAIRS}
         SELECT id0, id1, round(jaccard, 5) AS jaccard FROM jac
         WHERE jaccard >= 0.5
+    """
+
+    # asymmetric containment on the same shingle blocks: n0/n1 are the
+    # per-doc distinct shingle-set sizes, statistic = n_inter/min
+    q["containment_pairs"] = f"""
+        WITH {_SQL_JACCARD_PAIRS.replace('jac AS (', 'jac_unused AS (')}
+        SELECT i.id0, i.id1,
+               CAST(z0.n_sh AS BIGINT) AS n0,
+               CAST(z1.n_sh AS BIGINT) AS n1,
+               round(i.n_inter * 1.0 / least(z0.n_sh, z1.n_sh), 5)
+                   AS containment
+        FROM sinter i
+        JOIN sh_sizes z0 ON z0.doc_id = i.id0
+        JOIN sh_sizes z1 ON z1.doc_id = i.id1
+        WHERE i.n_inter * 1.0 / least(z0.n_sh, z1.n_sh) >= 0.5
     """
 
     minhash_cols = ", ".join(

@@ -130,6 +130,65 @@ def ngram_jaccard_pairs(
     return out
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+    max_df: int = 1000,
+) -> DataFrame:
+    """(id0, id1, n0, n1, containment) for pairs where the SMALLER
+    shingle set is ≥ threshold contained in the other: containment =
+    |A∩B| / min(|A|,|B|) (Broder 1997's asymmetric resemblance twin).
+    Catches a short document quoted inside a long one — a pair symmetric
+    Jaccard scores near |A|/|B| and misses at any usable threshold.
+
+    Same candidate discipline as ngram_jaccard_pairs (dedup.py:81):
+    blocks on shingles with doc-frequency in [2, max_df], exact
+    intersection recomputed over ALL shingles — the df-cap only bounds
+    pair enumeration, never the statistic."""
+    sh = word_shingles(df, text_col, id_col, k).localCheckpoint(eager=False)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    elig = dfreq.where(
+        (F.col("df") >= 2) & (F.col("df") <= max_df)
+    ).select("shingle")
+    se = sh.join(elig, "shingle", "left_semi")
+    cand = (
+        se.select("shingle", F.col("doc_id").alias("id0"))
+        .join(se.select("shingle", F.col("doc_id").alias("id1")), "shingle")
+        .where(F.col("id0") < F.col("id1"))
+        .select("id0", "id1")
+        .distinct()
+    )
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("id0"), "shingle"), "id0")
+        .join(
+            sh.select(F.col("doc_id").alias("id1"), "shingle"),
+            ["id1", "shingle"],
+        )
+        .groupBy("id0", "id1")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("id0"), F.col("n_sh").alias("n0")),
+            "id0",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id1"), F.col("n_sh").alias("n1")),
+            "id1",
+        )
+        .withColumn(
+            "containment",
+            F.col("n_inter") / F.least("n0", "n1"),
+        )
+        .where(F.col("containment") >= threshold)
+        .select("id0", "id1", "n0", "n1", "containment")
+    )
+
+
 # ---------- MinHash + LSH ----------
 
 def minhash_signatures(

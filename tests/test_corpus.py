@@ -575,3 +575,36 @@ def test_remove_duplicated_spans(spark):
     assert got[10]["n_removed"] == 6
     # doc 11 is exactly the span (len 6 >= k): both its windows duplicated
     assert got[11]["text_clean"] == ""
+
+
+# ---------- containment pairs (dedup.py) ----------
+
+def test_containment_pairs_catches_quoted_subset(spark):
+    """A short doc quoted verbatim inside a long one: containment = 1.0
+    while symmetric Jaccard ≈ |A|/|B| stays below any usable threshold."""
+    from nama_spark.operators.dedup import containment_pairs, ngram_jaccard_pairs
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    long_doc = (
+        "a very long page about many topics " + quote
+        + " followed by much more unrelated prose that keeps going on"
+        + " and on about completely different things entirely forever"
+    )
+    docs = spark.createDataFrame(
+        [(0, long_doc), (1, quote),
+         (2, "an unrelated document about gardening in early spring")],
+        ["doc_id", "text"],
+    )
+    got = containment_pairs(docs, k=3, threshold=0.8).collect()
+    assert [(r["id0"], r["id1"]) for r in got] == [(0, 1)]
+    r = got[0]
+    # every shingle of the quote appears in the long doc
+    assert r["containment"] == 1.0 and r["n1"] == 7 and r["n0"] > r["n1"]
+    # symmetric Jaccard misses the same pair at the same bar
+    assert ngram_jaccard_pairs(docs, k=3, threshold=0.8).count() == 0
+    # python cross-check of the statistic on the one emitted pair
+    def sh(t, k=3):
+        w = t.lower().split()
+        return {" ".join(w[i:i + k]) for i in range(len(w) - k + 1)} or {" ".join(w)}
+    a, b = sh(long_doc), sh(quote)
+    assert r["containment"] == len(a & b) / min(len(a), len(b))
