@@ -954,6 +954,19 @@ def q_ngram_lm_surprisal(spark, sf_dir):
     return ngram_lm_surprisal(d.where(F.col("doc_id") % 3 == 0), model, n=2)
 
 
+def q_lm_perplexity_buckets(spark, sf_dir):
+    """lm.perplexity_buckets — the canonical CCNet head/middle/tail cut
+    (Wenzek et al. 2020 §4.3) on the ngram_lm_surprisal setup: rank the
+    held-out slice by integer milli-bits-per-token via the distributed
+    global_rank (no Exchange SinglePartition) and tertile by integer
+    rank arithmetic — no percentile interpolation, engine-portable."""
+    from nama_spark.operators.lm import ngram_lm_fit, perplexity_buckets
+
+    d = _t(spark, sf_dir, "documents")
+    model = ngram_lm_fit(d.where(F.col("doc_id") % 3 != 0), n=2)
+    return perplexity_buckets(d.where(F.col("doc_id") % 3 == 0), model, n=2)
+
+
 def q_url_dedup(spark, sf_dir):
     """dedup.url_dedup over deterministic synthetic URLs (fixture has no
     URL column): five variants per doc-group — default-port + tracking
@@ -1722,6 +1735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_hbits_score": q_dsir_hbits_score,
         "bpe_pair_counts": q_bpe_pair_counts,
         "containment_pairs": q_containment_pairs,
+        "lm_perplexity_buckets": q_lm_perplexity_buckets,
         "remove_dup_spans": q_remove_dup_spans,
         "repetition_profile": q_repetition_profile,
         "gopher_repetition_filter": q_gopher_repetition_filter,
@@ -3608,6 +3622,29 @@ def oracle_sql() -> dict[str, str]:
                         - (length(bin(c + 1)) - 1)) AS BIGINT)
                    AS surprisal_bits
         FROM scored GROUP BY doc_id
+    """
+
+    # CCNet head/middle/tail over the surprisal scores: integer milli-
+    # bits-per-token, total-order row_number rank, tertile by integer
+    # rank arithmetic (the surprisal oracle nests as a subquery)
+    q["lm_perplexity_buckets"] = f"""
+        WITH surp AS ({q["ngram_lm_surprisal"]}),
+        m AS (
+            SELECT doc_id, n_tokens, surprisal_bits,
+                   (surprisal_bits * 1000) // n_tokens AS milli_bits_per_tok
+            FROM surp
+        ),
+        r AS (
+            SELECT *, row_number() OVER (
+                ORDER BY milli_bits_per_tok, doc_id) - 1 AS rnk
+            FROM m
+        ),
+        c AS (SELECT count(*) AS n FROM m)
+        SELECT doc_id, n_tokens, surprisal_bits, milli_bits_per_tok,
+               CASE WHEN rnk * 3 < (SELECT n FROM c) THEN 'head'
+                    WHEN rnk * 3 < 2 * (SELECT n FROM c) THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM r
     """
 
     # URL canonicalization replayed step-by-step (regexp_extract groups,

@@ -169,3 +169,44 @@ def ngram_lm_filter(
         F.col("surprisal_bits") * 1000 <= F.lit(thr_milli) * F.col("n_tokens")
     ).select(F.col(id_col))
     return docs.join(keep, id_col, "left_semi")
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    model: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet head/middle/tail assignment (Wenzek et al. 2020 §4.3): rank
+    every document by per-token surprisal against the reference LM and
+    cut the corpus into thirds — 'head' is the most-reference-like
+    third. Everything stays integer: the score is milli-bits per token
+    (surprisal_bits·1000 div n_tokens), the rank is the distributed
+    global_rank over (score, id) — a total order, so the assignment is
+    deterministic and engine-portable — and the tertile test is
+    3·rank < n vs 3·rank < 2n, no percentile interpolation anywhere.
+
+    Returns (id, n_tokens, surprisal_bits, milli_bits_per_tok, bucket)."""
+    from nama_spark.operators.block import global_rank
+
+    scores = ngram_lm_surprisal(docs, model, n, text_col, id_col).select(
+        F.col(id_col),
+        "n_tokens",
+        "surprisal_bits",
+        F.expr("surprisal_bits * 1000 div n_tokens").alias(
+            "milli_bits_per_tok"
+        ),
+    )
+    ranked = global_rank(scores, ["milli_bits_per_tok", id_col])
+    n_docs = ranked.count()
+    return ranked.select(
+        id_col,
+        "n_tokens",
+        "surprisal_bits",
+        "milli_bits_per_tok",
+        F.when(F.col("rank") * 3 < F.lit(n_docs), F.lit("head"))
+        .when(F.col("rank") * 3 < F.lit(2 * n_docs), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

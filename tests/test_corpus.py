@@ -608,3 +608,44 @@ def test_containment_pairs_catches_quoted_subset(spark):
         return {" ".join(w[i:i + k]) for i in range(len(w) - k + 1)} or {" ".join(w)}
     a, b = sh(long_doc), sh(quote)
     assert r["containment"] == len(a & b) / min(len(a), len(b))
+
+
+def test_perplexity_buckets(spark):
+    """CCNet tertiles: reference-like docs land in 'head', noise in
+    'tail', and bucket sizes split n into thirds by integer rank."""
+    from nama_spark.operators.lm import ngram_lm_fit, perplexity_buckets
+
+    ref = spark.createDataFrame(
+        [(i, "the cat sat on the mat and the dog sat on the rug")
+         for i in range(6)],
+        ["doc_id", "text"],
+    )
+    cand = spark.createDataFrame(
+        # reference-like (low surprisal) … unseen-vocab noise (high)
+        [(10, "the cat sat on the mat"),
+         (11, "the dog sat on the rug"),
+         (12, "the cat sat on the rug and the dog"),
+         (13, "zx qv wk jj pf zz"),
+         (14, "qq ww ee rr tt yy"),
+         (15, "mixed the cat zx qv unknown words here")],
+        ["doc_id", "text"],
+    )
+    model = ngram_lm_fit(ref, n=2)
+    out = {r["doc_id"]: r for r in
+           perplexity_buckets(cand, model, n=2).collect()}
+    assert len(out) == 6
+    from collections import Counter
+    assert Counter(r["bucket"] for r in out.values()) == {
+        "head": 2, "middle": 2, "tail": 2
+    }
+    assert {out[10]["bucket"], out[11]["bucket"]} == {"head"}
+    # 13/14/15 tie at whole-bit resolution (all-unseen tokens quantize
+    # identically); the (score, id) total order breaks the tie
+    # deterministically: 13 → middle, 14/15 → tail
+    assert out[12]["bucket"] == out[13]["bucket"] == "middle"
+    assert out[14]["bucket"] == out[15]["bucket"] == "tail"
+    # scores are non-negative integers; head has the lowest
+    assert all(r["milli_bits_per_tok"] >= 0 for r in out.values())
+    assert (out[10]["milli_bits_per_tok"] < out[12]["milli_bits_per_tok"]
+            < out[13]["milli_bits_per_tok"]
+            == out[14]["milli_bits_per_tok"])
