@@ -882,3 +882,51 @@ def test_run_corpus_pipeline_quality_model_and_dsir(spark, tmp_path):
     shards = spark.read.parquet(out + "/shards")
     kept = {r["doc_id"] for r in shards.select("doc_id").collect()}
     assert len(kept) == 8 and kept <= set(range(12))
+
+
+def test_run_report_job(spark, tmp_path):
+    """jobs/run_report.py: one JSON audit over the sf0.001 documents —
+    size/quality/pii/duplication/repetition/top-token sections with
+    internally consistent counts, near-dup + LM sections on request."""
+    import io
+    import json
+    import sys
+    from contextlib import redirect_stdout
+
+    sys.path.insert(0, "/root/repo/jobs")
+    try:
+        import run_report
+    finally:
+        sys.path.pop(0)
+
+    refp = str(tmp_path / "ref.parquet")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.where(F.col("doc_id") % 5 == 0).write.parquet(refp)
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = run_report.main([
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--output", str(tmp_path / "report"),
+            "--near-dup", "0.8",
+            "--lm-ref", refp,
+        ])
+    assert rc == 0
+    rep = json.loads(buf.getvalue().strip().splitlines()[-1])["report"]
+    n = docs.count()
+    assert rep["size"]["n_docs"] == n
+    assert rep["size"]["n_words"] > 0 and rep["size"]["n_chars"] > 0
+    # language table covers every doc
+    assert sum(v["n_docs"] for v in rep["languages"].values()) == n
+    # duplication identities
+    dup = rep["duplication"]
+    assert dup["distinct_texts"] + dup["exact_dup_docs"] == n
+    assert 0 < dup["near_dup_clusters"] <= n
+    assert dup["near_dup_docs"] == n - dup["near_dup_clusters"]
+    assert 0 <= rep["repetition_offenders"] <= n
+    assert len(rep["top_tokens"]) == 10
+    assert all(k in rep["pii"] for k in ("email", "ssn", "phone", "ipv4"))
+    sup = rep["surprisal_milli_bits_per_tok"]
+    assert sup["ccnet_head_max"] <= sup["ccnet_middle_max"]
+    by_lang = spark.read.parquet(str(tmp_path / "report") + "/by_lang")
+    assert by_lang.count() == len(rep["languages"])
