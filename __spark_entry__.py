@@ -1114,6 +1114,39 @@ def q_quality_classifier_score(spark, sf_dir):
     return nb_share_score(feats, weights)
 
 
+def q_lang_id_trained(spark, sf_dir):
+    """Trained language identification (classifier.nb_share_multiclass_*
+    — the fastText lang-ID shape with the integer-exact NB-share
+    weights): fit per-(lang, feature) weights on the doc_id % 4 != 0
+    slice, classify the held-out quarter. All-BIGINT scores and a
+    (score desc, class asc) winner make predictions deterministic and
+    hash-exact cross-engine. (Fixture langs share one vocabulary, so
+    accuracy is frequency-driven — the row verifies the computation;
+    semantic separation is pytest-verified on a separable fixture.)"""
+    from nama_spark.operators.classifier import (
+        hashed_token_features,
+        nb_share_classify,
+        nb_share_multiclass_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = hashed_token_features(
+        docs, n_features=4096, hash="md5"
+    ).localCheckpoint(eager=False)
+    train = docs.where(F.col("doc_id") % 4 != 0).select(
+        "doc_id", F.col("lang").alias("class")
+    )
+    weights = nb_share_multiclass_weights(feats, train)
+    held = feats.join(
+        docs.where(F.col("doc_id") % 4 == 0).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    return nb_share_classify(held, weights).select(
+        "doc_id", F.col("class").alias("pred_lang"), "score_milli"
+    )
+
+
 def q_dsir_hbits_score(spark, sf_dir):
     """DSIR importance scores (classifier.dsir_weights/dsir_score — Xie
     et al., NeurIPS 2023): hashed-unigram LM log-ratio of the lang='en'
@@ -1733,6 +1766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW this round (r05) ---
         "quality_classifier_score": q_quality_classifier_score,
         "dsir_hbits_score": q_dsir_hbits_score,
+        "lang_id_trained": q_lang_id_trained,
         "bpe_pair_counts": q_bpe_pair_counts,
         "containment_pairs": q_containment_pairs,
         "lm_perplexity_buckets": q_lm_perplexity_buckets,
@@ -2961,6 +2995,55 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(n) AS BIGINT) AS cnt
         FROM pos
         GROUP BY l_sym, r_sym
+    """
+
+    # trained lang-ID: per-(lang, feature) NB-share integer weights fit
+    # on 3/4 of the docs, integer argmax with (score desc, class asc)
+    # winner on the held-out quarter
+    q["lang_id_trained"] = r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+            FROM documents
+        ),
+        feats AS (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5(tok), 1, 4) AS INTEGER) % 4096 AS f,
+                   count(*) AS x
+            FROM toks WHERE tok != ''
+            GROUP BY doc_id, f
+        ),
+        train AS (SELECT doc_id, lang FROM documents WHERE doc_id % 4 != 0),
+        ccf AS (
+            SELECT t.lang, f.f, sum(f.x) AS ccf
+            FROM feats f JOIN train t USING (doc_id)
+            GROUP BY t.lang, f.f
+        ),
+        cf AS (SELECT f, sum(ccf) AS cf FROM ccf GROUP BY f),
+        w AS (
+            SELECT ccf.lang, ccf.f,
+                   (1000 * (ccf + 1)) // (cf + 2) - 500 AS w_milli
+            FROM ccf JOIN cf USING (f)
+        ),
+        held AS (
+            SELECT f.* FROM feats f
+            WHERE f.doc_id % 4 = 0
+        ),
+        scores AS (
+            SELECT h.doc_id, w.lang,
+                   sum(h.x * w.w_milli) AS score_milli
+            FROM held h JOIN w USING (f)
+            GROUP BY h.doc_id, w.lang
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id
+                ORDER BY score_milli DESC, lang) AS rn
+            FROM scores
+        )
+        SELECT doc_id, lang AS pred_lang,
+               CAST(score_milli AS BIGINT) AS score_milli
+        FROM ranked WHERE rn = 1
     """
 
     # DSIR half-bit importance twin: same md5 feature hash; w_hbits =

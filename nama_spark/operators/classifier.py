@@ -384,6 +384,77 @@ def nb_share_weights(
     )
 
 
+def nb_share_multiclass_weights(
+    features: DataFrame,
+    doc_classes: DataFrame,
+    milli: int = 1000,
+    id_col: str = "doc_id",
+    class_col: str = "class",
+) -> DataFrame:
+    """Per-(class, feature) integer weights for one-vs-rest NB-share
+    classification (the fastText lang-ID shape): the binary
+    nb_share_weights formula applied once per class against the rest
+    mass ``c_f − c_cf``, which collapses to
+
+        w = (milli·(c_cf+1)) // (c_f + 2) − milli//2
+
+    (c_cf = feature count inside the class, c_f = corpus-wide). One
+    features-pass groupBy (class, f); the output is model-sized
+    (≤ n_classes · n_features rows) and broadcasts at inference."""
+    labeled = features.join(
+        doc_classes.select(
+            F.col(id_col), F.col(class_col).alias("__cls")
+        ),
+        id_col,
+    )
+    per_cf = labeled.groupBy("__cls", "f").agg(F.sum("x").alias("ccf"))
+    per_f = per_cf.groupBy("f").agg(F.sum("ccf").alias("cf"))
+    half = int(milli) // 2
+    return (
+        per_cf.join(per_f, "f")
+        .select(
+            F.col("__cls").alias(class_col),
+            "f",
+            (
+                F.expr(f"({int(milli)} * (ccf + 1)) div (cf + 2)")
+                - F.lit(half)
+            ).cast("long").alias("w_milli"),
+        )
+    )
+
+
+def nb_share_classify(
+    features: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    class_col: str = "class",
+) -> DataFrame:
+    """(id, predicted class, score_milli): integer per-class dot products
+    from one broadcast join + groupBy (id, class); the winner by
+    (score desc, class asc) — a per-id window, never a global sort. All
+    arithmetic BIGINT, so predictions are deterministic and verify
+    hash-exact cross-engine."""
+    from pyspark.sql import Window
+
+    scores = (
+        features.join(F.broadcast(weights), "f")
+        .groupBy(F.col(id_col), F.col(class_col))
+        .agg(
+            F.sum(F.col("x") * F.col("w_milli")).cast("long").alias(
+                "score_milli"
+            )
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_milli").desc(), F.col(class_col)
+    )
+    return (
+        scores.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(id_col, class_col, "score_milli")
+    )
+
+
 def nb_share_score(
     features: DataFrame,
     weights: DataFrame,

@@ -253,3 +253,51 @@ def test_dsir_resample(spark):
 
     with pytest.raises(ValueError):
         dsir_resample(scored, 0)
+
+
+# ---------- multiclass NB-share (trained lang-ID shape) ----------
+
+def test_nb_share_multiclass(spark):
+    from nama_spark.operators.classifier import (
+        nb_share_classify,
+        nb_share_multiclass_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "der hund läuft durch den wald heute", "de") for i in range(5)]
+        + [(10 + i, "the dog runs through the forest today", "en")
+           for i in range(5)]
+        + [(20 + i, "le chien court dans la forêt aujourd'hui", "fr")
+           for i in range(5)]
+        # held out, unlabeled at fit time
+        + [(90, "the dog runs again through the forest", None),
+           (91, "der hund läuft wieder durch den wald", None)],
+        ["doc_id", "text", "class"],
+    )
+    feats = hashed_token_features(docs, n_features=4096, hash="md5")
+    weights = nb_share_multiclass_weights(
+        feats, docs.where(F.col("class").isNotNull()).select("doc_id", "class")
+    )
+    assert set(r["class"] for r in weights.select("class").distinct().collect()) \
+        == {"de", "en", "fr"}
+    pred = {r["doc_id"]: r["class"]
+            for r in nb_share_classify(feats, weights).collect()}
+    # training docs classify to their own language, held-out follow vocab
+    for i in range(5):
+        assert pred[i] == "de" and pred[10 + i] == "en" and pred[20 + i] == "fr"
+    assert pred[90] == "en" and pred[91] == "de"
+
+    # integer-exactness: python oracle over collected counts
+    ccf, cf = {}, {}
+    labels = {r["doc_id"]: r["class"] for r in docs.collect()
+              if r["class"] is not None}
+    rows = feats.collect()
+    for r in rows:
+        if r["doc_id"] in labels:
+            key = (labels[r["doc_id"]], r["f"])
+            ccf[key] = ccf.get(key, 0) + r["x"]
+            cf[r["f"]] = cf.get(r["f"], 0) + r["x"]
+    exp_w = {(c, f): (1000 * (n + 1)) // (cf[f] + 2) - 500
+             for (c, f), n in ccf.items()}
+    got_w = {(r["class"], r["f"]): r["w_milli"] for r in weights.collect()}
+    assert got_w == exp_w
