@@ -60,7 +60,11 @@ Usage:
         --near-dup-threshold 0.8 --min-quality 0.3 --langs en,de,fr,es
 
 Prints one JSON summary line with per-stage survivor counts (the funnel —
-silent attrition is how training corpora go wrong).
+silent attrition is how training corpora go wrong). With --checkpoint-dir
+the post-near-dup state (docs + pairs + funnel) persists and a rerun
+resumes from the annotate stage — the north-rule resumability pattern the
+ER pipeline (plans/pipeline.py) already has, at the corpus job's most
+expensive boundary.
 """
 
 from __future__ import annotations
@@ -98,6 +102,12 @@ def parse_args(argv=None):
                    help="drop docs failing any Gopher Table-A1 repetition "
                         "rule (paper-default thresholds)")
     p.add_argument("--near-dup-threshold", type=float, default=0.8)
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="stage-level resume: after near-dup removal the "
+                        "surviving docs, the near-dup pairs (the leak-free "
+                        "split needs them) and the funnel persist here; a "
+                        "rerun with the same dir resumes from the annotate "
+                        "stage (delete the dir to force recompute)")
     p.add_argument("--canonical-priority", default=None,
                    help="input column; near-dup survivors are the cluster "
                         "member with the HIGHEST value (ties -> min id) "
@@ -184,6 +194,39 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+def _try_resume(spark, ckpt):
+    """Load (docs, pairs, funnel) from a prior run's checkpoint, or None.
+    Pure DataFrame reader API — works on any Hadoop-visible filesystem."""
+    import json as _json
+
+    try:
+        docs = spark.read.parquet(ckpt + "/near_dedup_docs")
+        pairs = spark.read.parquet(ckpt + "/near_dedup_pairs")
+        funnel = _json.loads(
+            spark.read.text(ckpt + "/funnel").first()["value"]
+        )
+        return docs, pairs, funnel
+    except Exception:
+        return None
+
+
+def _write_checkpoint(spark, ckpt, docs, pairs, funnel):
+    """Persist the post-near-dup state and RE-ROOT both frames on the
+    written parquet, so every later stage reads the checkpoint instead
+    of re-executing the dedup lineage (a durable localCheckpoint)."""
+    import json as _json
+
+    docs.write.mode("overwrite").parquet(ckpt + "/near_dedup_docs")
+    pairs.write.mode("overwrite").parquet(ckpt + "/near_dedup_pairs")
+    spark.createDataFrame(
+        [(_json.dumps(funnel),)], ["value"]
+    ).coalesce(1).write.mode("overwrite").text(ckpt + "/funnel")
+    return (
+        spark.read.parquet(ckpt + "/near_dedup_docs"),
+        spark.read.parquet(ckpt + "/near_dedup_pairs"),
+    )
+
+
 def main(argv=None):
     args = parse_args(argv)
 
@@ -209,124 +252,137 @@ def main(argv=None):
     spark = SparkSession.builder.appName("nama_spark_corpus").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    docs = read_records(spark, args.input, catalog=args.catalog)
     t0 = time.time()
-    funnel = {"input": docs.count()}
+    # stage-level resume: stages 0b-2 (line rules + the three dedup
+    # families) are the expensive half of the job; with --checkpoint-dir
+    # their output persists and a rerun skips straight to annotation.
+    state = _try_resume(spark, args.checkpoint_dir) if args.checkpoint_dir else None
+    if state is not None:
+        docs, pairs, funnel = state
+        funnel["resumed"] = True
+    else:
+        docs = read_records(spark, args.input, catalog=args.catalog)
+        funnel = {"input": docs.count()}
 
-    # 0b. C4 line-level cleaning — FIRST text-shaping stage (C4 itself
-    # cleans lines before dedup: stripped boilerplate lines would otherwise
-    # make distinct pages exact-equal only after this pass)
-    if args.c4_lines:
-        from nama_spark.operators.corpus import c4_line_filter
+        # 0b. C4 line-level cleaning — FIRST text-shaping stage (C4 itself
+        # cleans lines before dedup: stripped boilerplate lines would otherwise
+        # make distinct pages exact-equal only after this pass)
+        if args.c4_lines:
+            from nama_spark.operators.corpus import c4_line_filter
 
-        cleaned = c4_line_filter(
-            docs, text_col=args.text_col, id_col=args.id_col,
-            min_words=args.c4_min_words, min_kept_lines=args.c4_min_lines,
-        )
-        docs = docs.drop(args.text_col).join(
-            cleaned.select(
-                args.id_col, F.col("text_clean").alias(args.text_col)
-            ),
-            args.id_col,
-        ).localCheckpoint(eager=False)
-        funnel["after_c4_lines"] = docs.count()
-
-    # 1. exact dedup — keep one doc per identical text (the canonical id)
-    keep_exact = (
-        exact_dup_groups(docs, args.text_col, args.id_col)
-        .select(F.col("canonical_id").alias(args.id_col))
-        .distinct()
-    )
-    docs = docs.join(keep_exact, args.id_col, "left_semi").localCheckpoint(
-        eager=False
-    )
-    funnel["after_exact_dedup"] = docs.count()
-
-    # 1b. paragraph-level boilerplate dedup (CCNet ordering: after exact,
-    # before near-dup — removing shared boilerplate first keeps MinHash from
-    # pairing documents that only share headers/footers)
-    if args.paragraph_min_df > 0:
-        cleaned = dedup_paragraphs(
-            docs, text_col=args.text_col, id_col=args.id_col,
-            min_df=args.paragraph_min_df,
-        )
-        dropped = cleaned.agg(F.sum("n_dropped").alias("d")).collect()[0]["d"]
-        docs = (
-            docs.drop(args.text_col)
-            .join(
+            cleaned = c4_line_filter(
+                docs, text_col=args.text_col, id_col=args.id_col,
+                min_words=args.c4_min_words, min_kept_lines=args.c4_min_lines,
+            )
+            docs = docs.drop(args.text_col).join(
                 cleaned.select(
                     args.id_col, F.col("text_clean").alias(args.text_col)
                 ),
                 args.id_col,
-            )
-            .where(F.length(F.col(args.text_col)) > 0)
-            .localCheckpoint(eager=False)
+            ).localCheckpoint(eager=False)
+            funnel["after_c4_lines"] = docs.count()
+
+        # 1. exact dedup — keep one doc per identical text (the canonical id)
+        keep_exact = (
+            exact_dup_groups(docs, args.text_col, args.id_col)
+            .select(F.col("canonical_id").alias(args.id_col))
+            .distinct()
         )
-        funnel["paragraphs_dropped"] = int(dropped or 0)
-        funnel["after_paragraph_dedup"] = docs.count()
-
-    # 1c. duplicated-span stage (the ExactSubstr signal). action=drop:
-    # remove documents that are mostly verbatim copies of corpus-wide
-    # spans even when no whole-document near-duplicate exists.
-    # action=remove: cut the duplicated spans themselves (every
-    # occurrence, Lee et al. 2022) and keep the cleaned text.
-    if args.span_action == "remove":
-        from nama_spark.operators.dedup import remove_duplicated_spans
-
-        cleaned = remove_duplicated_spans(
-            docs, k=args.span_k, text_col=args.text_col, id_col=args.id_col,
-        ).localCheckpoint(eager=False)
-        stats = cleaned.agg(
-            F.sum("n_removed").alias("cut"),
-            F.count(F.when(F.col("text_clean") == "", 1)).alias("emptied"),
-        ).first()
-        docs = (
-            docs.drop(args.text_col)
-            .join(
-                cleaned.where(F.col("text_clean") != "").select(
-                    args.id_col,
-                    F.col("text_clean").alias(args.text_col),
-                ),
-                args.id_col,
-            )
-            .localCheckpoint(eager=False)
-        )
-        funnel["span_tokens_removed"] = int(stats["cut"] or 0)
-        funnel["span_docs_emptied"] = int(stats["emptied"] or 0)
-        funnel["after_span_removal"] = docs.count()
-    elif args.span_max_dup_frac > 0:
-        from nama_spark.operators.dedup import drop_duplicated_span_docs
-
-        docs = drop_duplicated_span_docs(
-            docs, k=args.span_k, max_dup_frac=args.span_max_dup_frac,
-            text_col=args.text_col, id_col=args.id_col,
-        ).localCheckpoint(eager=False)
-        funnel["after_span_gate"] = docs.count()
-
-    # 2. near-dup removal — MinHash LSH pairs → CC → min-id survivor
-    pairs = minhash_lsh_pairs(
-        docs, args.text_col, args.id_col, k=args.shingle_k,
-        verify_threshold=args.near_dup_threshold,
-    ).localCheckpoint(eager=False)
-    all_ids = docs.select(F.col(args.id_col).alias("doc_id")).distinct()
-    clusters = near_dup_clusters(
-        pairs.select("id0", "id1"), all_ids
-    )
-    if args.canonical_priority:
-        from nama_spark.operators.dedup import select_canonical_docs
-
-        docs = select_canonical_docs(
-            docs, clusters, priority_col=args.canonical_priority,
-            id_col=args.id_col,
-        ).localCheckpoint(eager=False)
-    else:
-        keep_near = clusters.groupBy("cluster_id").agg(
-            F.min("doc_id").alias(args.id_col)
-        ).select(args.id_col)
-        docs = docs.join(keep_near, args.id_col, "left_semi").localCheckpoint(
+        docs = docs.join(keep_exact, args.id_col, "left_semi").localCheckpoint(
             eager=False
         )
-    funnel["after_near_dedup"] = docs.count()
+        funnel["after_exact_dedup"] = docs.count()
+
+        # 1b. paragraph-level boilerplate dedup (CCNet ordering: after exact,
+        # before near-dup — removing shared boilerplate first keeps MinHash from
+        # pairing documents that only share headers/footers)
+        if args.paragraph_min_df > 0:
+            cleaned = dedup_paragraphs(
+                docs, text_col=args.text_col, id_col=args.id_col,
+                min_df=args.paragraph_min_df,
+            )
+            dropped = cleaned.agg(F.sum("n_dropped").alias("d")).collect()[0]["d"]
+            docs = (
+                docs.drop(args.text_col)
+                .join(
+                    cleaned.select(
+                        args.id_col, F.col("text_clean").alias(args.text_col)
+                    ),
+                    args.id_col,
+                )
+                .where(F.length(F.col(args.text_col)) > 0)
+                .localCheckpoint(eager=False)
+            )
+            funnel["paragraphs_dropped"] = int(dropped or 0)
+            funnel["after_paragraph_dedup"] = docs.count()
+
+        # 1c. duplicated-span stage (the ExactSubstr signal). action=drop:
+        # remove documents that are mostly verbatim copies of corpus-wide
+        # spans even when no whole-document near-duplicate exists.
+        # action=remove: cut the duplicated spans themselves (every
+        # occurrence, Lee et al. 2022) and keep the cleaned text.
+        if args.span_action == "remove":
+            from nama_spark.operators.dedup import remove_duplicated_spans
+
+            cleaned = remove_duplicated_spans(
+                docs, k=args.span_k, text_col=args.text_col, id_col=args.id_col,
+            ).localCheckpoint(eager=False)
+            stats = cleaned.agg(
+                F.sum("n_removed").alias("cut"),
+                F.count(F.when(F.col("text_clean") == "", 1)).alias("emptied"),
+            ).first()
+            docs = (
+                docs.drop(args.text_col)
+                .join(
+                    cleaned.where(F.col("text_clean") != "").select(
+                        args.id_col,
+                        F.col("text_clean").alias(args.text_col),
+                    ),
+                    args.id_col,
+                )
+                .localCheckpoint(eager=False)
+            )
+            funnel["span_tokens_removed"] = int(stats["cut"] or 0)
+            funnel["span_docs_emptied"] = int(stats["emptied"] or 0)
+            funnel["after_span_removal"] = docs.count()
+        elif args.span_max_dup_frac > 0:
+            from nama_spark.operators.dedup import drop_duplicated_span_docs
+
+            docs = drop_duplicated_span_docs(
+                docs, k=args.span_k, max_dup_frac=args.span_max_dup_frac,
+                text_col=args.text_col, id_col=args.id_col,
+            ).localCheckpoint(eager=False)
+            funnel["after_span_gate"] = docs.count()
+
+        # 2. near-dup removal — MinHash LSH pairs → CC → min-id survivor
+        pairs = minhash_lsh_pairs(
+            docs, args.text_col, args.id_col, k=args.shingle_k,
+            verify_threshold=args.near_dup_threshold,
+        ).localCheckpoint(eager=False)
+        all_ids = docs.select(F.col(args.id_col).alias("doc_id")).distinct()
+        clusters = near_dup_clusters(
+            pairs.select("id0", "id1"), all_ids
+        )
+        if args.canonical_priority:
+            from nama_spark.operators.dedup import select_canonical_docs
+
+            docs = select_canonical_docs(
+                docs, clusters, priority_col=args.canonical_priority,
+                id_col=args.id_col,
+            ).localCheckpoint(eager=False)
+        else:
+            keep_near = clusters.groupBy("cluster_id").agg(
+                F.min("doc_id").alias(args.id_col)
+            ).select(args.id_col)
+            docs = docs.join(keep_near, args.id_col, "left_semi").localCheckpoint(
+                eager=False
+            )
+        funnel["after_near_dedup"] = docs.count()
+
+        if args.checkpoint_dir:
+            docs, pairs = _write_checkpoint(
+                spark, args.checkpoint_dir, docs, pairs, funnel
+            )
 
     # 3-5. profile columns, then gate on them
     t = F.col(args.text_col)

@@ -930,3 +930,47 @@ def test_run_report_job(spark, tmp_path):
     assert sup["ccnet_head_max"] <= sup["ccnet_middle_max"]
     by_lang = spark.read.parquet(str(tmp_path / "report") + "/by_lang")
     assert by_lang.count() == len(rep["languages"])
+
+
+def test_run_corpus_pipeline_checkpoint_resume(spark, tmp_path):
+    """--checkpoint-dir: the first run persists post-near-dup state; a
+    rerun resumes from the annotate stage (funnel says so), reuses the
+    checkpointed near-dup pairs for the leak-free split, and produces
+    identical shards."""
+    import io
+    import json
+    import sys
+    from contextlib import redirect_stdout
+
+    sys.path.insert(0, "/root/repo/jobs")
+    try:
+        import run_corpus_pipeline
+    finally:
+        sys.path.pop(0)
+
+    ckpt = str(tmp_path / "ckpt")
+    common = [
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--near-dup-threshold", "0.5",
+        "--val-fraction", "0.2",       # exercises the checkpointed pairs
+        "--checkpoint-dir", ckpt,
+    ]
+
+    def run(out):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            rc = run_corpus_pipeline.main(common + ["--output", out])
+        assert rc == 0
+        return json.loads(buf.getvalue().strip().splitlines()[-1])["funnel"]
+
+    f1 = run(str(tmp_path / "corpus1"))
+    assert "resumed" not in f1 and "after_near_dedup" in f1
+    f2 = run(str(tmp_path / "corpus2"))
+    assert f2["resumed"] is True
+    # the resumed run skipped the dedup stages but kept their funnel rows
+    assert f2["after_near_dedup"] == f1["after_near_dedup"]
+    a = spark.read.parquet(str(tmp_path / "corpus1") + "/shards")
+    b = spark.read.parquet(str(tmp_path / "corpus2") + "/shards")
+    ka = {(r["doc_id"], r["split"]) for r in a.select("doc_id", "split").collect()}
+    kb = {(r["doc_id"], r["split"]) for r in b.select("doc_id", "split").collect()}
+    assert ka == kb
