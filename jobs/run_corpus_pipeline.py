@@ -45,6 +45,9 @@ operators — each stage is the bucketed/scale path, not a baseline:
                           phones / IPv4s in place with typed placeholders
                           (Dolma/FineWeb practice); per-kind totals in the
                           funnel
+    5e. tokenizer         (--bpe-merges N) train BPE on the survivors,
+                          write <output>/tokenizer, annotate shards with
+                          tokenizer-true n_bpe_tokens
     6. shard              write parquet partitioned by language (and by a
                           leak-free train/val split with --val-fraction:
                           near-dup clusters never straddle the boundary)
@@ -187,6 +190,11 @@ def parse_args(argv=None):
                         "(near-dup clusters never straddle; shards are then "
                         "partitioned by (lang, split))")
     p.add_argument("--split-seed", type=int, default=0)
+    p.add_argument("--bpe-merges", type=int, default=0,
+                   help="> 0: train a BPE tokenizer (this many merges) on "
+                        "the surviving corpus, write it to "
+                        "<output>/tokenizer, and add tokenizer-true "
+                        "n_bpe_tokens counts to the shards")
     p.add_argument("--chunk-tokens", type=int, default=0,
                    help="> 0: also write <output>/chunks (token-window "
                         "training examples, --chunk-overlap stride)")
@@ -543,6 +551,27 @@ def main(argv=None):
             *[F.sum(f"n_{k}").alias(k) for k in kinds]
         ).collect()[0]
         funnel["pii_redacted"] = {k: int(agg[k] or 0) for k in kinds}
+
+    # 5e. tokenizer training — BPE merges learned FROM the cleaned
+    # survivors (training the tokenizer on the corpus it will tokenize,
+    # the standard order), persisted next to the shards; every shard row
+    # gains the tokenizer-true token count the packing budget wants
+    if args.bpe_merges > 0:
+        from nama_spark.operators.bpe import bpe_fit, bpe_token_counts
+
+        merges = bpe_fit(
+            docs, n_merges=args.bpe_merges,
+            text_col=args.text_col, id_col=args.id_col,
+        )
+        merges.write.mode("overwrite").parquet(args.output + "/tokenizer")
+        docs = docs.join(
+            bpe_token_counts(
+                docs, merges, text_col=args.text_col, id_col=args.id_col
+            ).select(args.id_col, "n_bpe_tokens"),
+            args.id_col,
+            "left",
+        ).localCheckpoint(eager=False)
+        funnel["bpe_merges"] = int(merges.count())
 
     # 6. shards — partition pruning for per-language (and per-split)
     # consumers. The split reuses stage 2's near-dup pairs, so clusters of

@@ -974,3 +974,44 @@ def test_run_corpus_pipeline_checkpoint_resume(spark, tmp_path):
     ka = {(r["doc_id"], r["split"]) for r in a.select("doc_id", "split").collect()}
     kb = {(r["doc_id"], r["split"]) for r in b.select("doc_id", "split").collect()}
     assert ka == kb
+
+
+def test_run_corpus_pipeline_bpe_stage(spark, tmp_path):
+    """--bpe-merges trains the tokenizer on the surviving corpus, writes
+    it beside the shards, and annotates tokenizer-true token counts."""
+    import io
+    import json
+    import sys
+    from contextlib import redirect_stdout
+
+    sys.path.insert(0, "/root/repo/jobs")
+    try:
+        import run_corpus_pipeline
+    finally:
+        sys.path.pop(0)
+
+    out = str(tmp_path / "corpus")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = run_corpus_pipeline.main([
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--output", out,
+            "--near-dup-threshold", "0.5",
+            "--bpe-merges", "8",
+        ])
+    assert rc == 0
+    funnel = json.loads(buf.getvalue().strip().splitlines()[-1])["funnel"]
+    assert funnel["bpe_merges"] == 8
+    merges = spark.read.parquet(out + "/tokenizer")
+    assert merges.count() == 8 and set(merges.columns) == {
+        "rank", "left", "right", "cnt"
+    }
+    shards = spark.read.parquet(out + "/shards")
+    row = shards.select("n_words", "n_bpe_tokens").first()
+    assert row["n_bpe_tokens"] is not None
+    # BPE over characters can only be >= whitespace word count after few
+    # merges; and every doc got a count
+    assert shards.where(F.col("n_bpe_tokens").isNull()).count() == 0
+    assert shards.where(
+        F.col("n_bpe_tokens") < F.col("n_words")
+    ).count() == 0
