@@ -1114,6 +1114,35 @@ def q_quality_classifier_score(spark, sf_dir):
     return nb_share_score(feats, weights)
 
 
+def q_events_asof_click(spark, sf_dir):
+    """temporal.asof_join — the time-series enrichment join Spark lacks
+    natively (pandas merge_asof / DuckDB ASOF JOIN semantics): every
+    purchase event gets the user's latest click value at-or-before the
+    purchase. Realized as union + ONE keyed carry-forward window (no
+    range explode, no BNLJ); the right side is pre-aggregated to unique
+    (user, ts) so the match is deterministic. Timestamps emitted as
+    epoch micros (integer-exact cross-engine)."""
+    from nama_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").groupBy(
+        "user_id", "ts"
+    ).agg(F.max("value").alias("click_value"))
+    out = asof_join(purchases, clicks, on="ts", by="user_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        # fixture ts is TIMESTAMP_NTZ; cast through TIMESTAMP (session tz
+        # pinned UTC) so epoch micros match DuckDB's epoch_us exactly
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.unix_micros(F.col("ts_r").cast("timestamp")).alias("click_ts_us"),
+        F.round("click_value_r", 6).alias("click_value"),
+    )
+
+
 def q_lang_id_trained(spark, sf_dir):
     """Trained language identification (classifier.nb_share_multiclass_*
     — the fastText lang-ID shape with the integer-exact NB-share
@@ -1767,6 +1796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier_score": q_quality_classifier_score,
         "dsir_hbits_score": q_dsir_hbits_score,
         "lang_id_trained": q_lang_id_trained,
+        "events_asof_click": q_events_asof_click,
         "bpe_pair_counts": q_bpe_pair_counts,
         "containment_pairs": q_containment_pairs,
         "lm_perplexity_buckets": q_lm_perplexity_buckets,
@@ -2995,6 +3025,28 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(n) AS BIGINT) AS cnt
         FROM pos
         GROUP BY l_sym, r_sym
+    """
+
+    # as-of join: DuckDB's native ASOF LEFT JOIN is the oracle for the
+    # union + carry-forward window realization; right side unique per
+    # (user, ts) by the same pre-aggregation
+    q["events_asof_click"] = r"""
+        WITH purchases AS (
+            SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase'
+        ),
+        clicks AS (
+            SELECT user_id, ts, max(value) AS click_value FROM events
+            WHERE event_type = 'click'
+            GROUP BY user_id, ts
+        )
+        SELECT p.event_id, p.user_id,
+               epoch_us(p.ts) AS ts_us,
+               epoch_us(c.ts) AS click_ts_us,
+               round(c.click_value, 6) AS click_value
+        FROM purchases p
+        ASOF LEFT JOIN clicks c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
     """
 
     # trained lang-ID: per-(lang, feature) NB-share integer weights fit
