@@ -1143,6 +1143,37 @@ def q_events_asof_click(spark, sf_dir):
     )
 
 
+def q_events_interval_join(spark, sf_dir):
+    """temporal.interval_join — the range-join sibling of as-of: every
+    purchase inside the user's first-signup 2-hour window. Buckets the
+    time axis (hourly), explodes each interval into its O(1) covered
+    buckets, hash equi-join + exact [start, end) filter — never a
+    CartesianProduct; DuckDB's planner runs the same statement as a
+    native range join, making it the oracle."""
+    from nama_spark.operators.temporal import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    sec = lambda c: F.unix_micros(F.col(c).cast("timestamp")) / F.lit(1e6)
+    pts = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", sec("ts").alias("ts_sec")
+    )
+    iv = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(sec("ts")).alias("start"))
+        .withColumn("end", F.col("start") + F.lit(7200.0))
+    )
+    out = interval_join(
+        pts, iv, on="ts_sec", by="user_id", bucket_sec=3600
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        (F.col("ts_sec") * 1e6).cast("long").alias("ts_us"),
+        (F.col("start_i") * 1e6).cast("long").alias("start_us"),
+    )
+
+
 def q_lang_id_trained(spark, sf_dir):
     """Trained language identification (classifier.nb_share_multiclass_*
     — the fastText lang-ID shape with the integer-exact NB-share
@@ -1797,6 +1828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_hbits_score": q_dsir_hbits_score,
         "lang_id_trained": q_lang_id_trained,
         "events_asof_click": q_events_asof_click,
+        "events_interval_join": q_events_interval_join,
         "bpe_pair_counts": q_bpe_pair_counts,
         "containment_pairs": q_containment_pairs,
         "lm_perplexity_buckets": q_lm_perplexity_buckets,
@@ -3047,6 +3079,27 @@ def oracle_sql() -> dict[str, str]:
         FROM purchases p
         ASOF LEFT JOIN clicks c
           ON p.user_id = c.user_id AND p.ts >= c.ts
+    """
+
+    # range join: purchases inside the first-signup 2h window; same
+    # epoch-seconds doubles (micros/1e6) on both sides so the exact
+    # [start, end) comparison is bit-identical
+    q["events_interval_join"] = r"""
+        WITH pts AS (
+            SELECT event_id, user_id,
+                   epoch_us(ts) / 1e6 AS ts_sec
+            FROM events WHERE event_type = 'purchase'
+        ),
+        iv AS (
+            SELECT user_id, min(epoch_us(ts) / 1e6) AS start
+            FROM events WHERE event_type = 'signup'
+            GROUP BY user_id
+        )
+        SELECT p.event_id, p.user_id,
+               CAST(p.ts_sec * 1e6 AS BIGINT) AS ts_us,
+               CAST(i.start * 1e6 AS BIGINT) AS start_us
+        FROM pts p JOIN iv i ON i.user_id = p.user_id
+          AND p.ts_sec >= i.start AND p.ts_sec < i.start + 7200.0
     """
 
     # trained lang-ID: per-(lang, feature) NB-share integer weights fit

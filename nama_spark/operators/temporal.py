@@ -100,3 +100,59 @@ def asof_join(
             for c in payload_cols
         ],
     )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    by: str | None = None,
+    bucket_sec: int = 3600,
+    suffix: str = "_i",
+) -> DataFrame:
+    """Point-in-interval (range) join without a CartesianProduct: both
+    sides key on coarse time buckets — each interval explodes into the
+    buckets it covers, points carry their single bucket — equi-join on
+    (by?, bucket), then the exact ``start ≤ on < end`` filter. Inner
+    semantics; a point inside k overlapping intervals yields k rows.
+
+    A point's one bucket meets at most one exploded row per interval,
+    so no post-join dedup is needed. Work per interval is
+    ``duration/bucket_sec`` exploded rows — size ``bucket_sec`` so
+    typical intervals cover O(1) buckets; the join is then a plain hash
+    equi-join any executor count shards (with AQE handling residual
+    hot buckets), never a nested loop."""
+    b = float(bucket_sec)
+    pb = points.withColumn(
+        "__bucket", F.floor(F.col(on).cast("double") / b).cast("long")
+    )
+    ib = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col).cast("double") / b).cast("long"),
+                # end is exclusive, but an interval ending exactly on a
+                # bucket edge still owns no point there; ceil-1 == floor
+                # for interior ends — sequence over inclusive floors is
+                # correct either way
+                F.floor(F.col(end_col).cast("double") / b).cast("long"),
+            )
+        ),
+    )
+    ipay = [c for c in intervals.columns if c != by]
+    ib = ib.select(
+        *([F.col(by)] if by else []),
+        "__bucket",
+        *[F.col(c).alias(c + suffix) for c in ipay],
+    )
+    keys = ([by] if by else []) + ["__bucket"]
+    return (
+        pb.join(ib, keys)
+        .where(
+            (F.col(start_col + suffix) <= F.col(on))
+            & (F.col(on) < F.col(end_col + suffix))
+        )
+        .drop("__bucket")
+    )

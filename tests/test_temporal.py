@@ -85,3 +85,53 @@ def test_asof_matches_pandas(spark):
     for row in exp.itertuples():
         e = None if pd.isna(row.px) else row.px
         assert got[(row.u, row.ts)] == e
+
+
+def test_interval_join(spark):
+    from nama_spark.operators.temporal import interval_join
+
+    points = spark.createDataFrame(
+        [(1, 10.0), (1, 3600.0), (1, 7199.0), (2, 50.0), (3, 99.0)],
+        ["u", "ts"],
+    )
+    intervals = spark.createDataFrame(
+        [(1, 0.0, 3600.0, "a"),        # [0, 3600): catches 10, not 3600
+         (1, 3500.0, 7200.0, "b"),     # overlaps: catches 3600, 7199
+         (2, 40.0, 60.0, "c"),
+         (9, 0.0, 1e6, "never")],      # other key
+        ["u", "start", "end", "name"],
+    )
+    got = {
+        (r["u"], r["ts"], r["name_i"])
+        for r in interval_join(
+            points, intervals, on="ts", by="u", bucket_sec=1000
+        ).collect()
+    }
+    assert got == {
+        (1, 10.0, "a"),
+        (1, 3600.0, "b"),
+        (1, 7199.0, "b"),
+        (2, 50.0, "c"),
+    }
+    # start inclusive / end exclusive
+    assert (1, 3600.0, "a") not in got
+    # python O(n^2) oracle agreement on the same fixture, keyless variant
+    allp = [(r["u"], r["ts"]) for r in points.collect()]
+    alli = [(r["u"], r["start"], r["end"], r["name"])
+            for r in intervals.collect()]
+    exp = {(u, t, n) for (u, t) in allp
+           for (iu, s, e, n) in alli if s <= t < e}
+    keyless = {
+        (r["u"], r["ts"], r["name_i"])
+        for r in interval_join(
+            points, intervals.drop("u").withColumnRenamed("name", "name"),
+            on="ts", bucket_sec=500,
+        ).collect()
+    }
+    exp_keyless = {(u, t, n) for (u, t) in allp
+                   for (_iu, s, e, n) in alli if s <= t < e}
+    assert keyless == exp_keyless
+    assert {(u, t, n) for (u, t, n) in got} == {
+        (u, t, n) for (u, t, n) in exp if any(
+            iu == u for (iu, s, e, n2) in alli if n2 == n and s <= t < e)
+    }
