@@ -286,6 +286,50 @@ def bench_quality_dsir(spark, sf_dir):
     return wall, {"quality_scored": n_scored, "dsir_kept": kept}
 
 
+def bench_corpus_pipeline(spark, sf_dir):
+    """The deployable chain end-to-end (jobs/run_corpus_pipeline.main):
+    exact dedup → MinHash near-dup → heuristic quality + lang gates →
+    annotate → lang-partitioned shards, measured as one wall — the
+    number a user comparing corpus-prep engines actually experiences.
+    Honors SPARK_GRAFT_DOC_MULT via a pre-written scaled input."""
+    import io
+    import shutil
+    import sys
+    from contextlib import redirect_stdout
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "jobs"))
+    try:
+        import run_corpus_pipeline
+    finally:
+        sys.path.pop(0)
+
+    inp = f"{sf_dir}/documents.parquet"
+    mult = int(os.environ.get("SPARK_GRAFT_DOC_MULT", "1"))
+    if mult > 1:
+        inp = "/tmp/bench_corpus_input"
+        _docs_scaled(spark, sf_dir).write.mode("overwrite").parquet(inp)
+    out = "/tmp/bench_corpus_out"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.time()
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = run_corpus_pipeline.main([
+            "--input", inp, "--output", out,
+            "--near-dup-threshold", "0.8",
+            "--min-quality", "0.3",
+            "--langs", "en,de,fr,es,zh,und",
+        ])
+    wall = time.time() - t0
+    assert rc == 0
+    import json as _json
+
+    funnel = _json.loads(buf.getvalue().strip().splitlines()[-1])["funnel"]
+    return wall, {
+        "corpus_in": funnel["input"],
+        "corpus_out": funnel["after_filters"],
+    }
+
+
 def bench_winnow_dedup(spark, sf_dir):
     """Full-corpus winnowing near-dup pairs at library defaults (the driver
     query subsets to doc_id<250 for oracle cost — too small to time).
@@ -625,6 +669,7 @@ def main():
     run("sessionize_window", bench_sql, sf_dir, "events_sessionize_window")
     run("sessionize_capped", bench_sql, sf_dir, "events_sessionize_capped")
     run("quality_dsir", bench_quality_dsir, sf_dir)
+    run("corpus_pipeline", bench_corpus_pipeline, sf_dir)
     run("winnow_dedup", bench_winnow_dedup, sf_dir)
     run("sorted_neighborhood", bench_sorted_neighborhood, sf_dir, n_entities)
 
