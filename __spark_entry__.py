@@ -265,6 +265,30 @@ def q_pair_jaccard_scores(spark, sf_dir):
     return scored.select("s0", "s1", F.round("score", 5).alias("score"))
 
 
+def q_explain_pairs(spark, sf_dir):
+    """score.explain_pairs — the match debugger: per-token evidence rows
+    (which side carries each token, its global tf-idf weight) for every
+    blocked candidate pair over the part-name universe. The breakdown
+    reconciles exactly to the engine's weighted Jaccard
+    (test_tokensim.py); this row pins the evidence table itself."""
+    from nama_spark.functions.tokenize import token_weights, tokens_table
+    from nama_spark.operators.block import eligible_tokens, token_block_pairs
+    from nama_spark.operators.score import explain_pairs
+
+    u = _name_universe(spark, sf_dir)
+    toks = tokens_table(u, tokenizer="words")
+    w = token_weights(toks, weighting="tf-idf")
+    pairs = token_block_pairs(toks, eligible_tokens(w, 2, 100))
+    out = explain_pairs(pairs.select("s0", "s1"), u, tokenizer="words")
+    return out.select(
+        "s0", "s1", "token",
+        F.col("in_s0").cast("int").alias("in_s0"),
+        F.col("in_s1").cast("int").alias("in_s1"),
+        F.col("shared").cast("int").alias("shared"),
+        F.round("weight", 5).alias("weight"),
+    )
+
+
 def q_group_stats(spark, sf_dir):
     part = _t(spark, sf_dir, "part")
     li = _t(spark, sf_dir, "lineitem")
@@ -1829,6 +1853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_trained": q_lang_id_trained,
         "events_asof_click": q_events_asof_click,
         "events_interval_join": q_events_interval_join,
+        "explain_pairs": q_explain_pairs,
         "bpe_pair_counts": q_bpe_pair_counts,
         "containment_pairs": q_containment_pairs,
         "lm_perplexity_buckets": q_lm_perplexity_buckets,
@@ -2252,6 +2277,30 @@ def oracle_sql() -> dict[str, str]:
     q["pair_jaccard_scores"] = f"""
         WITH {_SQL_TOKEN_BASE}
         SELECT s0, s1, round(score, 5) AS score FROM scored
+    """
+
+    # the match debugger's evidence table: union the two sides' token
+    # rows, group to per-(pair, token) side flags, attach tf-idf weights
+    q["explain_pairs"] = f"""
+        WITH {_SQL_TOKEN_BASE},
+        sets AS (SELECT DISTINCT string, token FROM tf),
+        ab AS (
+            SELECT p.s0, p.s1, t.token, 1 AS c0, 0 AS c1
+            FROM pairs p JOIN sets t ON t.string = p.s0
+            UNION ALL
+            SELECT p.s0, p.s1, t.token, 0 AS c0, 1 AS c1
+            FROM pairs p JOIN sets t ON t.string = p.s1
+        ),
+        m AS (
+            SELECT s0, s1, token,
+                   CAST(max(c0) AS INT) AS in_s0,
+                   CAST(max(c1) AS INT) AS in_s1
+            FROM ab GROUP BY 1, 2, 3
+        )
+        SELECT m.s0, m.s1, m.token, m.in_s0, m.in_s1,
+               CAST(m.in_s0 * m.in_s1 AS INT) AS shared,
+               round(w.weight, 5) AS weight
+        FROM m JOIN weights w USING (token)
     """
 
     q["group_stats"] = """

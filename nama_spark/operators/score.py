@@ -382,3 +382,58 @@ def fit_alpha(
         F.col("total_loss").asc(), F.col("alpha").asc()
     ).first()
     return float(best["alpha"]), sweep
+
+
+def explain_pairs(
+    pairs: DataFrame,
+    universe: DataFrame,
+    tokenizer: str = "nmgrams23",
+    weighting: str = "tf-idf",
+    string_col: str = "string",
+) -> DataFrame:
+    """Per-token evidence behind a token-similarity score — the match
+    DEBUGGER: for each (s0, s1) pair, one row per token of either string
+    with its global weight and which side(s) carry it.
+
+    Returns (s0, s1, token, in_s0, in_s1, shared, weight). The weighted
+    Jaccard the engine scores reconciles exactly from the breakdown:
+
+        jaccard = Σ weight[shared] / Σ weight[all rows]
+
+    (token_similarity_scores over the same tokenizer/weighting — tested
+    in test_tokensim.py). Cost: the pair list joins the token table
+    twice and unions — O(pairs × tokens-per-string) skinny rows, the
+    same volume token_similarity_scores' exploded variant shuffles, so
+    explaining a shortlist costs what scoring it did. Intended for the
+    post-hoc shortlist (disputed pairs, audit samples), not the full
+    candidate stream."""
+    from nama_spark.functions.tokenize import token_weights, tokens_table
+
+    toks = tokens_table(universe, string_col, tokenizer).localCheckpoint(
+        eager=False
+    )
+    weights = token_weights(toks, weighting)
+    t0 = toks.select(F.col("string").alias("s0"), "token").withColumn(
+        "in_s0", F.lit(True)
+    )
+    t1 = toks.select(F.col("string").alias("s1"), "token").withColumn(
+        "in_s1", F.lit(True)
+    )
+    a = pairs.select("s0", "s1").join(t0, "s0").select(
+        "s0", "s1", "token", F.lit(1).alias("c0"), F.lit(0).alias("c1")
+    )
+    b = pairs.select("s0", "s1").join(t1, "s1").select(
+        "s0", "s1", "token", F.lit(0).alias("c0"), F.lit(1).alias("c1")
+    )
+    merged = (
+        a.unionByName(b)
+        .groupBy("s0", "s1", "token")
+        .agg(
+            (F.sum("c0") > 0).alias("in_s0"),
+            (F.sum("c1") > 0).alias("in_s1"),
+        )
+        .withColumn("shared", F.col("in_s0") & F.col("in_s1"))
+    )
+    return merged.join(
+        F.broadcast(weights.select("token", "weight")), "token"
+    ).select("s0", "s1", "token", "in_s0", "in_s1", "shared", "weight")

@@ -245,3 +245,42 @@ def test_predict_incremental_matches_python_oracle(spark):
     # monotone: every existing group sits whole inside one result group
     for grp in ({"acme labs", "acme labz"}, {"globex corp", "globex corpn"}):
         assert any(grp <= res for res in got)
+
+
+def test_explain_pairs_reconciles_with_score(spark):
+    """The per-token breakdown sums back to the engine's weighted
+    Jaccard exactly, and flags the shared evidence."""
+    from nama_spark.operators.score import explain_pairs, token_similarity_scores
+    from nama_spark.functions.tokenize import token_weights, tokens_table
+
+    universe = spark.createDataFrame(
+        [("acme corp",), ("acme corporation",), ("zenith ltd",)],
+        ["string"],
+    )
+    pairs = spark.createDataFrame(
+        [("acme corp", "acme corporation"), ("acme corp", "zenith ltd")],
+        ["s0", "s1"],
+    )
+    exp = explain_pairs(pairs, universe).collect()
+    toks = tokens_table(universe)
+    scores = {
+        (r["s0"], r["s1"]): r["score"]
+        for r in token_similarity_scores(
+            pairs, toks, token_weights(toks), measure="jaccard"
+        ).collect()
+    }
+    import collections
+    agg = collections.defaultdict(lambda: [0.0, 0.0])
+    for r in exp:
+        key = (r["s0"], r["s1"])
+        agg[key][1] += r["weight"]
+        if r["shared"]:
+            agg[key][0] += r["weight"]
+        # side flags are consistent: every row is in at least one side
+        assert r["in_s0"] or r["in_s1"]
+        assert r["shared"] == (r["in_s0"] and r["in_s1"])
+    assert set(agg) == set(scores)
+    for key, (shared_w, total_w) in agg.items():
+        assert scores[key] == pytest.approx(shared_w / total_w, abs=1e-9)
+    # disjoint pair carries zero shared evidence
+    assert agg[("acme corp", "zenith ltd")][0] == 0.0
