@@ -289,6 +289,29 @@ def q_explain_pairs(spark, sf_dir):
     )
 
 
+def q_partition_diff(spark, sf_dir):
+    """matchdata.diff_partitions — the model-upgrade audit: classify
+    every string's fate between two partitions (brand-keyed vs
+    type-keyed groupings over part names, on deliberately offset
+    universes so only_a/only_b fire) as stable / split / merged /
+    regrouped by pure cluster-cardinality arithmetic — three groupBy
+    counts, never a pairwise expansion."""
+    from nama_spark.operators.matchdata import diff_partitions
+
+    part = _t(spark, sf_dir, "part")
+    a = (
+        part.where(F.col("p_partkey") % 5 != 0)
+        .groupBy(F.col("p_name").alias("string"))
+        .agg(F.min("p_brand").alias("group"))
+    )
+    b = (
+        part.where(F.col("p_partkey") % 7 != 0)
+        .groupBy(F.col("p_name").alias("string"))
+        .agg(F.min("p_type").alias("group"))
+    )
+    return diff_partitions(a, b)
+
+
 def q_group_stats(spark, sf_dir):
     part = _t(spark, sf_dir, "part")
     li = _t(spark, sf_dir, "lineitem")
@@ -1854,6 +1877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_click": q_events_asof_click,
         "events_interval_join": q_events_interval_join,
         "explain_pairs": q_explain_pairs,
+        "partition_diff": q_partition_diff,
         "bpe_pair_counts": q_bpe_pair_counts,
         "containment_pairs": q_containment_pairs,
         "lm_perplexity_buckets": q_lm_perplexity_buckets,
@@ -2301,6 +2325,41 @@ def oracle_sql() -> dict[str, str]:
                CAST(m.in_s0 * m.in_s1 AS INT) AS shared,
                round(w.weight, 5) AS weight
         FROM m JOIN weights w USING (token)
+    """
+
+    # partition diff: full outer membership join + three cardinality
+    # tables decide the per-string status
+    q["partition_diff"] = """
+        WITH pa AS (SELECT p_name AS string, min(p_brand) AS group_a
+                    FROM part WHERE p_partkey % 5 != 0 GROUP BY 1),
+        pb AS (SELECT p_name AS string, min(p_type) AS group_b
+               FROM part WHERE p_partkey % 7 != 0 GROUP BY 1),
+        j AS (
+            SELECT coalesce(pa.string, pb.string) AS string,
+                   group_a, group_b
+            FROM pa FULL JOIN pb ON pa.string = pb.string
+        ),
+        na AS (SELECT group_a, count(*) AS na FROM j
+               WHERE group_a IS NOT NULL GROUP BY 1),
+        nb AS (SELECT group_b, count(*) AS nb FROM j
+               WHERE group_b IS NOT NULL GROUP BY 1),
+        nab AS (SELECT group_a, group_b, count(*) AS nab FROM j
+                WHERE group_a IS NOT NULL AND group_b IS NOT NULL
+                GROUP BY 1, 2)
+        SELECT j.string, j.group_a, j.group_b,
+               CAST(na.na AS BIGINT) AS na,
+               CAST(nb.nb AS BIGINT) AS nb,
+               CAST(nab.nab AS BIGINT) AS nab,
+               CASE WHEN j.group_a IS NULL THEN 'only_b'
+                    WHEN j.group_b IS NULL THEN 'only_a'
+                    WHEN na.na = nab.nab AND nb.nb = nab.nab THEN 'stable'
+                    WHEN na.na > nab.nab AND nb.nb = nab.nab THEN 'split'
+                    WHEN na.na = nab.nab AND nb.nb > nab.nab THEN 'merged'
+                    ELSE 'regrouped' END AS status
+        FROM j
+        LEFT JOIN na ON na.group_a = j.group_a
+        LEFT JOIN nb ON nb.group_b = j.group_b
+        LEFT JOIN nab ON nab.group_a = j.group_a AND nab.group_b = j.group_b
     """
 
     q["group_stats"] = """

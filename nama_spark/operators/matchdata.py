@@ -452,3 +452,67 @@ def _strings_df(like: DataFrame, strings) -> DataFrame:
     return like.sparkSession.createDataFrame(
         [(str(s),) for s in strings], ["string"]
     )
+
+
+def diff_partitions(a, b) -> DataFrame:
+    """Audit the change between two partitions of (a superset of) the
+    same string universe — the model-upgrade review surface: which
+    clusters survived a re-run verbatim, which broke apart, which
+    absorbed others. Accepts MatchData or any (string, group) DataFrame.
+
+    Per-string output (string, group_a, group_b, na, nb, nab, status):
+    na/nb = the string's cluster size in each partition, nab = size of
+    the intersection cell both agree on. Status, decided by pure
+    cardinality arithmetic on those three groupBy counts (no pairwise
+    expansion — a cluster of 10⁶ strings contributes rows, never
+    pairs):
+
+      stable    the a-cluster and b-cluster are the SAME string set
+      split     the a-cluster broke into smaller b-cells (nab < na,
+                b-cell no bigger than the intersection)
+      merged    the b-cluster absorbed the whole a-cell plus others
+      regrouped both boundaries moved (partial overlap on both sides)
+
+    Strings present in only one partition surface with status
+    'only_a' / 'only_b' (outer join; the absent side's columns null)."""
+    da = (a.df if hasattr(a, "df") else a).select(
+        "string", F.col("group").alias("group_a")
+    )
+    db = (b.df if hasattr(b, "df") else b).select(
+        "string", F.col("group").alias("group_b")
+    )
+    j = da.join(db, "string", "full").localCheckpoint(eager=False)
+    na = j.where(F.col("group_a").isNotNull()).groupBy("group_a").agg(
+        F.count(F.lit(1)).alias("na")
+    )
+    nb = j.where(F.col("group_b").isNotNull()).groupBy("group_b").agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    nab = (
+        j.where(F.col("group_a").isNotNull() & F.col("group_b").isNotNull())
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).alias("nab"))
+    )
+    out = (
+        j.join(na, "group_a", "left")
+        .join(nb, "group_b", "left")
+        .join(nab, ["group_a", "group_b"], "left")
+    )
+    status = (
+        F.when(F.col("group_a").isNull(), F.lit("only_b"))
+        .when(F.col("group_b").isNull(), F.lit("only_a"))
+        .when((F.col("na") == F.col("nab")) & (F.col("nb") == F.col("nab")),
+              F.lit("stable"))
+        .when((F.col("na") > F.col("nab")) & (F.col("nb") == F.col("nab")),
+              F.lit("split"))
+        .when((F.col("na") == F.col("nab")) & (F.col("nb") > F.col("nab")),
+              F.lit("merged"))
+        .otherwise(F.lit("regrouped"))
+    )
+    return out.select(
+        "string", "group_a", "group_b",
+        F.col("na").cast("long").alias("na"),
+        F.col("nb").cast("long").alias("nb"),
+        F.col("nab").cast("long").alias("nab"),
+        status.alias("status"),
+    )

@@ -253,3 +253,41 @@ def test_unite_incremental_equals_unite(spark):
     got2 = {tuple(r) for r in md2.unite_incremental(none, prev).df.collect()}
     want2 = {tuple(r) for r in md2.unite(none).df.collect()}
     assert got2 == want2
+
+
+def test_diff_partitions(spark):
+    """Model-upgrade audit: stable / split / merged / regrouped /
+    only_a / only_b classification by pure cluster-cardinality math."""
+    from nama_spark.operators.matchdata import diff_partitions
+
+    a = spark.createDataFrame(
+        [("s1", "A"), ("s2", "A"),            # stays together -> stable
+         ("s3", "B"), ("s4", "B"),            # breaks apart   -> split
+         ("s5", "C"), ("s6", "D"),            # fuses          -> merged
+         ("s7", "E"), ("s8", "E"), ("s9", "F"),  # boundary moves -> regrouped
+         ("s10", "G")],                       # dropped in b   -> only_a
+        ["string", "group"],
+    )
+    b = spark.createDataFrame(
+        [("s1", "A2"), ("s2", "A2"),
+         ("s3", "B1"), ("s4", "B2"),
+         ("s5", "CD"), ("s6", "CD"),
+         ("s7", "E2"), ("s8", "X"), ("s9", "X"),
+         ("s11", "H")],                       # new in b       -> only_b
+        ["string", "group"],
+    )
+    got = {r["string"]: r for r in diff_partitions(a, b).collect()}
+    assert len(got) == 11
+    assert got["s1"]["status"] == got["s2"]["status"] == "stable"
+    assert got["s3"]["status"] == got["s4"]["status"] == "split"
+    assert got["s5"]["status"] == got["s6"]["status"] == "merged"
+    # E={s7,s8}: s7 alone in E2 (split side), s8 joins s9 (regrouped)
+    assert got["s7"]["status"] == "split"
+    assert got["s8"]["status"] == "regrouped"
+    assert got["s9"]["status"] == "merged"
+    assert got["s10"]["status"] == "only_a" and got["s10"]["group_b"] is None
+    assert got["s11"]["status"] == "only_b" and got["s11"]["group_a"] is None
+    # cardinality columns carry the evidence
+    assert (got["s3"]["na"], got["s3"]["nb"], got["s3"]["nab"]) == (2, 1, 1)
+    assert (got["s5"]["na"], got["s5"]["nb"], got["s5"]["nab"]) == (1, 2, 1)
+    assert (got["s8"]["na"], got["s8"]["nb"], got["s8"]["nab"]) == (2, 2, 1)
