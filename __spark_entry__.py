@@ -312,6 +312,31 @@ def q_partition_diff(spark, sf_dir):
     return diff_partitions(a, b)
 
 
+def q_uncertain_pairs(spark, sf_dir):
+    """pairs.select_uncertain_pairs — the labeling-budget op: the 30
+    blocked candidate pairs whose jaccard sits within ±0.4 of the 0.5
+    decision threshold, drawn by the reproducible md5(seed, pair) key.
+    Scores pre-rounded to 5dp so the band filter compares the same
+    values both engines hash."""
+    from nama_spark.functions.tokenize import token_weights, tokens_table
+    from nama_spark.operators.block import eligible_tokens, token_block_pairs
+    from nama_spark.operators.pairs import select_uncertain_pairs
+    from nama_spark.operators.score import token_similarity_scores
+
+    toks = tokens_table(_name_universe(spark, sf_dir), tokenizer="words")
+    w = token_weights(toks, weighting="tf-idf")
+    pairs = token_block_pairs(toks, eligible_tokens(w, 2, 100))
+    scored = token_similarity_scores(pairs, toks, w, measure="jaccard").select(
+        "s0", "s1", F.round("score", 5).alias("score")
+    )
+    out = select_uncertain_pairs(
+        scored, threshold=0.5, band=0.4, k=30, seed="r05"
+    )
+    return out.select(
+        "s0", "s1", "score", F.round("uncertainty", 5).alias("uncertainty")
+    )
+
+
 def q_group_stats(spark, sf_dir):
     part = _t(spark, sf_dir, "part")
     li = _t(spark, sf_dir, "lineitem")
@@ -1878,6 +1903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interval_join": q_events_interval_join,
         "explain_pairs": q_explain_pairs,
         "partition_diff": q_partition_diff,
+        "uncertain_pairs": q_uncertain_pairs,
         "bpe_pair_counts": q_bpe_pair_counts,
         "containment_pairs": q_containment_pairs,
         "lm_perplexity_buckets": q_lm_perplexity_buckets,
@@ -2325,6 +2351,21 @@ def oracle_sql() -> dict[str, str]:
                CAST(m.in_s0 * m.in_s1 AS INT) AS shared,
                round(w.weight, 5) AS weight
         FROM m JOIN weights w USING (token)
+    """
+
+    # uncertainty-band labeling batch: round first, band-filter on the
+    # rounded score, md5(seed||pair) draw — fully deterministic
+    q["uncertain_pairs"] = f"""
+        WITH {_SQL_TOKEN_BASE},
+        r AS (SELECT s0, s1, round(score, 5) AS score FROM scored),
+        band AS (
+            SELECT s0, s1, score, 0.4 - abs(score - 0.5) AS uncertainty
+            FROM r WHERE abs(score - 0.5) <= 0.4
+        )
+        SELECT s0, s1, score, round(uncertainty, 5) AS uncertainty
+        FROM band
+        ORDER BY md5('r05' || chr(31) || s0 || chr(31) || s1)
+        LIMIT 30
     """
 
     # partition diff: full outer membership join + three cardinality

@@ -74,3 +74,41 @@ def top_scored_pairs(
             "score",
         )
     )
+
+
+def select_uncertain_pairs(
+    scored: DataFrame,
+    threshold: float,
+    band: float = 0.1,
+    k: int = 100,
+    seed: str = "label",
+    score_col: str = "score",
+    s0: str = "s0",
+    s1: str = "s1",
+) -> DataFrame:
+    """Active-learning batch selection: the k candidate pairs whose
+    score falls within ±band of the decision threshold — the region
+    where a human label buys the most information — drawn by an
+    md5(seed, s0, s1) key so the labeling batch is reproducible,
+    append-stable, and independent of partition layout (the
+    sample_mixture determinism rule). Pass a new seed per labeling
+    round to draw a fresh batch from the same band.
+
+    Global top-k on the key compiles to TakeOrderedAndProject (per-
+    partition heaps, driver merge) — no full sort. Returns the selected
+    rows plus an ``uncertainty`` column (band − |score − threshold|,
+    higher = closer to the boundary)."""
+    if band <= 0 or k <= 0:
+        raise ValueError("band and k must be positive")
+    dist = F.abs(F.col(score_col) - F.lit(float(threshold)))
+    key = F.md5(
+        F.concat_ws("\x1f", F.lit(seed), F.col(s0), F.col(s1))
+    )
+    return (
+        scored.where(dist <= band)
+        .withColumn("uncertainty", F.lit(float(band)) - dist)
+        .withColumn("__key", key)
+        .orderBy("__key")
+        .limit(k)
+        .drop("__key")
+    )

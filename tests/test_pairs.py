@@ -288,3 +288,44 @@ def test_link_tables_exact_wins_score_tie(spark):
     got = {r["s0"]: (r["s1"], r["score"]) for r in
            link_tables(ldf, rdf, threshold=0.4, mode="best_left").collect()}
     assert got["rocket labs"] == ("rocket labs", 1.0)
+
+
+def test_select_uncertain_pairs(spark):
+    """Labeling-batch selection: band filter, deterministic md5 draw,
+    seed rotation, repartition invariance."""
+    import hashlib
+
+    from nama_spark.operators.pairs import select_uncertain_pairs
+
+    rows = [(f"a{i}", f"b{i}", i / 100.0) for i in range(100)]
+    scored = spark.createDataFrame(rows, ["s0", "s1", "score"])
+    sel = select_uncertain_pairs(scored, threshold=0.5, band=0.1, k=10,
+                                 seed="r1")
+    got = [(r["s0"], r["s1"]) for r in sel.collect()]
+    assert len(got) == 10
+    # only in-band pairs are eligible
+    in_band = [(s0, s1) for (s0, s1, sc) in rows if abs(sc - 0.5) <= 0.1]
+    assert set(got) <= set(in_band)
+    # python replay of the md5 draw
+    exp = sorted(
+        in_band,
+        key=lambda p: hashlib.md5(
+            ("r1\x1f" + p[0] + "\x1f" + p[1]).encode()
+        ).hexdigest(),
+    )[:10]
+    assert sorted(got) == sorted(exp)
+    # repartition cannot change the batch; a new seed draws a new one
+    again = {(r["s0"], r["s1"]) for r in select_uncertain_pairs(
+        scored.repartition(13), 0.5, 0.1, 10, seed="r1").collect()}
+    assert again == set(got)
+    other = {(r["s0"], r["s1"]) for r in select_uncertain_pairs(
+        scored, 0.5, 0.1, 10, seed="r2").collect()}
+    assert other != set(got)
+    # uncertainty is maximal at the threshold
+    u = {r["s0"]: r["uncertainty"] for r in select_uncertain_pairs(
+        scored, 0.5, 0.1, 21, seed="x").collect()}
+    assert max(u, key=u.get) == "a50"
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        select_uncertain_pairs(scored, 0.5, band=0.0)
