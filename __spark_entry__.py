@@ -337,6 +337,117 @@ def q_uncertain_pairs(spark, sf_dir):
     )
 
 
+# Fellegi–Sunter fixture params: fixed (m, u) per comparison level, shared
+# verbatim by the Spark query and the oracle SQL (the integer milli log2
+# Bayes-factor weights are computed ONCE from these literals — both engines
+# sum identical integers). EM fitting itself is covered in
+# tests/test_fs_metablock.py (float iteration — not an oracle row).
+_FS_PARAMS = {
+    "g_nation": {0: (0.05, 0.96), 1: (0.95, 0.04)},
+    "g_segment": {0: (0.10, 0.80), 1: (0.90, 0.20)},
+    "g_bal": {0: (0.05, 0.90), 1: (0.25, 0.099), 2: (0.70, 0.001)},
+}
+
+
+def _fs_gamma_pairs(spark, sf_dir):
+    """Blocked customer×customer pairs with integer agreement levels.
+    Block key = last 3 name digits (1000 blocks, bounded occupancy at any
+    sf); γ over nation key, market segment, and account balance measured
+    in integer cents (2 = exact, 1 = within 100.00, 0 = apart)."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.substring("c_name", -3, 3).alias("__blk"),
+        "c_nationkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("__cents"),
+    )
+    a = c.select([F.col(x).alias(f"{x}_a") for x in c.columns])
+    b = c.select([F.col(x).alias(f"{x}_b") for x in c.columns])
+    pairs = a.join(
+        b,
+        (F.col("__blk_a") == F.col("__blk_b"))
+        & (F.col("c_custkey_a") < F.col("c_custkey_b")),
+    )
+    return pairs.select(
+        F.col("c_custkey_a").alias("c0"),
+        F.col("c_custkey_b").alias("c1"),
+        F.when(F.col("c_nationkey_a") == F.col("c_nationkey_b"), 1)
+        .otherwise(0).cast("int").alias("g_nation"),
+        F.when(F.col("c_mktsegment_a") == F.col("c_mktsegment_b"), 1)
+        .otherwise(0).cast("int").alias("g_segment"),
+        F.when(F.col("__cents_a") == F.col("__cents_b"), 2)
+        .when(F.abs(F.col("__cents_a") - F.col("__cents_b")) <= 10000, 1)
+        .otherwise(0).cast("int").alias("g_bal"),
+    )
+
+
+def q_fs_gamma_patterns(spark, sf_dir):
+    """fellegi_sunter.pattern_counts — the EM sufficient statistic: one
+    groupBy over the blocked pair set collapses any corpus to ≤ 12 pattern
+    rows (2·2·3 levels). Fellegi & Sunter JASA 1969; pattern-EM per
+    Winkler 1988 (tests/test_fs_metablock.py recovers planted params)."""
+    from nama_spark.operators.fellegi_sunter import pattern_counts
+
+    g = _fs_gamma_pairs(spark, sf_dir)
+    return pattern_counts(g, ["g_nation", "g_segment", "g_bal"])
+
+
+def q_fs_match_weights(spark, sf_dir):
+    """fellegi_sunter.match_weights — per-pair integer milli log2-Bayes
+    match weight under the fixed _FS_PARAMS model: a pure chained-CASE
+    column expression (no join, no shuffle beyond the block join)."""
+    from nama_spark.operators.fellegi_sunter import match_weights
+
+    g = _fs_gamma_pairs(spark, sf_dir)
+    return match_weights(
+        g, _FS_PARAMS, ["g_nation", "g_segment", "g_bal"]
+    ).select("c0", "c1", "g_nation", "g_segment", "g_bal",
+             F.col("weight_milli").cast("long").alias("weight_milli"))
+
+
+def q_bcubed_eval(spark, sf_dir):
+    """evaluate.bcubed_df — record-level B-cubed precision/recall rows
+    (Bagga & Baldwin 1998) over the brand-vs-type partitions, count-
+    weighted. Integer na/ng/nab (exact), ratios rounded at 6dp. Same
+    groupBy+join shape as confusion_df — no group-partitioned windows."""
+    from nama_spark.operators.evaluate import bcubed_df
+
+    pred, gold = _pred_gold_matchdata(spark, sf_dir)
+    out = bcubed_df(pred, gold, use_counts=True)
+    return out.select(
+        "string",
+        F.col("count").cast("long").alias("count"),
+        "group_pred", "group_gold",
+        "na", "ng", "nab",
+        F.round("p", 6).alias("p"),
+        F.round("r", 6).alias("r"),
+    )
+
+
+def q_metablock_wep_pairs(spark, sf_dir):
+    """block.metablock_weights + WEP pruning (Papadakis et al., TKDE 2014)
+    over word-token blocks of the part-name universe: CBS edge weights,
+    block purging outside [2, 100], and the keep-if-≥-mean cut done in
+    exact integer arithmetic (cbs·n_edges ≥ Σcbs) so both engines cut
+    identically."""
+    from nama_spark.operators.block import metablock_prune, metablock_weights
+
+    from nama_spark.functions.tokenize import tokens_table
+
+    toks = tokens_table(_name_universe(spark, sf_dir), tokenizer="words")
+    w = metablock_weights(
+        toks.withColumnRenamed("token", "block"),
+        scheme="cbs", min_block_size=2, max_block_size=100,
+    )
+    out = metablock_prune(w, method="wep", weight_col="cbs")
+    return out.select(
+        "s0", "s1",
+        F.col("cbs").cast("long").alias("cbs"),
+        F.col("nb0").cast("long").alias("nb0"),
+        F.col("nb1").cast("long").alias("nb1"),
+    )
+
+
 def q_group_stats(spark, sf_dir):
     part = _t(spark, sf_dir, "part")
     li = _t(spark, sf_dir, "lineitem")
@@ -1895,6 +2006,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (tools/check_correctness.py) each round, re-entering the window on a
     # later rotation.
     return {
+        # --- NEW this round (r05, fourth session) ---
+        "fs_gamma_patterns": q_fs_gamma_patterns,
+        "fs_match_weights": q_fs_match_weights,
+        "bcubed_eval": q_bcubed_eval,
+        "metablock_wep_pairs": q_metablock_wep_pairs,
         # --- NEW this round (r05) ---
         "quality_classifier_score": q_quality_classifier_score,
         "dsir_hbits_score": q_dsir_hbits_score,
@@ -2242,6 +2358,108 @@ def oracle_sql() -> dict[str, str]:
         WITH raw AS (SELECT p_partkey, {corp_raw} AS raw_name FROM part)
         SELECT p_partkey, raw_name, {_sql_simplify_corp('raw_name')} AS corp_key
         FROM raw
+    """
+
+    # Fellegi–Sunter fixture: blocked customer pairs + integer agreement
+    # levels; milli weights are the SAME Python-computed literals the Spark
+    # side sums (fellegi_sunter.milli_weights over _FS_PARAMS)
+    from nama_spark.operators.fellegi_sunter import milli_weights
+
+    _w = milli_weights(_FS_PARAMS)
+    _fs_base = """
+        c AS (
+            SELECT c_custkey, right(c_name, 3) AS blk, c_nationkey,
+                   c_mktsegment,
+                   CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+            FROM customer
+        ),
+        g AS (
+            SELECT a.c_custkey AS c0, b.c_custkey AS c1,
+                   CAST(CASE WHEN a.c_nationkey = b.c_nationkey
+                        THEN 1 ELSE 0 END AS INT) AS g_nation,
+                   CAST(CASE WHEN a.c_mktsegment = b.c_mktsegment
+                        THEN 1 ELSE 0 END AS INT) AS g_segment,
+                   CAST(CASE WHEN a.cents = b.cents THEN 2
+                        WHEN abs(a.cents - b.cents) <= 10000 THEN 1
+                        ELSE 0 END AS INT) AS g_bal
+            FROM c a JOIN c b
+              ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+        )
+    """
+
+    q["fs_gamma_patterns"] = f"""
+        WITH {_fs_base}
+        SELECT g_nation, g_segment, g_bal,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM g GROUP BY 1, 2, 3
+    """
+
+    q["fs_match_weights"] = f"""
+        WITH {_fs_base}
+        SELECT c0, c1, g_nation, g_segment, g_bal,
+               CAST(
+                 (CASE g_nation WHEN 0 THEN {_w['g_nation'][0]}
+                                ELSE {_w['g_nation'][1]} END)
+               + (CASE g_segment WHEN 0 THEN {_w['g_segment'][0]}
+                                 ELSE {_w['g_segment'][1]} END)
+               + (CASE g_bal WHEN 0 THEN {_w['g_bal'][0]}
+                             WHEN 1 THEN {_w['g_bal'][1]}
+                             ELSE {_w['g_bal'][2]} END)
+               AS BIGINT) AS weight_milli
+        FROM g
+    """
+
+    # B-cubed per-record rows over the brand/type partitions (same base as
+    # the confusion fixture; window sums mirror the groupBy+join aggregates)
+    q["bcubed_eval"] = """
+        WITH base AS (
+            SELECT cast(p_partkey AS VARCHAR) AS string,
+                   coalesce(n, 0) + 1 AS cnt, p_brand AS gp, p_type AS gg
+            FROM part LEFT JOIN (
+                SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY 1
+            ) li ON part.p_partkey = li.l_partkey
+        ),
+        cells AS (
+            SELECT string, cnt, gp, gg,
+                   CAST(sum(cnt) OVER (PARTITION BY gp) AS BIGINT) AS na,
+                   CAST(sum(cnt) OVER (PARTITION BY gg) AS BIGINT) AS ng,
+                   CAST(sum(cnt) OVER (PARTITION BY gp, gg) AS BIGINT) AS nab
+            FROM base
+        )
+        SELECT string, CAST(cnt AS BIGINT) AS count,
+               gp AS group_pred, gg AS group_gold, na, ng, nab,
+               round(CAST(nab AS DOUBLE) / CAST(na AS DOUBLE), 6) AS p,
+               round(CAST(nab AS DOUBLE) / CAST(ng AS DOUBLE), 6) AS r
+        FROM cells
+    """
+
+    # meta-blocking WEP over word-token blocks: distinct (string, token)
+    # sets, block purge outside [2, 100], CBS edges, exact-integer mean cut
+    q["metablock_wep_pairs"] = f"""
+        WITH toks AS ({_SQL_WORD_TOKENS}),
+        sets AS (SELECT DISTINCT string, token FROM toks),
+        bs AS (SELECT token, count(*) AS bsz FROM sets GROUP BY 1),
+        kept AS (
+            SELECT s.string, s.token FROM sets s JOIN bs USING (token)
+            WHERE bsz BETWEEN 2 AND 100
+        ),
+        edges AS (
+            SELECT a.string AS s0, b.string AS s1,
+                   CAST(count(*) AS BIGINT) AS cbs
+            FROM kept a JOIN kept b USING (token)
+            WHERE a.string < b.string
+            GROUP BY 1, 2
+        ),
+        nb AS (SELECT string, CAST(count(*) AS BIGINT) AS nbl
+               FROM kept GROUP BY 1),
+        tot AS (SELECT CAST(sum(cbs) AS BIGINT) AS tw,
+                       CAST(count(*) AS BIGINT) AS ne FROM edges)
+        SELECT e.s0, e.s1, e.cbs, n0.nbl AS nb0, n1.nbl AS nb1
+        FROM edges e
+        CROSS JOIN tot
+        JOIN nb n0 ON n0.string = e.s0
+        JOIN nb n1 ON n1.string = e.s1
+        WHERE e.cbs * tot.ne >= tot.tw
     """
 
     q["matchdata_from_unmatched"] = """

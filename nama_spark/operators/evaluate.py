@@ -176,3 +176,66 @@ def blocking_stats(
         "pair_completeness": retained / gold_pairs if gold_pairs else 1.0,
         "reduction_ratio": 1.0 - n_cand / total if total else 0.0,
     }
+
+
+def bcubed_df(predicted: MatchData, gold: MatchData, use_counts: bool = False) -> DataFrame:
+    """Per-string B-cubed rows (Bagga & Baldwin 1998; the extended
+    count-weighted form follows Amigó et al. 2009) — beyond the reference,
+    whose scoring is pairwise-only (scoring.py): B-cubed evaluates each
+    RECORD's cluster neighborhood, so giant-cluster errors are bounded per
+    record instead of quadratically.
+
+    For record r with predicted cluster C(r) and gold cluster G(r):
+        na  = Σ counts over C(r),  ng = Σ counts over G(r),
+        nab = Σ counts over C(r) ∩ G(r)
+        precision(r) = nab / na,  recall(r) = nab / ng
+
+    Same relational shape as confusion_df: membership inner-join, three
+    groupBy aggregates joined back (never group-partitioned windows — one
+    over-merged mega-cluster would otherwise pin a whole task). The
+    na/ng/nab columns stay integer-exact; p/r are emitted per row.
+    """
+    pred = predicted.df.select(
+        "string", "count", F.col("group").alias("group_pred")
+    )
+    gld = gold.df.select("string", F.col("group").alias("group_gold"))
+    j = pred.join(gld, "string", "inner")
+    if not use_counts:
+        j = j.withColumn("count", F.lit(1).cast("long"))
+    c = F.col("count").cast("decimal(38,0)")
+    j = j.withColumn("__c", c)
+    s_pg = j.groupBy("group_pred", "group_gold").agg(F.sum("__c").alias("nab"))
+    s_p = j.groupBy("group_pred").agg(F.sum("__c").alias("na"))
+    s_g = j.groupBy("group_gold").agg(F.sum("__c").alias("ng"))
+    j = (
+        j.join(s_pg, ["group_pred", "group_gold"])
+        .join(s_p, "group_pred")
+        .join(s_g, "group_gold")
+    )
+    return j.select(
+        "string", "count", "group_pred", "group_gold",
+        F.col("na").cast("long").alias("na"),
+        F.col("ng").cast("long").alias("ng"),
+        F.col("nab").cast("long").alias("nab"),
+        # divide in DOUBLE — decimal/decimal division truncates to scale 6
+        (F.col("nab").cast("double") / F.col("na").cast("double")).alias("p"),
+        (F.col("nab").cast("double") / F.col("ng").cast("double")).alias("r"),
+    )
+
+
+def bcubed(predicted: MatchData, gold: MatchData, use_counts: bool = False) -> dict:
+    """B-cubed precision / recall / F1: the (count-weighted) record average
+    of the per-record ratios. One extra 1-row aggregate over bcubed_df."""
+    df = bcubed_df(predicted, gold, use_counts=use_counts)
+    row = df.agg(
+        F.sum(F.col("count") * F.col("p")).alias("sp"),
+        F.sum(F.col("count") * F.col("r")).alias("sr"),
+        F.sum("count").alias("n"),
+    ).collect()[0]
+    n = float(row["n"] or 0)
+    if not n:
+        return {"precision": 0.0, "recall": 0.0, "F1": 0.0, "n": 0}
+    p = float(row["sp"]) / n
+    r = float(row["sr"]) / n
+    f1 = 2 * p * r / (p + r) if (p + r) else 0.0
+    return {"precision": p, "recall": r, "F1": f1, "n": int(n)}

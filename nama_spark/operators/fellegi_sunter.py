@@ -1,0 +1,178 @@
+"""Fellegi–Sunter probabilistic record linkage — pattern EM + match weights.
+
+The reference scores pairs with a single learned string-similarity model
+(nama/embedding_similarity.py); the classical multi-field alternative is the
+Fellegi–Sunter model (Fellegi & Sunter, JASA 1969): each candidate pair gets
+an agreement vector γ = (γ_1..γ_k) over k field comparisons, and the match
+weight is the log-Bayes factor
+
+    w(γ) = Σ_i log2( m_i(γ_i) / u_i(γ_i) )
+
+where m_i(l) = P(γ_i = l | match) and u_i(l) = P(γ_i = l | non-match). The
+m/u parameters are estimated without labels by EM over the agreement-pattern
+counts (Winkler 1988; the same formulation modern open-source linkers such
+as Splink use).
+
+Spark realization — the key scale observation is that EM's sufficient
+statistic is the PATTERN-COUNT table, whose size is bounded by
+∏_i n_levels_i (a few dozen rows) regardless of corpus size:
+
+- ``pattern_counts``: ONE groupBy shuffle over the candidate pairs → the
+  tiny (γ, n) table. This is the only pass that touches pair-scale data.
+- ``em_fit``: numpy EM over the collected pattern table on the driver —
+  O(iters · patterns), microseconds; a distributed EM would shuffle the
+  same aggregate every iteration for nothing.
+- ``match_weights``: a pure column expression (chained ``when`` literals
+  built from the fitted params — no join, no shuffle, whole-stage codegen).
+  Weights are emitted as integer milli-units (round(1000·log2(m/u))) so
+  downstream thresholds and cross-engine oracles compare integers, never
+  accumulated floats (same convention as the quality classifier's
+  milli-unit scores).
+
+At 100 TB: candidate pairs come from any blocker in block.py; the one
+groupBy is map-side-combinable (tiny key space), the params are literals in
+the task binary, and scoring is embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def pattern_counts(gammas: DataFrame, gamma_cols: list[str]) -> DataFrame:
+    """(γ_1..γ_k, n_pairs) — EM's sufficient statistic. One map-side-
+    combinable groupBy; the result has at most ∏ levels rows."""
+    return gammas.groupBy(*gamma_cols).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
+def em_fit(
+    patterns,
+    gamma_cols: list[str],
+    n_levels: dict[str, int],
+    lam: float = 0.1,
+    iters: int = 60,
+    tol: float = 1e-10,
+    floor: float = 1e-6,
+):
+    """EM over the pattern-count table → (lambda, params).
+
+    ``patterns``: the ``pattern_counts`` DataFrame (collected here — it is
+    aggregate-sized by construction) or an already-collected list of rows.
+    ``params[comp][level] = (m, u)``. Probabilities are floored at ``floor``
+    so a level never seen among matches keeps a finite log weight.
+
+    Standard pattern-EM updates (Winkler 1988):
+      E:  p_γ = λ·∏ m_i(γ_i) / (λ·∏ m_i(γ_i) + (1−λ)·∏ u_i(γ_i))
+      M:  λ     = Σ n_γ p_γ / Σ n_γ
+          m_i(l) = Σ_{γ_i=l} n_γ p_γ / Σ n_γ p_γ        (u_i with 1−p_γ)
+    """
+    if isinstance(patterns, DataFrame):
+        patterns = patterns.collect()
+    rows = [
+        (tuple(r[c] for c in gamma_cols), float(r["n_pairs"]))
+        for r in patterns
+    ]
+    total = sum(n for _, n in rows)
+    # uninformative-but-asymmetric init: higher levels slightly more likely
+    # under match, so EM breaks the label symmetry deterministically
+    params = {
+        c: {
+            l: (
+                max(floor, (l + 1) / (n_levels[c] * (n_levels[c] + 1) / 2)),
+                max(floor, (n_levels[c] - l) / (n_levels[c] * (n_levels[c] + 1) / 2)),
+            )
+            for l in range(n_levels[c])
+        }
+        for c in gamma_cols
+    }
+    prev = None
+    for _ in range(iters):
+        # E-step
+        resp = []
+        for g, n in rows:
+            pm, pu = lam, 1.0 - lam
+            for c, l in zip(gamma_cols, g):
+                m, u = params[c][int(l)]
+                pm *= m
+                pu *= u
+            p = pm / (pm + pu) if (pm + pu) > 0 else 0.5
+            resp.append(p)
+        # M-step
+        sm = sum(n * p for (_, n), p in zip(rows, resp))
+        su = total - sm
+        lam = sm / total
+        new_params = {}
+        for ci, c in enumerate(gamma_cols):
+            mm = {l: 0.0 for l in range(n_levels[c])}
+            uu = {l: 0.0 for l in range(n_levels[c])}
+            for (g, n), p in zip(rows, resp):
+                mm[int(g[ci])] += n * p
+                uu[int(g[ci])] += n * (1.0 - p)
+            new_params[c] = {
+                l: (
+                    max(floor, mm[l] / sm) if sm > 0 else floor,
+                    max(floor, uu[l] / su) if su > 0 else floor,
+                )
+                for l in range(n_levels[c])
+            }
+        params = new_params
+        if prev is not None and abs(lam - prev) < tol:
+            break
+        prev = lam
+    return lam, params
+
+
+def milli_weights(params: dict) -> dict:
+    """params → integer milli log2-Bayes-factor per (comparison, level):
+    round(1000·log2(m/u)). Computed ONCE driver-side so every engine and
+    every task sums the same integer literals."""
+    return {
+        c: {l: round(1000.0 * math.log2(m / u)) for l, (m, u) in levels.items()}
+        for c, levels in params.items()
+    }
+
+
+def match_weights(
+    gammas: DataFrame,
+    params: dict,
+    gamma_cols: list[str] | None = None,
+    out_col: str = "weight_milli",
+) -> DataFrame:
+    """Add the summed integer milli match weight. ``params`` is either the
+    em_fit (m, u) dict or an already-milli dict (int leaves). Pure column
+    expression — a chained CASE per comparison, no join/shuffle."""
+    gamma_cols = gamma_cols or list(params.keys())
+    sample = next(iter(next(iter(params.values())).values()))
+    w = params if isinstance(sample, int) else milli_weights(params)
+
+    def level_expr(c: str) -> Column:
+        expr = F.lit(None).cast("long")
+        for l, wl in sorted(w[c].items()):
+            expr = F.when(F.col(c) == l, F.lit(int(wl))).otherwise(expr)
+        return expr
+
+    total = None
+    for c in gamma_cols:
+        e = level_expr(c)
+        total = e if total is None else total + e
+    return gammas.withColumn(out_col, total)
+
+
+def match_probability(
+    df: DataFrame,
+    lam: float,
+    weight_col: str = "weight_milli",
+    out_col: str = "p_match",
+) -> DataFrame:
+    """Posterior P(match | γ) = λ·2^w / (λ·2^w + 1−λ) from the milli
+    weight. Float by nature — callers round for cross-engine comparison."""
+    bayes = F.pow(F.lit(2.0), F.col(weight_col) / F.lit(1000.0))
+    return df.withColumn(
+        out_col,
+        (F.lit(lam) * bayes) / (F.lit(lam) * bayes + F.lit(1.0 - lam)),
+    )

@@ -1,0 +1,207 @@
+"""Fellegi–Sunter linkage, B-cubed evaluation, meta-blocking."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from nama_spark.operators.fellegi_sunter import (
+    em_fit,
+    match_probability,
+    match_weights,
+    milli_weights,
+    pattern_counts,
+)
+
+
+PLANTED = {
+    "gx": {0: (0.10, 0.80), 1: (0.90, 0.20)},
+    "gy": {0: (0.05, 0.70), 1: (0.15, 0.20), 2: (0.80, 0.10)},
+    "gz": {0: (0.20, 0.90), 1: (0.80, 0.10)},
+}
+LAM = 0.2
+LEVELS = {"gx": 2, "gy": 3, "gz": 2}
+
+
+def _planted_pattern_rows(n_total=1_000_000):
+    """Exact expected pattern counts under the planted FS model — EM on the
+    exact mixture must recover the generator."""
+    rows = []
+    for x in range(2):
+        for y in range(3):
+            for z in range(2):
+                pm = LAM
+                pu = 1.0 - LAM
+                for c, l in zip(("gx", "gy", "gz"), (x, y, z)):
+                    m, u = PLANTED[c][l]
+                    pm *= m
+                    pu *= u
+                rows.append(
+                    {"gx": x, "gy": y, "gz": z,
+                     "n_pairs": round(n_total * (pm + pu))}
+                )
+    return rows
+
+
+def test_em_recovers_planted_params():
+    lam, params = em_fit(
+        _planted_pattern_rows(), ["gx", "gy", "gz"], LEVELS, iters=300
+    )
+    assert abs(lam - LAM) < 0.02
+    for c, levels in PLANTED.items():
+        for l, (m, u) in levels.items():
+            assert abs(params[c][l][0] - m) < 0.05, (c, l, params[c][l])
+            assert abs(params[c][l][1] - u) < 0.05, (c, l, params[c][l])
+
+
+def test_pattern_counts_and_match_weights(spark):
+    pairs = spark.createDataFrame(
+        [(1, 1, 2, 1), (2, 1, 2, 1), (3, 0, 0, 0), (4, 1, 0, 1)],
+        ["pair_id", "gx", "gy", "gz"],
+    )
+    pc = {tuple(r[c] for c in ("gx", "gy", "gz")): r["n_pairs"]
+          for r in pattern_counts(pairs, ["gx", "gy", "gz"]).collect()}
+    assert pc == {(1, 2, 1): 2, (0, 0, 0): 1, (1, 0, 1): 1}
+
+    w = milli_weights(PLANTED)
+    out = {r["pair_id"]: r["weight_milli"]
+           for r in match_weights(pairs, PLANTED, ["gx", "gy", "gz"]).collect()}
+    for pid, gx, gy, gz in [(1, 1, 2, 1), (3, 0, 0, 0), (4, 1, 0, 1)]:
+        expect = w["gx"][gx] + w["gy"][gy] + w["gz"][gz]
+        assert out[pid] == expect
+    # milli weights are the rounded log2 Bayes factors
+    assert w["gx"][1] == round(1000 * math.log2(0.90 / 0.20))
+
+
+def test_match_probability_monotone_and_calibrated(spark):
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate([-15000, -1000, 0, 1000, 15000])],
+        ["i", "weight_milli"],
+    )
+    rows = match_probability(df, lam=0.2).orderBy("weight_milli").collect()
+    ps = [r["p_match"] for r in rows]
+    assert ps == sorted(ps)
+    # w = 0 → Bayes factor 1 → posterior equals the prior
+    assert abs(ps[2] - 0.2) < 1e-12
+    assert ps[0] < 0.02 and ps[-1] > 0.98
+
+
+def test_em_end_to_end_separates_on_spark(spark):
+    """Full chain on generated pairs: seeded per-pair levels from the
+    planted model → pattern_counts → em_fit → match_weights; matched pairs
+    must score above non-matched ones."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(4000):
+        is_match = rng.random() < LAM
+        levels = {}
+        for c, n in LEVELS.items():
+            u01 = rng.random()
+            acc = 0.0
+            for l in range(n):
+                acc += PLANTED[c][l][0] if is_match else PLANTED[c][l][1]
+                if u01 <= acc or l == n - 1:
+                    levels[c] = l
+                    break
+        rows.append((i, is_match, levels["gx"], levels["gy"], levels["gz"]))
+    df = spark.createDataFrame(rows, ["i", "is_match", "gx", "gy", "gz"])
+    pc = pattern_counts(df, ["gx", "gy", "gz"])
+    lam, params = em_fit(pc, ["gx", "gy", "gz"], LEVELS, iters=200)
+    assert abs(lam - LAM) < 0.05
+    scored = match_probability(
+        match_weights(df, params, ["gx", "gy", "gz"]), lam
+    )
+    agg = scored.groupBy("is_match").agg(F.avg("p_match").alias("p")).collect()
+    p = {r["is_match"]: r["p"] for r in agg}
+    assert p[True] > 0.6 > 0.25 > p[False]
+
+
+def _md(spark, rows):
+    from tests.conftest import md_from_rows
+
+    return md_from_rows(spark, rows)
+
+
+def test_bcubed_hand_computed(spark):
+    from nama_spark.operators.evaluate import bcubed, bcubed_df
+
+    pred = _md(spark, [(s, 1, g) for s, g in
+                       [("1", "a"), ("2", "a"), ("3", "a"), ("4", "b"), ("5", "b")]])
+    gold = _md(spark, [(s, 1, g) for s, g in
+                       [("1", "x"), ("2", "x"), ("3", "y"), ("4", "y"), ("5", "y")]])
+    per = {r["string"]: r for r in bcubed_df(pred, gold).collect()}
+    assert (per["1"]["na"], per["1"]["ng"], per["1"]["nab"]) == (3, 2, 2)
+    assert abs(per["3"]["p"] - 1 / 3) < 1e-12
+    assert abs(per["3"]["r"] - 1 / 3) < 1e-12
+    out = bcubed(pred, gold)
+    assert abs(out["precision"] - 11 / 15) < 1e-12
+    assert abs(out["recall"] - 11 / 15) < 1e-12
+    assert abs(out["F1"] - 11 / 15) < 1e-12
+
+
+def test_bcubed_perfect_and_counts(spark):
+    from nama_spark.operators.evaluate import bcubed
+
+    rows = [("a", 3, "g1"), ("b", 2, "g1"), ("c", 5, "g2")]
+    md1 = _md(spark, rows)
+    md2 = _md(spark, [("a", 3, "G"), ("b", 2, "G"), ("c", 5, "H")])
+    out = bcubed(md1, md2, use_counts=True)
+    assert out == {"precision": 1.0, "recall": 1.0, "F1": 1.0, "n": 10}
+    # brute-force count-weighted check on an imperfect partition
+    md3 = _md(spark, [("a", 3, "G"), ("b", 2, "H"), ("c", 5, "H")])
+    out = bcubed(md1, md3, use_counts=True)
+    # records a(3): C={a,b}=5, G={a}=3∩{a,b}→nab=3 → p=3/5, r=1
+    # records b(2): C=5, G=5(g1), nab over C∩G... manual:
+    # pred groups: g1={a,b}, g2={c}; gold: G={a}, H={b,c}
+    # a: na=5, ng=3, nab=3 → p=.6 r=1 ; b: na=5, ng=7, nab=2 → p=2/5 r=2/7
+    # c: na=5, ng=7, nab=5 → p=1 r=5/7
+    p = (3 * 0.6 + 2 * 0.4 + 5 * 1.0) / 10
+    r = (3 * 1.0 + 2 * 2 / 7 + 5 * 5 / 7) / 10
+    assert abs(out["precision"] - p) < 1e-12
+    assert abs(out["recall"] - r) < 1e-12
+
+
+def test_metablock_weights_hand_computed(spark):
+    from nama_spark.operators.block import metablock_weights
+
+    assignments = spark.createDataFrame(
+        [("a", "b1"), ("b", "b1"), ("a", "b2"), ("b", "b2"), ("c", "b2"),
+         ("c", "b3"), ("d", "b3"),
+         # purged: singleton block and an over-cap hot block
+         ("e", "b_solo")] + [(f"h{i}", "hot") for i in range(20)],
+        ["string", "block"],
+    )
+    edges = {(r["s0"], r["s1"]): r for r in
+             metablock_weights(assignments, scheme="jaccard",
+                               max_block_size=10).collect()}
+    assert edges[("a", "b")]["cbs"] == 2
+    assert edges[("a", "c")]["cbs"] == 1
+    assert edges[("c", "d")]["cbs"] == 1
+    assert ("e",) not in {k[:1] for k in edges}  # purged singleton
+    assert not any(k[0].startswith("h") for k in edges)  # purged hot block
+    # jaccard: a has blocks {b1,b2}, b {b1,b2} → 2/(2+2-2)=1
+    assert abs(edges[("a", "b")]["weight"] - 1.0) < 1e-12
+    # a {b1,b2}, c {b2,b3} → 1/(2+2-1)
+    assert abs(edges[("a", "c")]["weight"] - 1 / 3) < 1e-12
+
+
+def test_metablock_prune_wep_and_cnp(spark):
+    from nama_spark.operators.block import metablock_prune, metablock_weights
+
+    assignments = spark.createDataFrame(
+        [("a", "b1"), ("b", "b1"), ("a", "b2"), ("b", "b2"), ("c", "b2"),
+         ("c", "b3"), ("d", "b3")],
+        ["string", "block"],
+    )
+    w = metablock_weights(assignments)
+    # edges: (a,b) cbs 2; (a,c) 1; (b,c) 1; (c,d) 1 → mean 5/4 → WEP keeps (a,b)
+    kept = metablock_prune(w, method="wep", weight_col="cbs").collect()
+    assert {(r["s0"], r["s1"]) for r in kept} == {("a", "b")}
+    # CNP k=1: top edge per node — a:(a,b), b:(a,b), c: (a,c) wins the
+    # cbs tie by partner asc, d:(c,d) → either-endpoint retain rule
+    kept = metablock_prune(w, method="cnp", weight_col="cbs", k=1).collect()
+    assert {(r["s0"], r["s1"]) for r in kept} == {("a", "b"), ("a", "c"), ("c", "d")}
+    with pytest.raises(ValueError):
+        metablock_prune(w, method="nope")

@@ -93,6 +93,12 @@ WHITELIST: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "broadcast 8 centroid rows for the "
         "assignment map; the candidate join is equi on cell id",
     },
+    # WEP's mean-weight cut: the 1-row (Σcbs, n_edges) aggregate broadcast
+    # against the edge set; the pair-scale joins are all equi (block, s0, s1)
+    "metablock_wep_pairs": {
+        "BroadcastNestedLoopJoin": "broadcast 1-row global-mean totals",
+        "Exchange SinglePartition": "1-row totals aggregate",
+    },
     "mixture_rates_lang": {
         "BroadcastNestedLoopJoin": "broadcast 1-row max-rate normalizer",
         "Exchange SinglePartition": "1-row max aggregate over the "
