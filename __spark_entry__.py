@@ -448,6 +448,39 @@ def q_metablock_wep_pairs(spark, sf_dir):
     )
 
 
+def q_ari_metric(spark, sf_dir):
+    """evaluate.rand_scores — Rand index + Adjusted Rand Index (Hubert &
+    Arabie 1985) from the pair-counting confusion cells, count-weighted.
+    The ARI numerator/denominator are emitted as EXACT decimal integers
+    (Python bigints — the products exceed int64 at count scale) alongside
+    the rounded ratios."""
+    from decimal import Decimal
+
+    from pyspark.sql.types import (
+        DecimalType, DoubleType, LongType, StructField, StructType,
+    )
+
+    from nama_spark.operators.evaluate import rand_scores
+
+    pred, gold = _pred_gold_matchdata(spark, sf_dir)
+    s = rand_scores(pred, gold, use_counts=True)
+    tp, fp, fn, tn = s["TP"], s["FP"], s["FN"], s["TN"]
+    ari_num = 2 * (tp * tn - fn * fp)
+    ari_den = (tp + fn) * (fn + tn) + (tp + fp) * (fp + tn)
+    schema = StructType([
+        StructField("tp", LongType()), StructField("fp", LongType()),
+        StructField("fn", LongType()), StructField("tn", LongType()),
+        StructField("ari_num", DecimalType(38, 0)),
+        StructField("ari_den", DecimalType(38, 0)),
+        StructField("ri", DoubleType()), StructField("ari", DoubleType()),
+    ])
+    return spark.createDataFrame(
+        [(tp, fp, fn, tn, Decimal(ari_num), Decimal(ari_den),
+          round(s["RI"], 6), round(s["ARI"], 6))],
+        schema,
+    )
+
+
 def q_group_stats(spark, sf_dir):
     part = _t(spark, sf_dir, "part")
     li = _t(spark, sf_dir, "lineitem")
@@ -2010,6 +2043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_gamma_patterns": q_fs_gamma_patterns,
         "fs_match_weights": q_fs_match_weights,
         "bcubed_eval": q_bcubed_eval,
+        "ari_metric": q_ari_metric,
         "metablock_wep_pairs": q_metablock_wep_pairs,
         # --- NEW this round (r05) ---
         "quality_classifier_score": q_quality_classifier_score,
@@ -2666,6 +2700,33 @@ def oracle_sql() -> dict[str, str]:
     """
 
     q["confusion_cells"] = f"WITH {confusion_base} SELECT TP, FP, FN, TN FROM summed"
+
+    # Rand / Adjusted-Rand from the same pair-counting cells; the ARI
+    # numerator/denominator products exceed int64 → HUGEINT, emitted as
+    # exact DECIMAL(38,0) to match the Spark side's Python bigints
+    q["ari_metric"] = f"""
+        WITH {confusion_base},
+        h AS (
+            SELECT CAST(TP AS HUGEINT) AS tp, CAST(FP AS HUGEINT) AS fp,
+                   CAST(FN AS HUGEINT) AS fn, CAST(TN AS HUGEINT) AS tn
+            FROM summed
+        ),
+        a AS (
+            SELECT tp, fp, fn, tn,
+                   2 * (tp * tn - fn * fp) AS ari_num,
+                   (tp + fn) * (fn + tn) + (tp + fp) * (fp + tn) AS ari_den
+            FROM h
+        )
+        SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+               CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+               CAST(ari_num AS DECIMAL(38,0)) AS ari_num,
+               CAST(ari_den AS DECIMAL(38,0)) AS ari_den,
+               round(CAST(tp + tn AS DOUBLE)
+                     / CAST(tp + tn + fp + fn AS DOUBLE), 6) AS ri,
+               round(CAST(ari_num AS DOUBLE) / CAST(ari_den AS DOUBLE), 6)
+                   AS ari
+        FROM a
+    """
 
     # cross-table linkage: union-universe weights, left-tokens × right-tokens
     # candidates, jaccard ≥ 0.4, mutual best match ranked on round(score, 9)

@@ -33,6 +33,7 @@ import json
 import os
 import sys
 import time
+from functools import reduce
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
@@ -569,6 +570,75 @@ def bench_embed_ivf(spark, sf_dir, n_entities):
     return time.time() - t0, {"ivf_pairs": n}
 
 
+def bench_fs_scoring(spark, sf_dir):
+    """Fellegi–Sunter chain end-to-end: blocked customer pairs → agreement
+    vectors → pattern_counts (ONE pair-scale groupBy) → driver EM over the
+    ≤12-row pattern table → milli match weights + posterior for every pair.
+    SPARK_GRAFT_CUST_MULT replicates customers with shifted keys; replicas
+    share block keys, so occupancy grows ×mult and pair mass ~×mult² — the
+    dense-block regime, which is what 10× data means under a fixed blocking
+    key granularity. The interesting number is pairs/sec staying flat."""
+    from pyspark.sql import functions as F
+
+    from nama_spark.operators.fellegi_sunter import (
+        em_fit,
+        match_probability,
+        match_weights,
+        pattern_counts,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    mult = int(os.environ.get("SPARK_GRAFT_CUST_MULT", "1"))
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if mult > 1:
+        cust = reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                cust.select(
+                    (F.col("c_custkey") + F.lit(i * 10_000_000)).alias("c_custkey"),
+                    "c_name",
+                    "c_nationkey", "c_acctbal", "c_mktsegment",
+                )
+                for i in range(mult)
+            ],
+        )
+    cust = cust.repartition(n_parts).cache()
+    cust.count()
+    t0 = time.time()
+    c = cust.select(
+        "c_custkey",
+        F.substring("c_name", -3, 3).alias("blk"),
+        "c_nationkey", "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    a = c.select([F.col(x).alias(f"{x}_a") for x in c.columns])
+    b = c.select([F.col(x).alias(f"{x}_b") for x in c.columns])
+    g = a.join(
+        b,
+        (F.col("blk_a") == F.col("blk_b"))
+        & (F.col("c_custkey_a") < F.col("c_custkey_b")),
+    ).select(
+        F.col("c_custkey_a").alias("c0"),
+        F.col("c_custkey_b").alias("c1"),
+        F.when(F.col("c_nationkey_a") == F.col("c_nationkey_b"), 1)
+        .otherwise(0).alias("g_nation"),
+        F.when(F.col("c_mktsegment_a") == F.col("c_mktsegment_b"), 1)
+        .otherwise(0).alias("g_segment"),
+        F.when(F.col("cents_a") == F.col("cents_b"), 2)
+        .when(F.abs(F.col("cents_a") - F.col("cents_b")) <= 10000, 1)
+        .otherwise(0).alias("g_bal"),
+    ).localCheckpoint(eager=False)
+    cols = ["g_nation", "g_segment", "g_bal"]
+    lam, params = em_fit(
+        pattern_counts(g, cols), cols,
+        {"g_nation": 2, "g_segment": 2, "g_bal": 3},
+    )
+    n = match_probability(match_weights(g, params, cols), lam).count()
+    wall = time.time() - t0
+    cust.unpersist()
+    return wall, {"fs_pairs": n, "fs_lambda": round(lam, 4)}
+
+
 def bench_sorted_neighborhood(spark, sf_dir, n_entities):
     """Distributed global rank + rank equi-join over the fixture name
     universe (the driver query's own universe is only ~64 names — too small
@@ -671,6 +741,7 @@ def main():
     run("quality_dsir", bench_quality_dsir, sf_dir)
     run("corpus_pipeline", bench_corpus_pipeline, sf_dir)
     run("winnow_dedup", bench_winnow_dedup, sf_dir)
+    run("fs_scoring", bench_fs_scoring, sf_dir)
     run("sorted_neighborhood", bench_sorted_neighborhood, sf_dir, n_entities)
 
     pairs_per_sec = (

@@ -239,3 +239,21 @@ def bcubed(predicted: MatchData, gold: MatchData, use_counts: bool = False) -> d
     r = float(row["sr"]) / n
     f1 = 2 * p * r / (p + r) if (p + r) else 0.0
     return {"precision": p, "recall": r, "F1": f1, "n": int(n)}
+
+
+def rand_scores(predicted: MatchData, gold: MatchData, use_counts: bool = True) -> dict:
+    """Rand index and Adjusted Rand Index (Hubert & Arabie 1985) from the
+    pair-counting confusion cells — zero extra passes beyond
+    confusion_matrix, and exact integer arithmetic up to the final ratios:
+
+        RI  = (TP + TN) / (TP + FP + FN + TN)
+        ARI = 2·(TP·TN − FN·FP) /
+              ((TP+FN)·(FN+TN) + (TP+FP)·(FP+TN))
+    """
+    cells = confusion_matrix(predicted, gold, use_counts=use_counts)
+    tp, fp, fn, tn = cells["TP"], cells["FP"], cells["FN"], cells["TN"]
+    n = tp + fp + fn + tn
+    ri = (tp + tn) / n if n else 0.0
+    denom = (tp + fn) * (fn + tn) + (tp + fp) * (fp + tn)
+    ari = 2 * (tp * tn - fn * fp) / denom if denom else 0.0
+    return {"RI": ri, "ARI": ari, **cells}

@@ -176,3 +176,40 @@ def match_probability(
         out_col,
         (F.lit(lam) * bayes) / (F.lit(lam) * bayes + F.lit(1.0 - lam)),
     )
+
+
+def mu_from_labels(
+    gammas: DataFrame,
+    label_col: str,
+    gamma_cols: list[str],
+    n_levels: dict[str, int],
+    floor: float = 1e-6,
+):
+    """Supervised m/u estimation when labeled pairs exist (the textbook
+    estimator EM approximates): m_i(l) = P(γ_i = l | label), u_i likewise
+    over the non-matches. One groupBy per comparison over (γ_i, label) —
+    k tiny aggregates, no pair-scale collect. Returns (lambda, params) in
+    em_fit's shape so match_weights/match_probability consume it directly."""
+    lab = F.col(label_col).cast("boolean")
+    tot = gammas.groupBy(lab.alias("__m")).agg(
+        F.count(F.lit(1)).alias("__n")
+    ).collect()
+    n_m = sum(r["__n"] for r in tot if r["__m"])
+    n_u = sum(r["__n"] for r in tot if not r["__m"])
+    if not n_m or not n_u:
+        raise ValueError("mu_from_labels needs both matched and "
+                         "non-matched labeled pairs")
+    params = {}
+    for c in gamma_cols:
+        counts = gammas.groupBy(F.col(c).alias("__l"), lab.alias("__m")).agg(
+            F.count(F.lit(1)).alias("__n")
+        ).collect()
+        mm = {l: 0 for l in range(n_levels[c])}
+        uu = {l: 0 for l in range(n_levels[c])}
+        for r in counts:
+            (mm if r["__m"] else uu)[int(r["__l"])] = r["__n"]
+        params[c] = {
+            l: (max(floor, mm[l] / n_m), max(floor, uu[l] / n_u))
+            for l in range(n_levels[c])
+        }
+    return n_m / (n_m + n_u), params

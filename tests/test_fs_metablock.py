@@ -205,3 +205,43 @@ def test_metablock_prune_wep_and_cnp(spark):
     assert {(r["s0"], r["s1"]) for r in kept} == {("a", "b"), ("a", "c"), ("c", "d")}
     with pytest.raises(ValueError):
         metablock_prune(w, method="nope")
+
+
+def test_mu_from_labels_exact_fractions(spark):
+    from nama_spark.operators.fellegi_sunter import mu_from_labels
+
+    # 4 matched pairs: gx levels (1,1,1,0); 6 non-matched: gx (1,0,0,0,0,0)
+    rows = [(True, 1), (True, 1), (True, 1), (True, 0),
+            (False, 1), (False, 0), (False, 0), (False, 0), (False, 0),
+            (False, 0)]
+    df = spark.createDataFrame(rows, ["label", "gx"])
+    lam, params = mu_from_labels(df, "label", ["gx"], {"gx": 2})
+    assert abs(lam - 0.4) < 1e-12
+    assert abs(params["gx"][1][0] - 3 / 4) < 1e-12
+    assert abs(params["gx"][1][1] - 1 / 6) < 1e-12
+    assert abs(params["gx"][0][0] - 1 / 4) < 1e-12
+    assert abs(params["gx"][0][1] - 5 / 6) < 1e-12
+    with pytest.raises(ValueError):
+        mu_from_labels(
+            spark.createDataFrame([(True, 1)], ["label", "gx"]),
+            "label", ["gx"], {"gx": 2},
+        )
+
+
+def test_rand_scores_known_partitions(spark):
+    from nama_spark.operators.evaluate import rand_scores
+
+    pred = _md(spark, [(s, 1, g) for s, g in
+                       [("1", "a"), ("2", "a"), ("3", "a"), ("4", "b"), ("5", "b")]])
+    gold = _md(spark, [(s, 1, g) for s, g in
+                       [("1", "x"), ("2", "x"), ("3", "y"), ("4", "y"), ("5", "y")]])
+    s = rand_scores(pred, gold, use_counts=False)
+    # pairs: TP={12,45}, pred-same={12,13,23,45}→FP=2, gold-same={34,35,45,12}
+    # →FN=2, total=10 → TN=4
+    assert (s["TP"], s["FP"], s["FN"], s["TN"]) == (2, 2, 2, 4)
+    assert abs(s["RI"] - 0.6) < 1e-12
+    # ARI = 2(2·4 − 2·2)/((4)(6)+(4)(6)) = 8/48
+    assert abs(s["ARI"] - 1 / 6) < 1e-12
+    # identical partitions → ARI 1; ARI is 0-centred for independent ones
+    s = rand_scores(pred, pred, use_counts=False)
+    assert s["ARI"] == 1.0 and s["RI"] == 1.0
