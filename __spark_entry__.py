@@ -448,6 +448,53 @@ def q_metablock_wep_pairs(spark, sf_dir):
     )
 
 
+def q_metablock_cnp_pairs(spark, sf_dir):
+    """block.metablock_prune(method='cnp') — Cardinality Node Pruning:
+    keep an edge iff it ranks in the top-k (k=3) of EITHER endpoint's
+    incident edges by CBS weight (partner-asc tie-break). One window over
+    the exploded edge endpoints; integer weights end-to-end."""
+    from nama_spark.functions.tokenize import tokens_table
+    from nama_spark.operators.block import metablock_prune, metablock_weights
+
+    toks = tokens_table(_name_universe(spark, sf_dir), tokenizer="words")
+    w = metablock_weights(
+        toks.withColumnRenamed("token", "block"),
+        scheme="cbs", min_block_size=2, max_block_size=100,
+    )
+    out = metablock_prune(w, method="cnp", weight_col="cbs", k=3)
+    return out.select(
+        "s0", "s1",
+        F.col("cbs").cast("long").alias("cbs"),
+        F.col("nb0").cast("long").alias("nb0"),
+        F.col("nb1").cast("long").alias("nb1"),
+    )
+
+
+def q_golden_records(spark, sf_dir):
+    """fusion.golden_records — per-cluster survivorship (Bleiholder &
+    Naumann 2009): clusters keyed by the last 2 name digits; name wins by
+    longest (tie: greater), balance by max, segment by deterministic vote
+    (tie: smaller). One groupBy + one vote aggregate, no cluster windows."""
+    from nama_spark.operators.fusion import golden_records
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.substring("c_name", -2, 2).alias("grp"),
+        "c_name", "c_acctbal", "c_mktsegment",
+    )
+    out = golden_records(
+        cust, "grp",
+        {"c_name": "longest", "c_acctbal": "max",
+         "c_mktsegment": "most_frequent"},
+    )
+    return out.select(
+        "group",
+        F.col("n_members").cast("long").alias("n_members"),
+        "c_name",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+
+
 def q_ari_metric(spark, sf_dir):
     """evaluate.rand_scores — Rand index + Adjusted Rand Index (Hubert &
     Arabie 1985) from the pair-counting confusion cells, count-weighted.
@@ -2045,6 +2092,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bcubed_eval": q_bcubed_eval,
         "ari_metric": q_ari_metric,
         "metablock_wep_pairs": q_metablock_wep_pairs,
+        "metablock_cnp_pairs": q_metablock_cnp_pairs,
+        "golden_records": q_golden_records,
         # --- NEW this round (r05) ---
         "quality_classifier_score": q_quality_classifier_score,
         "dsir_hbits_score": q_dsir_hbits_score,
@@ -2496,7 +2545,77 @@ def oracle_sql() -> dict[str, str]:
         WHERE e.cbs * tot.ne >= tot.tw
     """
 
+
+    # golden records: per-cluster survivorship — longest name (tie: max),
+    # max balance, deterministic segment vote (count desc, value asc)
+    q["golden_records"] = """
+        WITH c AS (
+            SELECT right(c_name, 2) AS grp, c_name, c_acctbal, c_mktsegment
+            FROM customer
+        ),
+        base AS (
+            SELECT grp AS "group", CAST(count(*) AS BIGINT) AS n_members,
+                   round(max(c_acctbal), 2) AS c_acctbal
+            FROM c GROUP BY 1
+        ),
+        longest AS (
+            SELECT grp AS "group", c_name FROM (
+                SELECT grp, c_name,
+                       row_number() OVER (PARTITION BY grp
+                           ORDER BY length(c_name) DESC, c_name DESC) AS rk
+                FROM c
+            ) WHERE rk = 1
+        ),
+        vote AS (
+            SELECT grp AS "group", c_mktsegment FROM (
+                SELECT grp, c_mktsegment,
+                       row_number() OVER (PARTITION BY grp
+                           ORDER BY count(*) DESC, c_mktsegment ASC) AS rk
+                FROM c GROUP BY grp, c_mktsegment
+            ) WHERE rk = 1
+        )
+        SELECT b."group", b.n_members, l.c_name, b.c_acctbal, v.c_mktsegment
+        FROM base b JOIN longest l USING ("group") JOIN vote v USING ("group")
+    """
+
+    q["metablock_cnp_pairs"] = f"""
+        WITH toks AS ({_SQL_WORD_TOKENS}),
+        sets AS (SELECT DISTINCT string, token FROM toks),
+        bs AS (SELECT token, count(*) AS bsz FROM sets GROUP BY 1),
+        kept AS (
+            SELECT s.string, s.token FROM sets s JOIN bs USING (token)
+            WHERE bsz BETWEEN 2 AND 100
+        ),
+        edges AS (
+            SELECT a.string AS s0, b.string AS s1,
+                   CAST(count(*) AS BIGINT) AS cbs
+            FROM kept a JOIN kept b USING (token)
+            WHERE a.string < b.string
+            GROUP BY 1, 2
+        ),
+        nb AS (SELECT string, CAST(count(*) AS BIGINT) AS nbl
+               FROM kept GROUP BY 1),
+        dirs AS (
+            SELECT s0 AS node, s1 AS partner, cbs, s0, s1 FROM edges
+            UNION ALL
+            SELECT s1 AS node, s0 AS partner, cbs, s0, s1 FROM edges
+        ),
+        ranked AS (
+            SELECT s0, s1,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY cbs DESC, partner ASC) AS rk
+            FROM dirs
+        ),
+        keep AS (SELECT DISTINCT s0, s1 FROM ranked WHERE rk <= 3)
+        SELECT e.s0, e.s1, e.cbs, n0.nbl AS nb0, n1.nbl AS nb1
+        FROM edges e
+        JOIN keep USING (s0, s1)
+        JOIN nb n0 ON n0.string = e.s0
+        JOIN nb n1 ON n1.string = e.s1
+    """
+
     q["matchdata_from_unmatched"] = """
+
         SELECT p_name AS string, count(*) AS count, p_name AS "group"
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         GROUP BY p_name

@@ -1,0 +1,91 @@
+"""Data fusion — golden records per entity cluster (survivorship rules).
+
+The reference stops at the partition (string → group); production ER
+pipelines then FUSE each cluster's source records into one canonical
+"golden" row per entity, field by field (conflict resolution per Bleiholder
+& Naumann, "Data Fusion", ACM CS 2009 — beyond the reference's surface).
+
+``golden_records`` applies a per-field survivorship rule:
+
+- ``max`` / ``min``       — extreme value wins (numerics, dates, strings);
+- ``longest``             — longest value wins, ties broken by the greater
+                            value (deterministic);
+- ``most_frequent``       — the cluster mode, ties broken by the smaller
+                            value (deterministic vote);
+- ``sum`` / ``avg``       — additive fusion for measures;
+- ``any`` (non-null)      — ``max`` of the non-null values (Spark's
+                            aggregate ordering already ignores nulls).
+
+Spark realization: one groupBy on the cluster key covers every rule except
+``most_frequent``, which needs its own (cluster, value) count aggregate —
+one extra groupBy per voted field, joined back on the cluster key. No
+windows over the cluster partition: an over-merged mega-cluster lands in a
+hash aggregate (map-side partials, AQE-splittable), never a single task.
+All tie-breaks are total orders, so the fused row is deterministic under
+any partitioning — the same reproducibility contract as the rest of the
+engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+_SIMPLE_RULES = {"max", "min", "longest", "sum", "avg", "any"}
+
+
+def golden_records(
+    records: DataFrame,
+    group_col: str,
+    rules: dict[str, str],
+    count_alias: str = "n_members",
+) -> DataFrame:
+    """One fused row per ``group_col`` value: (group, n_members, <field>…).
+
+    ``rules`` maps field name → survivorship rule (see module docstring).
+    Output fused columns keep their input names.
+    """
+    unknown = {r for r in rules.values()} - _SIMPLE_RULES - {"most_frequent"}
+    if unknown:
+        raise ValueError(f"unknown survivorship rules: {sorted(unknown)}")
+
+    aggs = [F.count(F.lit(1)).alias(count_alias)]
+    voted = []
+    for field, rule in rules.items():
+        c = F.col(field)
+        if rule == "max" or rule == "any":
+            aggs.append(F.max(c).alias(field))
+        elif rule == "min":
+            aggs.append(F.min(c).alias(field))
+        elif rule == "longest":
+            # lexicographic struct ordering: length first, then the value
+            # itself — the greater value wins a length tie
+            aggs.append(
+                F.max_by(c, F.struct(F.length(c).alias("l"),
+                                     c.alias("v"))).alias(field)
+            )
+        elif rule == "sum":
+            aggs.append(F.sum(c).alias(field))
+        elif rule == "avg":
+            aggs.append(F.avg(c).alias(field))
+        elif rule == "most_frequent":
+            voted.append(field)
+
+    out = records.groupBy(F.col(group_col).alias("group")).agg(*aggs)
+    for field in voted:
+        counts = (
+            records.groupBy(F.col(group_col).alias("group"),
+                            F.col(field).alias("__v"))
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+        # highest count wins; the smaller value wins a count tie —
+        # min_by over (−count, value) is that total order
+        mode = counts.groupBy("group").agg(
+            F.min_by(
+                "__v", F.struct((-F.col("__n")).alias("n"),
+                                F.col("__v").alias("v"))
+            ).alias(field)
+        )
+        out = out.join(mode, "group")
+    return out

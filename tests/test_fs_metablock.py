@@ -245,3 +245,50 @@ def test_rand_scores_known_partitions(spark):
     # identical partitions → ARI 1; ARI is 0-centred for independent ones
     s = rand_scores(pred, pred, use_counts=False)
     assert s["ARI"] == 1.0 and s["RI"] == 1.0
+
+
+def test_golden_records_rules(spark):
+    from nama_spark.operators.fusion import golden_records
+
+    rows = [
+        ("g1", "aa", 5.0, "X"), ("g1", "bbb", 3.0, "Y"), ("g1", "cc", 4.0, "Y"),
+        ("g2", "dddd", 1.0, "Z"),
+    ]
+    df = spark.createDataFrame(rows, ["grp", "name", "bal", "seg"])
+    out = {r["group"]: r for r in golden_records(
+        df, "grp",
+        {"name": "longest", "bal": "max", "seg": "most_frequent"},
+    ).collect()}
+    assert out["g1"]["n_members"] == 3
+    assert out["g1"]["name"] == "bbb"      # longest
+    assert out["g1"]["bal"] == 5.0         # max
+    assert out["g1"]["seg"] == "Y"         # mode (2 of 3)
+    assert out["g2"]["name"] == "dddd" and out["g2"]["seg"] == "Z"
+
+    # deterministic ties: equal lengths → greater value; equal counts → smaller value
+    df = spark.createDataFrame(
+        [("g", "ab", 1.0, "P"), ("g", "ba", 2.0, "Q")],
+        ["grp", "name", "bal", "seg"])
+    r = golden_records(
+        df, "grp", {"name": "longest", "bal": "avg", "seg": "most_frequent"}
+    ).collect()[0]
+    assert r["name"] == "ba" and r["seg"] == "P"
+    assert abs(r["bal"] - 1.5) < 1e-12
+
+    # sum / min rules and unknown-rule guard
+    r = golden_records(df, "grp", {"bal": "sum", "name": "min"}).collect()[0]
+    assert r["bal"] == 3.0 and r["name"] == "ab"
+    with pytest.raises(ValueError):
+        golden_records(df, "grp", {"bal": "median"})
+
+
+def test_golden_records_partition_invariant(spark):
+    from nama_spark.operators.fusion import golden_records
+
+    rows = [(f"g{i%7}", f"v{(i*13)%20:02d}", float(i % 11)) for i in range(500)]
+    df = spark.createDataFrame(rows, ["grp", "val", "x"])
+    rules = {"val": "most_frequent", "x": "max"}
+    a = sorted(map(tuple, golden_records(df, "grp", rules).collect()))
+    b = sorted(map(tuple, golden_records(
+        df.repartition(17), "grp", rules).collect()))
+    assert a == b
