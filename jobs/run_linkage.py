@@ -14,6 +14,10 @@ the selection rule:
     best_left  best-scoring right per left (deterministic ties)
     mutual     kept only when each side is the other's best — the
                scalable relational core of one-to-one assignment
+    fs         unsupervised Fellegi–Sunter: pattern EM over string
+               agreement vectors, pairs kept by posterior P(match|γ) ≥
+               --threshold (links carry weight_milli + p_match; the
+               fitted λ and m/u land in the JSON summary)
 
 Candidates come from an eligible-token block join over weights fit on the
 UNION universe (never left×right); see operators/linkage.py. Catalog reads
@@ -35,7 +39,8 @@ def parse_args(argv=None):
     p.add_argument("--left-col", default="string")
     p.add_argument("--right-col", default="string")
     p.add_argument("--catalog", default=None)
-    p.add_argument("--mode", default="mutual", choices=["best_left", "mutual"])
+    p.add_argument("--mode", default="mutual",
+                   choices=["best_left", "mutual", "fs"])
     p.add_argument("--threshold", type=float, default=0.5)
     p.add_argument("--tokenizer", default="words")
     p.add_argument("--weighting", default="tf-idf")
@@ -59,6 +64,34 @@ def main(argv=None):
     left = read_records(spark, args.left, catalog=args.catalog)
     right = read_records(spark, args.right, catalog=args.catalog)
     t0 = time.time()
+    if args.mode == "fs":
+        from nama_spark.operators.fellegi_sunter import fs_link_tables
+
+        links, lam, params = fs_link_tables(
+            left,
+            right,
+            threshold=args.threshold,
+            tokenizer=args.tokenizer,
+            weighting=args.weighting,
+            measure=args.measure,
+            max_block_size=args.max_block_size,
+            left_col=args.left_col,
+            right_col=args.right_col,
+        )
+        links = links.localCheckpoint(eager=False)
+        links.write.mode("overwrite").parquet(args.output + "/links")
+        print(json.dumps({
+            "mode": "fs",
+            "left": left.count(),
+            "right": right.count(),
+            "links": links.count(),
+            "lambda": round(lam, 6),
+            "m_u": {c: {str(l): [round(m, 6), round(u, 6)]
+                        for l, (m, u) in lv.items()}
+                    for c, lv in params.items()},
+            "wall_sec": round(time.time() - t0, 2),
+        }))
+        return 0
     links = link_tables(
         left,
         right,

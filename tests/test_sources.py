@@ -395,6 +395,45 @@ def test_run_linkage_job(spark, tmp_path):
     }
 
 
+def test_run_linkage_job_fs_mode(spark, tmp_path):
+    """jobs/run_linkage.py --mode fs: the unsupervised FS path links the
+    verbatim + uniquely-suffixed twins and reports the fitted model."""
+    import json as _json
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    try:
+        import run_linkage
+    finally:
+        sys.path.pop(0)
+
+    words = ["acme", "orbit", "zenith", "quark"]
+    base = [f"{words[i % 4]} {i:03d}" for i in range(40)]
+    left = spark.createDataFrame([(s,) for s in base], ["name_l"])
+    right = spark.createDataFrame(
+        [(s,) for s in base[:20]]
+        + [(f"{s} q{i}",) for i, s in enumerate(base[20:])],
+        ["name_r"],
+    )
+    lp, rp = str(tmp_path / "fl.parquet"), str(tmp_path / "fr.parquet")
+    left.write.parquet(lp)
+    right.write.parquet(rp)
+    out = str(tmp_path / "fs_links_out")
+    rc = run_linkage.main([
+        "--left", lp, "--left-col", "name_l",
+        "--right", rp, "--right-col", "name_r",
+        "--mode", "fs", "--threshold", "0.8", "--output", out,
+    ])
+    assert rc == 0
+    links = spark.read.parquet(out + "/links")
+    assert {"s0", "s1", "score", "weight_milli", "p_match"} <= set(links.columns)
+    got = {(r["s0"], r["s1"]) for r in links.collect()}
+    for s in base[:20]:
+        assert (s, s) in got
+    for i, s in enumerate(base[20:]):
+        assert (s, f"{s} q{i}") in got
+
+
 def test_run_ann_append_rejects_inplace_output(spark, tmp_path):
     """--append-index writes while lazily reading from --index; pointing
     --output at the same dir would clobber the index mid-read (ADVICE r4) —
