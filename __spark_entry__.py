@@ -378,6 +378,9 @@ def _fs_gamma_pairs(spark, sf_dir):
         F.when(F.col("__cents_a") == F.col("__cents_b"), 2)
         .when(F.abs(F.col("__cents_a") - F.col("__cents_b")) <= 10000, 1)
         .otherwise(0).cast("int").alias("g_bal"),
+        # raw agreed-field values ride along for TF adjustment
+        F.col("c_mktsegment_a").alias("seg0"),
+        F.col("c_mktsegment_b").alias("seg1"),
     )
 
 
@@ -492,6 +495,28 @@ def q_golden_records(spark, sf_dir):
         "c_name",
         F.round("c_acctbal", 2).alias("c_acctbal"),
         "c_mktsegment",
+    )
+
+
+def q_fs_tf_adjusted(spark, sf_dir):
+    """fellegi_sunter.term_frequencies + tf_adjusted_weights — Winkler's
+    value-specific u (the adjustment Splink applies): pairs agreeing on a
+    COMMON segment lose weight, rare segments gain. One broadcast u_bar
+    scalar + one equi-join on the agreed value; integer milli units."""
+    from nama_spark.operators.fellegi_sunter import (
+        match_weights,
+        term_frequencies,
+        tf_adjusted_weights,
+    )
+
+    g = _fs_gamma_pairs(spark, sf_dir)
+    w = match_weights(g, _FS_PARAMS, ["g_nation", "g_segment", "g_bal"])
+    tf = term_frequencies(_t(spark, sf_dir, "customer"), "c_mktsegment")
+    out = tf_adjusted_weights(w, tf, "seg0", "seg1")
+    return out.select(
+        "c0", "c1", "g_segment",
+        F.col("tf_adj_milli").cast("long").alias("tf_adj_milli"),
+        F.col("weight_tf_milli").cast("long").alias("weight_tf_milli"),
     )
 
 
@@ -2094,6 +2119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metablock_wep_pairs": q_metablock_wep_pairs,
         "metablock_cnp_pairs": q_metablock_cnp_pairs,
         "golden_records": q_golden_records,
+        "fs_tf_adjusted": q_fs_tf_adjusted,
         # --- NEW this round (r05) ---
         "quality_classifier_score": q_quality_classifier_score,
         "dsir_hbits_score": q_dsir_hbits_score,
@@ -2468,6 +2494,44 @@ def oracle_sql() -> dict[str, str]:
             FROM c a JOIN c b
               ON a.blk = b.blk AND a.c_custkey < b.c_custkey
         )
+    """
+
+    q["fs_tf_adjusted"] = f"""
+        WITH {_fs_base},
+        gs AS (
+            SELECT a.c_custkey AS c0, b.c_custkey AS c1,
+                   CAST(CASE WHEN a.c_mktsegment = b.c_mktsegment
+                        THEN 1 ELSE 0 END AS INT) AS g_segment,
+                   (CASE WHEN a.c_nationkey = b.c_nationkey
+                         THEN {_w['g_nation'][1]}
+                         ELSE {_w['g_nation'][0]} END)
+                 + (CASE WHEN a.c_mktsegment = b.c_mktsegment
+                         THEN {_w['g_segment'][1]}
+                         ELSE {_w['g_segment'][0]} END)
+                 + (CASE WHEN a.cents = b.cents THEN {_w['g_bal'][2]}
+                         WHEN abs(a.cents - b.cents) <= 10000
+                         THEN {_w['g_bal'][1]}
+                         ELSE {_w['g_bal'][0]} END) AS w_milli,
+                   a.c_mktsegment AS seg0, b.c_mktsegment AS seg1
+            FROM c a JOIN c b
+              ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+        ),
+        tf AS (
+            SELECT c_mktsegment AS v,
+                   count(*) * 1.0 / (SELECT count(*) FROM customer) AS tf
+            FROM customer GROUP BY 1
+        ),
+        ubar AS (SELECT sum(tf * tf) AS ub FROM tf)
+        SELECT gs.c0, gs.c1, gs.g_segment,
+               CAST(CASE WHEN gs.seg0 = gs.seg1
+                    THEN round(1000 * log2(ubar.ub / tf.tf))
+                    ELSE 0 END AS BIGINT) AS tf_adj_milli,
+               CAST(gs.w_milli + CASE WHEN gs.seg0 = gs.seg1
+                    THEN round(1000 * log2(ubar.ub / tf.tf))
+                    ELSE 0 END AS BIGINT) AS weight_tf_milli
+        FROM gs
+        LEFT JOIN tf ON tf.v = gs.seg0
+        CROSS JOIN ubar
     """
 
     q["fs_gamma_patterns"] = f"""

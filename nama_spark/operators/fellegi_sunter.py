@@ -280,3 +280,63 @@ def fs_link_tables(
     )
     out = match_probability(match_weights(gam, params, cols), lam)
     return out.where(F.col("p_match") >= threshold), lam, params
+
+
+def term_frequencies(records: DataFrame, field: str) -> DataFrame:
+    """(value, n_value, tf) — each value's share of the records (the
+    term-frequency table behind TF-adjusted match weights, Winkler's
+    value-specific u; the same adjustment Splink applies). One groupBy +
+    a broadcast 1-row total; n_value stays exact for oracles."""
+    counts = records.groupBy(F.col(field).alias("value")).agg(
+        F.count(F.lit(1)).alias("n_value")
+    )
+    total = records.agg(F.count(F.lit(1)).alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "value", "n_value",
+            (F.col("n_value") / F.col("__total")).alias("tf"),
+        )
+    )
+
+
+def tf_adjusted_weights(
+    pairs: DataFrame,
+    tf: DataFrame,
+    v0: str,
+    v1: str,
+    weight_col: str = "weight_milli",
+    out_col: str = "weight_tf_milli",
+) -> DataFrame:
+    """TF-adjust a pair's match weight on one field: when the pair AGREES
+    (v0 == v1 == v), the average-u evidence the base weight carries is
+    re-specified to the VALUE's own chance agreement rate —
+
+        adj = log2( u_bar / tf_v ),   u_bar = Σ_v tf_v²
+
+    (u_bar is the probability two random records agree on the field at
+    all, so common values get a negative adjustment and rare values a
+    positive one; disagreeing pairs are untouched). Relational: one
+    broadcast u_bar scalar + one equi-join on the agreed value; the
+    adjustment lands in integer milli units like the base weight."""
+    u_bar = tf.agg(F.sum(F.col("tf") * F.col("tf")).alias("__ubar"))
+    agreed = F.col(v0) == F.col(v1)
+    out = (
+        pairs.join(
+            tf.select(F.col("value").alias(v0),
+                      F.col("tf").alias("__tf")),
+            v0, "left",
+        )
+        .crossJoin(F.broadcast(u_bar))
+        .withColumn(
+            "tf_adj_milli",
+            F.when(
+                agreed & F.col("__tf").isNotNull(),
+                F.round(F.lit(1000.0) * F.log2(F.col("__ubar") / F.col("__tf")))
+                .cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .withColumn(out_col, F.col(weight_col) + F.col("tf_adj_milli"))
+        .drop("__tf", "__ubar")
+    )
+    return out

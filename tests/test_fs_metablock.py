@@ -325,3 +325,35 @@ def test_fs_link_tables_unsupervised(spark):
         assert (s, f"{s} q{i}") in got
     assert not any("zzz" in s1 for _, s1 in got)
     assert 0.0 < lam < 1.0
+
+
+def test_tf_adjusted_weights(spark):
+    """Rare agreed values gain weight, common ones lose it, disagreements
+    are untouched; adjustment matches the hand formula."""
+    from nama_spark.operators.fellegi_sunter import (
+        term_frequencies,
+        tf_adjusted_weights,
+    )
+
+    recs = spark.createDataFrame(
+        [("smith",)] * 8 + [("zyzmund",)] * 2, ["surname"]
+    )
+    tf = term_frequencies(recs, "surname")
+    tfd = {r["value"]: r for r in tf.collect()}
+    assert tfd["smith"]["n_value"] == 8 and abs(tfd["smith"]["tf"] - 0.8) < 1e-12
+    u_bar = 0.8**2 + 0.2**2  # 0.68
+
+    pairs = spark.createDataFrame(
+        [(1, "smith", "smith", 1000), (2, "zyzmund", "zyzmund", 1000),
+         (3, "smith", "zyzmund", 1000)],
+        ["pid", "v0", "v1", "weight_milli"],
+    )
+    out = {r["pid"]: r for r in
+           tf_adjusted_weights(pairs, tf, "v0", "v1").collect()}
+    assert out[1]["tf_adj_milli"] == round(1000 * math.log2(u_bar / 0.8))
+    assert out[2]["tf_adj_milli"] == round(1000 * math.log2(u_bar / 0.2))
+    assert out[3]["tf_adj_milli"] == 0
+    assert out[1]["tf_adj_milli"] < 0 < out[2]["tf_adj_milli"]
+    for p in (1, 2, 3):
+        assert (out[p]["weight_tf_milli"]
+                == out[p]["weight_milli"] + out[p]["tf_adj_milli"])

@@ -93,6 +93,13 @@ WHITELIST: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "broadcast 8 centroid rows for the "
         "assignment map; the candidate join is equi on cell id",
     },
+    # TF adjustment: the 1-row u_bar scalar (and the 1-row record total
+    # inside term_frequencies) broadcast against the pair set; the
+    # value-specific evidence join is equi on the agreed value
+    "fs_tf_adjusted": {
+        "BroadcastNestedLoopJoin": "broadcast 1-row u_bar / total scalars",
+        "Exchange SinglePartition": "1-row scalar aggregates",
+    },
     # WEP's mean-weight cut: the 1-row (Σcbs, n_edges) aggregate broadcast
     # against the edge set; the pair-scale joins are all equi (block, s0, s1)
     "metablock_wep_pairs": {
