@@ -520,6 +520,77 @@ def q_fs_tf_adjusted(spark, sf_dir):
     )
 
 
+def _split_shingle_edges(spark, sf_dir):
+    """Deterministic base/delta split of the shingle-jaccard ≥ 0.5 edge set
+    by the first hex char of md5("id0:id1") — engine-portable, so the
+    stable_entity_ids oracle reproduces the exact same split in DuckDB.
+    Delta ≈ 3/16 of edges (first char in 0/1/2)."""
+    pairs = _doc_shingle_pairs(spark, sf_dir, threshold=0.5).select(
+        F.col("id0").cast("string").alias("src"),
+        F.col("id1").cast("string").alias("dst"),
+    )
+    tag = F.substring(F.md5(F.concat_ws(":", "src", "dst")), 1, 1)
+    is_delta = tag.isin("0", "1", "2")
+    return pairs.where(~is_delta), pairs.where(is_delta)
+
+
+def q_cc_delta_clusters(spark, sf_dir):
+    """cluster.connected_components_delta — the delta-daily clustering path
+    (the clustering member of the index-once/delta family alongside
+    minhash_band_index and ivf_assign_delta): solve CC over the base ~81%
+    of the shingle-jaccard edges, persist the (node, component) assignment,
+    then fold the held-out delta edges in via the contracted label graph +
+    ONE broadcast relabel join — historical edges never re-read, the
+    assignment table never shuffled. Oracle = full CC over ALL edges (the
+    near_dup_clusters_cc recursive CTE): the delta path must be
+    indistinguishable from a full recompute, min-id labels included."""
+    from nama_spark.operators.cluster import (
+        connected_components,
+        connected_components_delta,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    base, delta = _split_shingle_edges(spark, sf_dir)
+    assign = connected_components(base)
+    all_ids = docs.select(F.col("doc_id").cast("string").alias("node"))
+    labels = connected_components_delta(assign, delta, new_nodes=all_ids)
+    return labels.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("cluster_id"),
+    )
+
+
+def q_stable_entity_ids(spark, sf_dir):
+    """cluster.stable_entity_ids — entity-id continuity across re-runs:
+    yesterday's clustering (base edges only) hands its ids to today's
+    (all edges) by member plurality, split-losers and brand-new clusters
+    mint 'n:' + md5(component). Downstream systems key on the entity id,
+    which must NOT churn just because a cluster's min-member label moved.
+    Two groupBy aggs + min(struct(-n, id)) arg-max — no per-cluster
+    windows, giant clusters never serialize into one task."""
+    from nama_spark.operators.cluster import labels_for_nodes, stable_entity_ids
+
+    docs = _t(spark, sf_dir, "documents")
+    all_ids = docs.select(F.col("doc_id").cast("string").alias("node"))
+    base, _ = _split_shingle_edges(spark, sf_dir)
+    prev = labels_for_nodes(all_ids, base, node_col="node").select(
+        "node", F.col("component").alias("entity_id")
+    )
+    pairs = _doc_shingle_pairs(spark, sf_dir, threshold=0.5)
+    cur = labels_for_nodes(
+        all_ids,
+        pairs.select(
+            F.col("id0").cast("string").alias("src"),
+            F.col("id1").cast("string").alias("dst"),
+        ),
+        node_col="node",
+    )
+    out = stable_entity_ids(prev, cur)
+    return out.select(
+        F.col("node").cast("long").alias("doc_id"), "entity_id"
+    )
+
+
 def q_ari_metric(spark, sf_dir):
     """evaluate.rand_scores — Rand index + Adjusted Rand Index (Hubert &
     Arabie 1985) from the pair-counting confusion cells, count-weighted.
@@ -2112,6 +2183,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # later rotation.
     return {
         # --- NEW this round (r05, fourth session) ---
+        "cc_delta_clusters": q_cc_delta_clusters,
+        "stable_entity_ids": q_stable_entity_ids,
         "fs_gamma_patterns": q_fs_gamma_patterns,
         "fs_match_weights": q_fs_match_weights,
         "bcubed_eval": q_bcubed_eval,
@@ -4614,6 +4687,76 @@ def oracle_sql() -> dict[str, str]:
         {_sql_cc_reach('nodes', 'edges')}
         SELECT cast(node AS BIGINT) AS doc_id, cast(min(r) AS BIGINT) AS cluster_id
         FROM reach GROUP BY node
+    """
+
+    # The delta-CC path must be INDISTINGUISHABLE from a full recompute, so
+    # its oracle IS the full-edge-set CC — the base/delta split exists only
+    # Spark-side (any split converges to the same components).
+    q["cc_delta_clusters"] = q["near_dup_clusters_cc"]
+
+    # stable_entity_ids: prev = CC over the md5-split base edges, cur = CC
+    # over all edges; plurality inheritance + split-winner via row_number
+    # (the Spark side uses min(struct(-n, id)) — same total order). Minted
+    # ids are 'n:' || md5(component) in both engines.
+    q["stable_entity_ids"] = f"""
+        WITH RECURSIVE {_SQL_JACCARD_PAIRS},
+        edges AS (
+            SELECT cast(id0 AS VARCHAR) AS u, cast(id1 AS VARCHAR) AS v
+            FROM jac WHERE jaccard >= 0.5
+        ),
+        be AS (
+            SELECT u, v FROM edges
+            WHERE substr(md5(u || ':' || v), 1, 1) NOT IN ('0', '1', '2')
+        ),
+        nodes AS (SELECT cast(doc_id AS VARCHAR) AS node FROM documents),
+        bi0 AS (SELECT u, v FROM be UNION SELECT v, u FROM be),
+        reach0(node, r) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT reach0.node, bi0.v FROM reach0 JOIN bi0 ON bi0.u = reach0.r
+        ),
+        prev AS (SELECT node, min(r) AS entity_id FROM reach0 GROUP BY node),
+        bi1 AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+        reach1(node, r) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT reach1.node, bi1.v FROM reach1 JOIN bi1 ON bi1.u = reach1.r
+        ),
+        cur AS (SELECT node, min(r) AS component FROM reach1 GROUP BY node),
+        votes AS (
+            SELECT c.component, p.entity_id, count(*) AS n
+            FROM cur c JOIN prev p USING (node)
+            GROUP BY 1, 2
+        ),
+        best AS (
+            SELECT component, entity_id AS candidate FROM (
+                SELECT component, entity_id,
+                       row_number() OVER (
+                           PARTITION BY component ORDER BY n DESC, entity_id
+                       ) AS rn
+                FROM votes
+            ) WHERE rn = 1
+        ),
+        winner AS (
+            SELECT entity_id AS candidate, component AS wc FROM (
+                SELECT entity_id, component,
+                       row_number() OVER (
+                           PARTITION BY entity_id ORDER BY n DESC, component
+                       ) AS rn
+                FROM votes
+            ) WHERE rn = 1
+        ),
+        comp_ids AS (
+            SELECT c.component,
+                   CASE WHEN b.candidate IS NOT NULL AND w.wc = c.component
+                        THEN b.candidate
+                        ELSE 'n:' || md5(c.component) END AS entity_id
+            FROM (SELECT DISTINCT component FROM cur) c
+            LEFT JOIN best b USING (component)
+            LEFT JOIN winner w ON w.candidate = b.candidate
+        )
+        SELECT cast(cur.node AS BIGINT) AS doc_id, comp_ids.entity_id
+        FROM cur JOIN comp_ids USING (component)
     """
 
     # doc_id↔vec_id join, dot ≥ 0.3 edges, CC closure; labels are the

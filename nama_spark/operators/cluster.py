@@ -198,6 +198,150 @@ def labels_for_nodes(
     )
 
 
+def connected_components_delta(
+    assignments: DataFrame,
+    new_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    new_nodes: DataFrame | None = None,
+    node_col: str = "node",
+    lineage: list | None = None,
+    **cc_kwargs,
+) -> DataFrame:
+    """Fold a DELTA edge batch into a persisted ``(node, component)``
+    assignment WITHOUT re-reading or re-solving the historical edge set —
+    the clustering member of the index-once / delta-daily family
+    (dedup.minhash_band_index, ann.ivf_assign_delta).
+
+    Exactness: edges only ever MERGE components, so the components of
+    (old edges ∪ Δ) are exactly the components of the label multigraph
+    obtained by contracting every old component to its label. We therefore
+    (1) map each Δ endpoint to its current label (unknown endpoint ⇒ the
+    node is brand-new and is its own label), (2) solve CC on that contracted
+    label graph — O(|Δ|) edges, usually the driver union-find fast path —
+    and (3) relabel the big assignment table through the resulting
+    old-label → merged-label map. Labels stay the component-min node id:
+    an old label is the min of its old members, a new node's label is
+    itself, and the merged root is the min over the meta-component's
+    labels, i.e. the min over all members. Same (node, component) contract
+    as ``connected_components`` on the full edge set.
+
+    Scale: the only touch of the full corpus is ONE equi-join of the
+    assignment table against the relabel map, which is bounded by
+    2·|Δ edges| + |new_nodes| rows and is broadcast — no shuffle of the
+    assignment table, no re-shingle/re-score of historical pairs. A daily
+    Δ at 10^12-file scale costs O(Δ) + one broadcast map-side pass.
+
+    ``new_nodes``: optional single-column DataFrame of node ids that must
+    appear in the output even if isolated (the singleton-start invariant,
+    reference match_data.py:123-126).
+    """
+    spark = assignments.sparkSession
+    a = assignments.select("node", "component")
+    e = _canonical_edges(new_edges, src, dst)
+
+    lab_u = a.select(F.col("node").alias("u"), F.col("component").alias("cu"))
+    lab_v = a.select(F.col("node").alias("v"), F.col("component").alias("cv"))
+    label_edges = (
+        e.join(lab_u, "u", "left")
+        .join(lab_v, "v", "left")
+        .select(
+            F.coalesce("cu", F.col("u")).alias("lu"),
+            F.coalesce("cv", F.col("v")).alias("lv"),
+        )
+        .where(F.col("lu") != F.col("lv"))
+        .distinct()
+    )
+    _log(lineage, "cc_delta", 0, None, "contracted_label_graph", 1.0)
+    meta = connected_components(label_edges, "lu", "lv", lineage=lineage, **cc_kwargs)
+    relabel = meta.select(
+        F.col("node").alias("old_label"), F.col("component").alias("merged")
+    )
+
+    # Bounded by the delta, so broadcast: the full assignment table is never
+    # shuffled. For a Δ too big to broadcast, chunk the delta (each chunk is
+    # exact, see Exactness above) rather than lifting the hint.
+    relabel_b = F.broadcast(relabel)
+    out_old = (
+        a.join(relabel_b, a["component"] == relabel_b["old_label"], "left")
+        .select(a["node"], F.coalesce("merged", a["component"]).alias("component"))
+    )
+
+    ep = e.select(F.col("u").alias("node")).union(e.select(F.col("v").alias("node")))
+    if new_nodes is not None:
+        ep = ep.union(new_nodes.select(F.col(node_col).alias("node")))
+    fresh = ep.distinct().join(a.select("node"), "node", "left_anti")
+    out_new = (
+        fresh.join(relabel_b, fresh["node"] == relabel_b["old_label"], "left")
+        .select(fresh["node"], F.coalesce("merged", fresh["node"]).alias("component"))
+    )
+    return out_old.unionByName(out_new)
+
+
+def stable_entity_ids(
+    previous: DataFrame,
+    current: DataFrame,
+    mint_prefix: str = "n:",
+) -> DataFrame:
+    """Carry ENTITY IDS across re-clusterings: given last run's
+    ``previous`` (node, entity_id) and this run's ``current``
+    (node, component), return (node, entity_id) where every current
+    component keeps a prior entity id when it legitimately continues one,
+    and mints a deterministic new id otherwise.
+
+    Production ER needs ids that survive re-runs (downstream systems key on
+    the entity id, not on the min-member label, which changes whenever the
+    min member moves). Rules, each a deterministic total order:
+
+    1. A component's CANDIDATE id is the previous entity id held by the
+       plurality of its members (ties → lexicographically smallest id).
+    2. An entity id claimed by several components (a cluster SPLIT) stays
+       with the component holding the most of its members (ties →
+       smallest component label); the losers mint.
+    3. Components with no previously-seen member (or that lost rule 2)
+       mint ``mint_prefix + md5(component label)`` — deterministic and
+       namespace-disjoint from inherited ids as long as ids are only ever
+       created by this operator.
+
+    Shape: two groupBy aggs + arg-min via min(struct(-n, id)) — no
+    per-component windows, so a giant component never serializes into one
+    task's sort. The vote table is |nodes with a previous id| rows, the
+    argmax tables are |components| / |entity ids| rows.
+    """
+    prev = previous.select("node", "entity_id")
+    cur = current.select("node", "component")
+
+    votes = (
+        cur.join(prev, "node")
+        .groupBy("component", "entity_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # rule 1: best previous id per component (max n, then min id)
+    best_id = votes.groupBy("component").agg(
+        F.min(F.struct((-F.col("n")).alias("neg"), F.col("entity_id"))).alias("b")
+    ).select("component", F.col("b.entity_id").alias("candidate"))
+    # rule 2: winning component per previous id (max n, then min component)
+    winner = votes.groupBy("entity_id").agg(
+        F.min(F.struct((-F.col("n")).alias("neg"), F.col("component"))).alias("w")
+    ).select(F.col("entity_id").alias("candidate"), F.col("w.component").alias("wc"))
+
+    comp_ids = (
+        cur.select("component").distinct()
+        .join(best_id, "component", "left")
+        .join(winner, "candidate", "left")
+        .select(
+            "component",
+            F.when(
+                F.col("candidate").isNotNull() & (F.col("wc") == F.col("component")),
+                F.col("candidate"),
+            )
+            .otherwise(F.concat(F.lit(mint_prefix), F.md5(F.col("component"))))
+            .alias("entity_id"),
+        )
+    )
+    return cur.join(comp_ids, "component").select("node", "entity_id")
+
+
 def _log(lineage, stage, iteration, rows, metric, value):
     if lineage is not None:
         lineage.append(

@@ -77,3 +77,184 @@ def test_cc_lineage_metrics(spark):
     connected_components(edges, lineage=lineage).collect()
     assert any(e["metric"] == "edges" for e in lineage)
     assert any(e["stage"] == "cc" for e in lineage)
+
+
+# ---------------------------------------------------------------------------
+# delta CC: fold new edges into a persisted assignment, never re-read history
+# ---------------------------------------------------------------------------
+
+from nama_spark.operators.cluster import connected_components_delta, stable_entity_ids
+
+
+def _labels_map(df):
+    return {r["node"]: r["component"] for r in df.collect()}
+
+
+@pytest.mark.parametrize("threshold", [0, 10**6])
+@pytest.mark.parametrize("seed", [0, 1])
+def test_cc_delta_equals_full_recompute(spark, seed, threshold):
+    """Splitting a random edge set into base+delta and folding the delta into
+    the base assignment must equal CC over the union — exactly, including the
+    min-id labels, on both the distributed and the driver fast path."""
+    rng = random.Random(seed)
+    nodes = [f"n{i:04d}" for i in range(250)]
+    edges = list({(a, b) for a, b in (
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(300)
+    ) if a != b})
+    rng.shuffle(edges)
+    cut = len(edges) * 3 // 4
+    base, delta = edges[:cut], edges[cut:]
+
+    base_df = spark.createDataFrame(base, ["src", "dst"])
+    delta_df = spark.createDataFrame(delta, ["src", "dst"])
+    full_df = spark.createDataFrame(edges, ["src", "dst"])
+
+    assign = connected_components(base_df, small_graph_threshold=threshold)
+    got = connected_components_delta(
+        assign, delta_df, small_graph_threshold=threshold
+    )
+    want = connected_components(full_df, small_graph_threshold=threshold)
+    assert _labels_map(got) == _labels_map(want)
+
+
+def test_cc_delta_new_nodes_and_chain_merge(spark):
+    """A delta that (a) introduces brand-new nodes, (b) chains three old
+    components into one, and (c) contains a no-op internal edge."""
+    base = spark.createDataFrame(
+        [("a", "b"), ("c", "d"), ("e", "f")], ["src", "dst"]
+    )
+    assign = connected_components(base)
+    delta = spark.createDataFrame(
+        [("b", "c"), ("d", "e"),          # chain the three old components
+         ("f", "a"),                       # internal after the merges — no-op
+         ("x", "y"), ("y", "a0")],         # new nodes; a0 < a becomes the min
+        ["src", "dst"],
+    )
+    got = _labels_map(connected_components_delta(assign, delta))
+    # one merged component rooted at "a" (old), one new component rooted "a0"
+    assert got == {
+        "a": "a", "b": "a", "c": "a", "d": "a", "e": "a", "f": "a",
+        "x": "a0", "y": "a0", "a0": "a0",
+    }
+
+
+def test_cc_delta_isolated_new_nodes_and_empty_delta(spark):
+    base = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    assign = connected_components(base)
+    empty = spark.createDataFrame([], "src string, dst string")
+    iso = spark.createDataFrame([("z",), ("a",)], ["node"])
+    got = _labels_map(
+        connected_components_delta(assign, empty, new_nodes=iso)
+    )
+    assert got == {"a": "a", "b": "a", "z": "z"}
+
+
+def test_cc_delta_min_label_can_come_from_new_node(spark):
+    """A delta node smaller than every old member must become the root."""
+    base = spark.createDataFrame([("m", "p")], ["src", "dst"])
+    assign = connected_components(base)
+    delta = spark.createDataFrame([("b", "m")], ["src", "dst"])
+    got = _labels_map(connected_components_delta(assign, delta))
+    assert got == {"m": "b", "p": "b", "b": "b"}
+
+
+def test_cc_delta_chained_batches(spark):
+    """Day-over-day: folding two successive deltas equals one full solve."""
+    rng = random.Random(7)
+    nodes = [f"n{i:03d}" for i in range(120)]
+    edges = list({(a, b) for a, b in (
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(160)
+    ) if a != b})
+    d0, d1, d2 = edges[:80], edges[80:120], edges[120:]
+    assign = connected_components(spark.createDataFrame(d0, ["src", "dst"]))
+    assign = connected_components_delta(
+        assign, spark.createDataFrame(d1, ["src", "dst"])
+    )
+    got = connected_components_delta(
+        assign, spark.createDataFrame(d2, ["src", "dst"])
+    )
+    want = connected_components(spark.createDataFrame(edges, ["src", "dst"]))
+    assert _labels_map(got) == _labels_map(want)
+
+
+# ---------------------------------------------------------------------------
+# stable entity ids across re-clusterings
+# ---------------------------------------------------------------------------
+
+
+def _ids_map(df):
+    return {r["node"]: r["entity_id"] for r in df.collect()}
+
+
+def test_stable_ids_first_run_mints_deterministically(spark):
+    cur = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "c")], ["node", "component"]
+    )
+    prev = spark.createDataFrame([], "node string, entity_id string")
+    got = _ids_map(stable_entity_ids(prev, cur))
+    again = _ids_map(stable_entity_ids(prev, cur))
+    assert got == again
+    assert got["a"] == got["b"] != got["c"]
+    assert all(v.startswith("n:") for v in got.values())
+
+
+def test_stable_ids_survive_label_change_and_growth(spark):
+    """The component's min-member label changes (a0 joins) but the entity id
+    must carry over from the previous run."""
+    prev = spark.createDataFrame(
+        [("a", "E1"), ("b", "E1"), ("c", "E2")], ["node", "entity_id"]
+    )
+    cur = spark.createDataFrame(
+        [("a", "a0"), ("b", "a0"), ("a0", "a0"), ("c", "c")],
+        ["node", "component"],
+    )
+    got = _ids_map(stable_entity_ids(prev, cur))
+    assert got == {"a": "E1", "b": "E1", "a0": "E1", "c": "E2"}
+
+
+def test_stable_ids_merge_takes_plurality_then_min(spark):
+    """Two old entities merged: the id held by more members wins; on an exact
+    tie the lexicographically smaller id wins."""
+    prev = spark.createDataFrame(
+        [("a", "E2"), ("b", "E2"), ("c", "E1")], ["node", "entity_id"]
+    )
+    cur = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "a")], ["node", "component"]
+    )
+    assert set(_ids_map(stable_entity_ids(prev, cur)).values()) == {"E2"}
+
+    prev_tie = spark.createDataFrame(
+        [("a", "E2"), ("c", "E1")], ["node", "entity_id"]
+    )
+    cur_tie = spark.createDataFrame(
+        [("a", "a"), ("c", "a")], ["node", "component"]
+    )
+    assert set(_ids_map(stable_entity_ids(prev_tie, cur_tie)).values()) == {"E1"}
+
+
+def test_stable_ids_split_keeps_id_on_bigger_half(spark):
+    """An old entity split in two: the bigger fragment keeps the id, the
+    smaller mints — no id ever appears on two components."""
+    prev = spark.createDataFrame(
+        [("a", "E1"), ("b", "E1"), ("c", "E1"), ("d", "E1"), ("e", "E1")],
+        ["node", "entity_id"],
+    )
+    cur = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "a"), ("d", "d"), ("e", "d")],
+        ["node", "component"],
+    )
+    got = _ids_map(stable_entity_ids(prev, cur))
+    assert got["a"] == got["b"] == got["c"] == "E1"
+    assert got["d"] == got["e"] != "E1"
+    assert got["d"].startswith("n:")
+
+
+def test_stable_ids_partition_invariance(spark):
+    rng = random.Random(3)
+    prev_rows = [(f"n{i:03d}", f"E{rng.randrange(8)}") for i in range(100)]
+    cur_rows = [(f"n{i:03d}", f"n{rng.randrange(12):03d}") for i in range(100)]
+    prev = spark.createDataFrame(prev_rows, ["node", "entity_id"])
+    cur = spark.createDataFrame(cur_rows, ["node", "component"])
+    a = _ids_map(stable_entity_ids(prev, cur))
+    b = _ids_map(stable_entity_ids(prev.repartition(7), cur.repartition(13)))
+    assert a == b
