@@ -591,6 +591,26 @@ def q_stable_entity_ids(spark, sf_dir):
     )
 
 
+def q_monge_elkan_scores(spark, sf_dir):
+    """score.monge_elkan_scores — the canonical hybrid measure (Monge &
+    Elkan KDD'96): per-token best-match normalized-levenshtein, averaged,
+    in exact integer milli units. One fused JVM projection over the pair
+    stream (transform/array_max/aggregate) — no explode, no shuffle, no
+    Python. Pair source: consecutive-key part names (the fallback_scores
+    fixture)."""
+    from nama_spark.operators.score import monge_elkan_scores
+
+    part = _t(spark, sf_dir, "part")
+    a = part.select(F.col("p_partkey").alias("k"), F.col("p_name").alias("s0"))
+    b = part.select(
+        (F.col("p_partkey") - 1).alias("k"), F.col("p_name").alias("s1")
+    )
+    pairs = a.join(b, "k")
+    return monge_elkan_scores(pairs).select(
+        "k", "s0", "s1", "me01_milli", "me10_milli", "me_sym_milli"
+    )
+
+
 def q_ari_metric(spark, sf_dir):
     """evaluate.rand_scores — Rand index + Adjusted Rand Index (Hubert &
     Arabie 1985) from the pair-counting confusion cells, count-weighted.
@@ -2184,6 +2204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- NEW this round (r05, fourth session) ---
         "cc_delta_clusters": q_cc_delta_clusters,
+        "monge_elkan_scores": q_monge_elkan_scores,
         "stable_entity_ids": q_stable_entity_ids,
         "fs_gamma_patterns": q_fs_gamma_patterns,
         "fs_match_weights": q_fs_match_weights,
@@ -4687,6 +4708,42 @@ def oracle_sql() -> dict[str, str]:
         {_sql_cc_reach('nodes', 'edges')}
         SELECT cast(node AS BIGINT) AS doc_id, cast(min(r) AS BIGINT) AS cluster_id
         FROM reach GROUP BY node
+    """
+
+    # Monge–Elkan: same integer-milli arithmetic via DuckDB list lambdas;
+    # the only floats are the two floor(int/int) divisions, IEEE-identical
+    # cross-engine at these magnitudes.
+    q["monge_elkan_scores"] = """
+        WITH p AS (
+            SELECT a.p_partkey AS k, a.p_name AS s0, b.p_name AS s1
+            FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
+        ),
+        t AS (
+            SELECT k, s0, s1,
+                list_filter(string_split_regex(lower(s0), '[^A-Za-z0-9]+'),
+                            x -> x <> '') AS t0,
+                list_filter(string_split_regex(lower(s1), '[^A-Za-z0-9]+'),
+                            x -> x <> '') AS t1
+            FROM p
+        ),
+        d AS (
+            SELECT k, s0, s1,
+                CASE WHEN len(t0) > 0 THEN cast(floor(list_sum(list_transform(
+                    t0, a -> coalesce(list_max(list_transform(t1,
+                        b -> 1000 - cast(floor(levenshtein(a, b) * 1000.0
+                                 / greatest(len(a), len(b))) AS BIGINT))), 0)
+                )) * 1.0 / len(t0)) AS BIGINT) ELSE 0 END AS me01_milli,
+                CASE WHEN len(t1) > 0 THEN cast(floor(list_sum(list_transform(
+                    t1, a -> coalesce(list_max(list_transform(t0,
+                        b -> 1000 - cast(floor(levenshtein(a, b) * 1000.0
+                                 / greatest(len(a), len(b))) AS BIGINT))), 0)
+                )) * 1.0 / len(t1)) AS BIGINT) ELSE 0 END AS me10_milli
+            FROM t
+        )
+        SELECT k, s0, s1, me01_milli, me10_milli,
+               cast(floor((me01_milli + me10_milli) / 2.0) AS BIGINT)
+                   AS me_sym_milli
+        FROM d
     """
 
     # The delta-CC path must be INDISTINGUISHABLE from a full recompute, so

@@ -437,3 +437,72 @@ def explain_pairs(
     return merged.join(
         F.broadcast(weights.select("token", "weight")), "token"
     ).select("s0", "s1", "token", "in_s0", "in_s1", "shared", "weight")
+
+
+def monge_elkan_scores(
+    pairs: DataFrame,
+    s0: str = "s0",
+    s1: str = "s1",
+    lower: bool = True,
+) -> DataFrame:
+    """Monge–Elkan hybrid similarity (Monge & Elkan, KDD'96 §3): each token
+    of one string is matched to its BEST-matching token of the other, and
+    the per-token maxima are averaged — the standard remedy for token
+    reorderings with per-token typos ("Smith, John R." vs "Jon Smith"),
+    which pure set-jaccard (whole-token equality) scores near 0 and pure
+    edit distance scores low because of the reordering.
+
+    Inner similarity is the normalized Levenshtein in INTEGER MILLI units,
+        sim(a, b) = 1000 - floor(1000·lev(a, b) / max(len(a), len(b))),
+    so every value is exact integer arithmetic, bit-identical cross-engine
+    (the repo's house rule — float token similarities hash-diverge).
+    Directed means floor to milli as well. Returns ``pairs`` with
+
+        me01_milli  floor-mean over s0's tokens of their best s1 match
+        me10_milli  the reverse direction
+        me_sym_milli  floor((me01 + me10) / 2) — the symmetric variant
+
+    (empty-token sides score 0). Scale: the whole computation is ONE
+    projection of JVM higher-order array expressions (transform /
+    array_max / aggregate) over the pair stream — no explode, no extra
+    shuffle, no Python; cost is O(|tokens0|·|tokens1|) per pair, which for
+    name-length strings is a handful of cheap levenshteins inside
+    whole-stage codegen. Intended downstream of blocking, exactly where
+    add_fallback_scores sits.
+
+    No reference counterpart (nama scores whole strings); included because
+    Monge–Elkan is the canonical hybrid measure in the linkage literature.
+    """
+    from nama_spark.functions.tokenize import words
+
+    c0 = F.lower(F.col(s0)) if lower else F.col(s0)
+    c1 = F.lower(F.col(s1)) if lower else F.col(s1)
+
+    def sim_milli(a, b):
+        return F.lit(1000).cast("long") - F.floor(
+            (F.levenshtein(a, b).cast("long") * 1000)
+            / F.greatest(F.length(a), F.length(b))
+        )
+
+    def directed(ta, tb):
+        best = F.transform(
+            ta,
+            lambda a: F.coalesce(
+                F.array_max(F.transform(tb, lambda b: sim_milli(a, b))),
+                F.lit(0).cast("long"),
+            ),
+        )
+        total = F.aggregate(
+            best, F.lit(0).cast("long"), lambda acc, x: acc + x
+        )
+        return F.when(
+            F.size(ta) > 0, F.floor(total / F.size(ta))
+        ).otherwise(F.lit(0))
+
+    out = pairs.withColumn("_t0", words(c0)).withColumn("_t1", words(c1))
+    out = out.withColumn("me01_milli", directed(F.col("_t0"), F.col("_t1")))
+    out = out.withColumn("me10_milli", directed(F.col("_t1"), F.col("_t0")))
+    return out.withColumn(
+        "me_sym_milli",
+        F.floor((F.col("me01_milli") + F.col("me10_milli")) / 2),
+    ).drop("_t0", "_t1")

@@ -329,3 +329,74 @@ def test_select_uncertain_pairs(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         select_uncertain_pairs(scored, 0.5, band=0.0)
+
+
+# ---------------------------------------------------------------------------
+# Monge–Elkan hybrid similarity (integer-milli) vs a from-spec python oracle
+# ---------------------------------------------------------------------------
+
+
+def _lev(a, b):
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[len(b)]
+
+
+def _me_py(s0, s1):
+    import re
+
+    def toks(s):
+        return [t for t in re.split(r"[^A-Za-z0-9]+", s.lower()) if t]
+
+    def sim(a, b):
+        return 1000 - (1000 * _lev(a, b)) // max(len(a), len(b))
+
+    def directed(ta, tb):
+        if not ta:
+            return 0
+        return sum(max((sim(a, b) for b in tb), default=0) for a in ta) // len(ta)
+
+    t0, t1 = toks(s0), toks(s1)
+    me01, me10 = directed(t0, t1), directed(t1, t0)
+    return me01, me10, (me01 + me10) // 2
+
+
+def test_monge_elkan_matches_python_oracle(spark):
+    from nama_spark.operators.score import monge_elkan_scores
+
+    cases = [
+        ("Smith, John R.", "Jon Smith"),
+        ("peter christen", "christen p"),
+        ("alpha beta gamma", "gamma alpha beta"),
+        ("acme corp", "acme corporation"),
+        ("", "nonempty"),
+        ("one", ""),
+        ("Exact Match Ltd", "Exact Match Ltd"),
+        ("a1 b2 c3", "c3 a1"),
+        ("mueller", "muller gmbh & co kg"),
+    ]
+    df = spark.createDataFrame(cases, ["s0", "s1"])
+    got = {
+        (r["s0"], r["s1"]): (r["me01_milli"], r["me10_milli"], r["me_sym_milli"])
+        for r in monge_elkan_scores(df).collect()
+    }
+    for s0, s1 in cases:
+        assert got[(s0, s1)] == _me_py(s0, s1), (s0, s1)
+
+
+def test_monge_elkan_reordering_beats_whole_string(spark):
+    """The measure's raison d'être: token reordering with a typo scores high
+    while whole-string normalized levenshtein scores much lower."""
+    from nama_spark.operators.score import levenshtein_score, monge_elkan_scores
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("smith, john r.", "jon smith")], ["s0", "s1"])
+    out = monge_elkan_scores(df).withColumn(
+        "lev_milli", F.floor(levenshtein_score(F.col("s0"), F.col("s1")) * 1000)
+    ).first()
+    assert out["me_sym_milli"] > 700 > out["lev_milli"]
