@@ -1054,3 +1054,82 @@ def test_run_corpus_pipeline_bpe_stage(spark, tmp_path):
     assert shards.where(
         F.col("n_bpe_tokens") < F.col("n_words")
     ).count() == 0
+
+
+def test_run_delta_er_job(spark, tmp_path):
+    """jobs/run_delta_er.py: bootstrap on day-0 names, fold a day-1 delta of
+    typo'd twins into the persisted state — twins must land in their
+    original's group, entity ids must survive, state versions must advance,
+    and old groups must never split."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    try:
+        import run_delta_er
+    finally:
+        sys.path.pop(0)
+
+    day0 = spark.createDataFrame(
+        [(f"acme widget company {i}",) for i in range(30)], ["repo"]
+    )
+    day1 = spark.createDataFrame(
+        # typo'd twins of the first 10 + 5 brand-new singletons
+        [(f"acme widget compny {i}",) for i in range(10)]
+        + [(f"zzz unrelated {i}",) for i in range(5)],
+        ["repo"],
+    )
+    p0, p1 = str(tmp_path / "d0.parquet"), str(tmp_path / "d1.parquet")
+    day0.write.parquet(p0)
+    day1.write.parquet(p1)
+    state = str(tmp_path / "state")
+
+    rc = run_delta_er.main([
+        "--init", "--delta-input", p0, "--string-col", "repo",
+        "--state", state, "--threshold", "0.7",
+    ])
+    assert rc == 0
+    with open(state + "/CURRENT") as f:
+        assert f.read().strip() == "v000001"
+    c0 = spark.read.parquet(state + "/v000001/clusters")
+    ids0 = {r["node"]: r["entity_id"]
+            for r in spark.read.parquet(state + "/v000001/entity_ids").collect()}
+    groups0 = {r["string"]: r["group"] for r in c0.collect()}
+
+    rc = run_delta_er.main([
+        "--delta-input", p1, "--string-col", "repo",
+        "--state", state, "--threshold", "0.7",
+    ])
+    assert rc == 0
+    with open(state + "/CURRENT") as f:
+        assert f.read().strip() == "v000002"
+    c1 = spark.read.parquet(state + "/v000002/clusters")
+    groups1 = {r["string"]: r["group"] for r in c1.collect()}
+    ids1 = {r["node"]: r["entity_id"]
+            for r in spark.read.parquet(state + "/v000002/entity_ids").collect()}
+
+    # every typo'd twin joined its original's group
+    for i in range(10):
+        assert groups1[f"acme widget compny {i}"] == \
+            groups1[f"acme widget company {i}"], i
+    # the unrelated newcomers may match each other (they are mutual
+    # near-twins) but never an acme group
+    for i in range(5):
+        g = groups1[f"zzz unrelated {i}"]
+        members = [s for s, v in groups1.items() if v == g]
+        assert all(s.startswith("zzz") for s in members), members
+    # old groups never split (unite is monotone): same-group-before ⇒ same after
+    import itertools
+    for a, b in itertools.islice(itertools.combinations(groups0, 2), 500):
+        if groups0[a] == groups0[b]:
+            assert groups1[a] == groups1[b]
+    # entity ids survive for every day-0 string
+    for s in groups0:
+        assert ids1[s] == ids0[s], s
+    # twins share their original's entity id
+    for i in range(10):
+        assert ids1[f"acme widget compny {i}"] == \
+            ids1[f"acme widget company {i}"]
+    # carried token table covers the union universe exactly
+    toks = spark.read.parquet(state + "/v000002/tokens")
+    assert set(r["string"] for r in toks.select("string").distinct().collect()) \
+        == set(groups1)
