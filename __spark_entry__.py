@@ -591,6 +591,34 @@ def q_stable_entity_ids(spark, sf_dir):
     )
 
 
+def q_cluster_cohesion(spark, sf_dir):
+    """evaluate.cluster_cohesion — the ER audit table: per near-dup cluster,
+    member count, realized intra-cluster edge count, boundary (just-cut)
+    edge count, and exact integer-milli density. Low density = chain-merged
+    cluster (the CC over-merge smell); high boundary = threshold sitting in
+    a dense score region. Two label joins + two groupBys, all integers."""
+    from nama_spark.operators.dedup import near_dup_clusters
+    from nama_spark.operators.evaluate import cluster_cohesion
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = _doc_shingle_pairs(spark, sf_dir, threshold=0.5)
+    clusters = near_dup_clusters(pairs, docs.select("doc_id"))
+    out = cluster_cohesion(
+        clusters.select(
+            F.col("doc_id").cast("string").alias("node"),
+            F.col("cluster_id").cast("string").alias("component"),
+        ),
+        pairs.select(
+            F.col("id0").cast("string").alias("src"),
+            F.col("id1").cast("string").alias("dst"),
+        ),
+    )
+    return out.select(
+        F.col("cluster").cast("long").alias("cluster_id"),
+        "n_members", "n_edges_within", "n_boundary_edges", "density_milli",
+    )
+
+
 def q_monge_elkan_scores(spark, sf_dir):
     """score.monge_elkan_scores — the canonical hybrid measure (Monge &
     Elkan KDD'96): per-token best-match normalized-levenshtein, averaged,
@@ -608,6 +636,27 @@ def q_monge_elkan_scores(spark, sf_dir):
     pairs = a.join(b, "k")
     return monge_elkan_scores(pairs).select(
         "k", "s0", "s1", "me01_milli", "me10_milli", "me_sym_milli"
+    )
+
+
+def q_soft_tfidf_scores(spark, sf_dir):
+    """score.soft_tfidf_scores — SoftTFIDF (Cohen, Ravikumar & Fienberg,
+    IIWeb'03): corpus-IDF-weighted token match with Jaro-Winkler-softened
+    agreement (θ=0.9). Weights are two linear aggregates over the corpus
+    token table; JW runs once per DISTINCT token pair; the per-token
+    best-match argmax is a deterministic struct max. Pair source:
+    consecutive-key part names; corpus: all part names."""
+    from nama_spark.operators.score import soft_tfidf_scores
+
+    part = _t(spark, sf_dir, "part")
+    a = part.select(F.col("p_partkey").alias("k"), F.col("p_name").alias("s0"))
+    b = part.select(
+        (F.col("p_partkey") - 1).alias("k"), F.col("p_name").alias("s1")
+    )
+    pairs = a.join(b, "k")
+    corpus = part.select(F.col("p_name").alias("string"))
+    return soft_tfidf_scores(pairs, corpus, threshold=0.9).select(
+        "k", "s0", "s1", "soft01", "soft10", "soft_sym"
     )
 
 
@@ -2205,6 +2254,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW this round (r05, fourth session) ---
         "cc_delta_clusters": q_cc_delta_clusters,
         "monge_elkan_scores": q_monge_elkan_scores,
+        "soft_tfidf_scores": q_soft_tfidf_scores,
+        "cluster_cohesion": q_cluster_cohesion,
         "stable_entity_ids": q_stable_entity_ids,
         "fs_gamma_patterns": q_fs_gamma_patterns,
         "fs_match_weights": q_fs_match_weights,
@@ -4744,6 +4795,149 @@ def oracle_sql() -> dict[str, str]:
                cast(floor((me01_milli + me10_milli) / 2.0) AS BIGINT)
                    AS me_sym_milli
         FROM d
+    """
+
+    # soft_tfidf_scores: the decisions (threshold + argmax) run on
+    # round(jw, 5) in BOTH engines — the precision at which this repo's
+    # Jaro-Winkler is proven hash-identical to DuckDB's (fallback_scores
+    # row); the argmax tie-breaks on (jw5 DESC, token DESC), mirroring the
+    # Spark struct max. Weight formulas are ln-based like the green
+    # tokens_tfidf_weights row.
+    q["soft_tfidf_scores"] = """
+        WITH p0 AS (
+            SELECT a.p_partkey AS k, a.p_name AS s0, b.p_name AS s1
+            FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
+        ),
+        corpus AS (SELECT DISTINCT lower(p_name) AS string FROM part
+                   WHERE p_name IS NOT NULL),
+        pstr AS (
+            SELECT lower(s0) AS string FROM p0
+            UNION SELECT lower(s1) FROM p0
+        ),
+        allstr AS (SELECT string FROM corpus UNION SELECT string FROM pstr),
+        tfc AS (
+            SELECT string, w AS token, count(*) AS tf
+            FROM (
+                SELECT string,
+                       unnest(list_filter(
+                           string_split_regex(string, '[^A-Za-z0-9]+'),
+                           x -> x <> '')) AS w
+                FROM corpus
+            )
+            GROUP BY 1, 2
+        ),
+        nn AS (SELECT count(*) AS n FROM corpus),
+        dfc AS (SELECT token, count(*) AS df FROM tfc GROUP BY 1),
+        tf AS (
+            SELECT string, w AS token, count(*) AS tf
+            FROM (
+                SELECT string,
+                       unnest(list_filter(
+                           string_split_regex(string, '[^A-Za-z0-9]+'),
+                           x -> x <> '')) AS w
+                FROM allstr
+            )
+            GROUP BY 1, 2
+        ),
+        vt AS (
+            SELECT string, tf.token,
+                   ln(tf + 1.0) * ln((SELECT n FROM nn) * 1.0
+                                     / coalesce(df, 1)) AS v
+            FROM tf LEFT JOIN dfc USING (token)
+        ),
+        nrm AS (SELECT string, sqrt(sum(v * v)) AS nrm FROM vt GROUP BY 1),
+        wt AS (
+            SELECT vt.string, vt.token,
+                   CASE WHEN nrm > 0 THEN v / nrm ELSE 0.0 END AS V
+            FROM vt JOIN nrm USING (string)
+        ),
+        pp AS (SELECT DISTINCT lower(s0) AS l0, lower(s1) AS l1 FROM p0),
+        t0 AS (SELECT l0, l1, token AS w, V AS v0
+               FROM pp JOIN wt ON wt.string = pp.l0),
+        t1 AS (SELECT l0, l1, token AS u, V AS v1
+               FROM pp JOIN wt ON wt.string = pp.l1),
+        tp AS (
+            SELECT t0.l0, t0.l1, w, v0, u, v1,
+                   round(jaro_winkler_similarity(w, u), 5) AS jw5
+            FROM t0 JOIN t1 ON t0.l0 = t1.l0 AND t0.l1 = t1.l1
+        ),
+        b0 AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY l0, l1, w ORDER BY jw5 DESC, u DESC) AS rn
+            FROM tp
+        ),
+        c0 AS (
+            SELECT l0, l1, sum(v0 * v1 * jw5) AS soft01
+            FROM b0 WHERE rn = 1 AND jw5 > 0.9 GROUP BY 1, 2
+        ),
+        b1 AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY l0, l1, u ORDER BY jw5 DESC, w DESC) AS rn
+            FROM tp
+        ),
+        c1 AS (
+            SELECT l0, l1, sum(v0 * v1 * jw5) AS soft10
+            FROM b1 WHERE rn = 1 AND jw5 > 0.9 GROUP BY 1, 2
+        ),
+        res AS (
+            SELECT pp.l0, pp.l1,
+                   round(coalesce(soft01, 0.0), 5) AS soft01,
+                   round(coalesce(soft10, 0.0), 5) AS soft10,
+                   round((coalesce(soft01, 0.0) + coalesce(soft10, 0.0))
+                         / 2.0, 5) AS soft_sym
+            FROM pp
+            LEFT JOIN c0 ON c0.l0 = pp.l0 AND c0.l1 = pp.l1
+            LEFT JOIN c1 ON c1.l0 = pp.l0 AND c1.l1 = pp.l1
+        )
+        SELECT k, s0, s1, soft01, soft10, soft_sym
+        FROM p0
+        JOIN res ON res.l0 = lower(p0.s0) AND res.l1 = lower(p0.s1)
+    """
+
+    # cluster_cohesion: near-dup CC labels + per-cluster within/boundary
+    # edge counts. Boundary is counted once per endpoint cluster via two
+    # grouped counts summed at the end (UNION ALL is rejected inside a
+    # WITH RECURSIVE block by DuckDB's parser, same constraint as EXCEPT).
+    q["cluster_cohesion"] = f"""
+        WITH RECURSIVE {_SQL_JACCARD_PAIRS},
+        edges AS (
+            SELECT cast(id0 AS VARCHAR) AS u, cast(id1 AS VARCHAR) AS v
+            FROM jac WHERE jaccard >= 0.5
+        ),
+        nodes AS (SELECT cast(doc_id AS VARCHAR) AS node FROM documents),
+        {_sql_cc_reach('nodes', 'edges')},
+        lab AS (SELECT node, min(r) AS c FROM reach GROUP BY node),
+        le AS (
+            SELECT l0.c AS cu, l1.c AS cv
+            FROM edges e
+            JOIN lab l0 ON l0.node = e.u
+            JOIN lab l1 ON l1.node = e.v
+        ),
+        within AS (
+            SELECT cu AS cluster, count(*) AS n_edges_within
+            FROM le WHERE cu = cv GROUP BY 1
+        ),
+        bnd0 AS (
+            SELECT cu AS cluster, count(*) AS nb
+            FROM le WHERE cu <> cv GROUP BY 1
+        ),
+        bnd1 AS (
+            SELECT cv AS cluster, count(*) AS nb
+            FROM le WHERE cu <> cv GROUP BY 1
+        ),
+        mem AS (SELECT c AS cluster, count(*) AS n_members FROM lab GROUP BY 1)
+        SELECT cast(m.cluster AS BIGINT) AS cluster_id,
+               m.n_members,
+               coalesce(w.n_edges_within, 0) AS n_edges_within,
+               coalesce(b0.nb, 0) + coalesce(b1.nb, 0) AS n_boundary_edges,
+               CASE WHEN m.n_members > 1
+                    THEN (coalesce(w.n_edges_within, 0) * 2000)
+                         // (m.n_members * (m.n_members - 1))
+                    ELSE 1000 END AS density_milli
+        FROM mem m
+        LEFT JOIN within w USING (cluster)
+        LEFT JOIN bnd0 b0 USING (cluster)
+        LEFT JOIN bnd1 b1 USING (cluster)
     """
 
     # The delta-CC path must be INDISTINGUISHABLE from a full recompute, so

@@ -257,3 +257,85 @@ def rand_scores(predicted: MatchData, gold: MatchData, use_counts: bool = True) 
     denom = (tp + fn) * (fn + tn) + (tp + fp) * (fp + tn)
     ari = 2 * (tp * tn - fn * fp) / denom if denom else 0.0
     return {"RI": ri, "ARI": ari, **cells}
+
+
+def cluster_cohesion(
+    clusters: DataFrame,
+    edges: DataFrame,
+    node_col: str = "node",
+    cluster_col: str = "component",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-cluster COHESION audit over an ER partition and the match-edge
+    set that produced it: how densely is each cluster internally connected,
+    and how many near-miss edges straddle its boundary?
+
+    Returns one row per cluster:
+
+        cluster, n_members,
+        n_edges_within    distinct canonical edges with both ends inside
+        n_boundary_edges  distinct canonical edges with exactly one end
+                          inside (each boundary edge counts for BOTH of the
+                          two clusters it touches)
+        density_milli     floor(2000·E_within / (n·(n−1))) — the realized
+                          fraction of the n·(n−1)/2 possible intra-cluster
+                          pairs, in exact integer milli units; singletons
+                          are vacuously 1000
+
+    Reading the report: transitive closure (CC) unites a cluster through
+    ANY connecting path, so low density flags chain-merged clusters that a
+    pairwise reviewer would likely split (the classic CC over-merge smell),
+    and a high boundary count flags a threshold sitting inside a dense
+    score region (many just-cut edges). This is the audit table behind the
+    giant-component guard in unite_similar (constrained.py).
+
+    Shape: two label equi-joins onto the edge list + two groupBys — no
+    windows, no per-cluster serialization; edge rows carry only (cluster,
+    cluster), so nothing wide crosses the shuffle. All-integer output.
+    """
+    lab = clusters.select(
+        F.col(node_col).alias("_n"), F.col(cluster_col).alias("_c")
+    )
+    u = F.least(F.col(src), F.col(dst))
+    v = F.greatest(F.col(src), F.col(dst))
+    e = (
+        edges.select(u.alias("u"), v.alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .join(lab.withColumnsRenamed({"_n": "u", "_c": "cu"}), "u")
+        .join(lab.withColumnsRenamed({"_n": "v", "_c": "cv"}), "v")
+        .select("cu", "cv")
+    )
+    within = (
+        e.where(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("cluster"))
+        .agg(F.count(F.lit(1)).alias("n_edges_within"))
+    )
+    boundary = (
+        e.where(F.col("cu") != F.col("cv"))
+        .select(F.col("cu").alias("cluster"))
+        .union(e.where(F.col("cu") != F.col("cv")).select(F.col("cv").alias("cluster")))
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_boundary_edges"))
+    )
+    members = lab.groupBy(F.col("_c").alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    out = (
+        members.join(within, "cluster", "left")
+        .join(boundary, "cluster", "left")
+        .select(
+            "cluster",
+            "n_members",
+            F.coalesce("n_edges_within", F.lit(0)).alias("n_edges_within"),
+            F.coalesce("n_boundary_edges", F.lit(0)).alias("n_boundary_edges"),
+        )
+    )
+    n = F.col("n_members")
+    return out.withColumn(
+        "density_milli",
+        F.when(n > 1, F.floor((F.col("n_edges_within") * 2000) / (n * (n - 1))))
+        .otherwise(F.lit(1000))
+        .cast("long"),
+    )

@@ -506,3 +506,152 @@ def monge_elkan_scores(
         "me_sym_milli",
         F.floor((F.col("me01_milli") + F.col("me10_milli")) / 2),
     ).drop("_t0", "_t1")
+
+
+def soft_tfidf_scores(
+    pairs: DataFrame,
+    corpus: DataFrame,
+    string_col: str = "string",
+    s0: str = "s0",
+    s1: str = "s1",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """SoftTFIDF (Cohen, Ravikumar & Fienberg, IIWeb'03 §2) — the other
+    canonical hybrid measure next to Monge–Elkan: corpus-IDF-weighted token
+    match where "match" is softened from equality to Jaro-Winkler > θ.
+    Rare agreeing tokens dominate the score; boilerplate tokens ("inc",
+    "llc") contribute almost nothing even when they agree — exactly the
+    failure mode of the unweighted hybrids.
+
+    Per string s over a lowercased word tokenization of ``corpus``:
+
+        v(w, s) = ln(tf(w,s) + 1) · ln(N / df(w))      (secondstring's
+        V(w, s) = v(w, s) / ‖v(·, s)‖₂                  SoftTFIDF weights)
+
+    and for a pair (s, t) with CLOSE(θ) = tokens w of s whose best
+    Jaro-Winkler match u* in t has jw5(w, u*) > θ:
+
+        soft01 = Σ_{w ∈ CLOSE} V(w, s) · V(u*, t) · jw5(w, u*)
+
+    ``jw5`` is Jaro-Winkler rounded to 5 decimals BEFORE every decision
+    (threshold + argmax), the precision at which this repo's JW is proven
+    hash-identical to DuckDB's (fallback_scores row); the best-match
+    argmax tie-breaks deterministically on (jw5, token) via a struct max,
+    so the score is engine- and partition-invariant. soft10 is the
+    reverse direction, soft_sym their mean; all rounded to 5.
+
+    Scale shape: weights are two linear aggregates over the corpus token
+    table (tf join df, then an L2-norm groupBy); the pair stage is two
+    equi-joins fanning each pair out to its token cross product (≤ a few
+    dozen rows for name-length strings), with Jaro-Winkler evaluated once
+    per DISTINCT token pair (an Arrow-batched pandas UDF over the deduped
+    (w, u) table, never per occurrence) and joined back — at web scale the
+    distinct-token-pair table is orders of magnitude smaller than the
+    occurrence stream. No windows; argmax is a groupBy struct-max.
+
+    No reference counterpart (nama scores whole strings); included because
+    SoftTFIDF is the standard TF-IDF-weighted hybrid in the linkage
+    literature and composes with the existing token_weights machinery.
+    """
+    from nama_spark.functions.tokenize import tokens_table
+
+    low = (
+        corpus.select(F.lower(F.col(string_col)).alias("string"))
+        .where(F.col("string").isNotNull())
+        .distinct()
+    )
+    n_strings = low.count()  # scalar corpus size (one action, one value)
+    # IDF statistics come from the corpus alone, but weight ROWS must also
+    # exist for pair strings outside it (linking a fresh batch against a
+    # trained corpus) — a token unseen in the corpus gets df = 1, the
+    # maximum rarity (secondstring's unseen-token convention).
+    pair_strings = (
+        pairs.select(F.lower(F.col(s0)).alias("string"))
+        .union(pairs.select(F.lower(F.col(s1)).alias("string")))
+        .where(F.col("string").isNotNull())
+        .distinct()
+    )
+    corpus_toks = tokens_table(low, tokenizer="words")  # (string, token, tf)
+    df_tab = corpus_toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    toks = tokens_table(low.union(pair_strings).distinct(), tokenizer="words")
+    v = F.log(F.col("tf") + F.lit(1.0)) * F.log(
+        F.lit(float(n_strings)) / F.coalesce(F.col("df"), F.lit(1)).cast("double")
+    )
+    vtab = toks.join(df_tab, "token", "left").select(
+        "string", "token", v.alias("v")
+    )
+    nrm = vtab.groupBy("string").agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm")
+    )
+    wtab = vtab.join(nrm, "string").select(
+        "string",
+        "token",
+        F.when(F.col("nrm") > 0, F.col("v") / F.col("nrm"))
+        .otherwise(F.lit(0.0))
+        .alias("V"),
+    )
+
+    p = pairs.select(
+        F.lower(F.col(s0)).alias("l0"), F.lower(F.col(s1)).alias("l1")
+    ).distinct()
+    t0 = p.join(
+        wtab.select(
+            F.col("string").alias("l0"),
+            F.col("token").alias("w"),
+            F.col("V").alias("v0"),
+        ),
+        "l0",
+    )
+    t1 = p.join(
+        wtab.select(
+            F.col("string").alias("l1"),
+            F.col("token").alias("u"),
+            F.col("V").alias("v1"),
+        ),
+        "l1",
+    )
+    tp = t0.join(t1, ["l0", "l1"])
+
+    jw = jaro_winkler_udf()
+    tok_pairs = (
+        tp.select("w", "u")
+        .distinct()
+        .withColumn("jw5", F.round(jw(F.col("w"), F.col("u")), 5))
+    )
+    tp = tp.join(tok_pairs, ["w", "u"])
+
+    def directed(key_tok, key_v, other_tok, other_v, out_col):
+        best = tp.groupBy("l0", "l1", key_tok, key_v).agg(
+            F.max(F.struct("jw5", other_tok, other_v)).alias("b")
+        )
+        return (
+            best.where(F.col("b.jw5") > threshold)
+            .groupBy("l0", "l1")
+            .agg(
+                F.sum(
+                    F.col(key_v) * F.col(f"b.{other_v}") * F.col("b.jw5")
+                ).alias(out_col)
+            )
+        )
+
+    c0 = directed("w", "v0", "u", "v1", "soft01")
+    c1 = directed("u", "v1", "w", "v0", "soft10")
+    res = (
+        p.join(c0, ["l0", "l1"], "left")
+        .join(c1, ["l0", "l1"], "left")
+        .select(
+            "l0",
+            "l1",
+            F.round(F.coalesce("soft01", F.lit(0.0)), 5).alias("soft01"),
+            F.round(F.coalesce("soft10", F.lit(0.0)), 5).alias("soft10"),
+            F.round(
+                (F.coalesce("soft01", F.lit(0.0)) + F.coalesce("soft10", F.lit(0.0)))
+                / 2.0,
+                5,
+            ).alias("soft_sym"),
+        )
+    )
+    keyed = pairs.withColumn("l0", F.lower(F.col(s0))).withColumn(
+        "l1", F.lower(F.col(s1))
+    )
+    return keyed.join(res, ["l0", "l1"]).drop("l0", "l1")

@@ -258,3 +258,56 @@ def test_stable_ids_partition_invariance(spark):
     a = _ids_map(stable_entity_ids(prev, cur))
     b = _ids_map(stable_entity_ids(prev.repartition(7), cur.repartition(13)))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# cluster cohesion audit
+# ---------------------------------------------------------------------------
+
+
+def test_cluster_cohesion_vs_bruteforce(spark):
+    from nama_spark.operators.evaluate import cluster_cohesion
+
+    rng = random.Random(11)
+    nodes = [f"n{i:03d}" for i in range(60)]
+    comp = {n: f"c{rng.randrange(6)}" for n in nodes}
+    edges = list({(a, b) for a, b in (
+        tuple(sorted((rng.choice(nodes), rng.choice(nodes))))
+        for _ in range(150)
+    ) if a != b})
+
+    got = {
+        r["cluster"]: (r["n_members"], r["n_edges_within"],
+                       r["n_boundary_edges"], r["density_milli"])
+        for r in cluster_cohesion(
+            spark.createDataFrame(list(comp.items()), ["node", "component"]),
+            spark.createDataFrame(edges, ["src", "dst"]),
+        ).collect()
+    }
+
+    want = {}
+    for c in set(comp.values()):
+        members = [n for n in nodes if comp[n] == c]
+        n = len(members)
+        within = sum(1 for a, b in edges if comp[a] == c and comp[b] == c)
+        boundary = sum(1 for a, b in edges if (comp[a] == c) != (comp[b] == c))
+        dens = (2000 * within) // (n * (n - 1)) if n > 1 else 1000
+        want[c] = (n, within, boundary, dens)
+    assert got == want
+
+
+def test_cluster_cohesion_flags_chain_merge(spark):
+    """A chain-merged cluster (CC's over-merge smell) must score much lower
+    density than a clique of the same size."""
+    from nama_spark.operators.evaluate import cluster_cohesion
+
+    chain = [(f"a{i}", f"a{i+1}") for i in range(5)]           # 6 nodes, 5 edges
+    clique = [(f"b{i}", f"b{j}") for i in range(6) for j in range(i + 1, 6)]
+    clusters = spark.createDataFrame(
+        [(f"a{i}", "A") for i in range(6)] + [(f"b{i}", "B") for i in range(6)],
+        ["node", "component"],
+    )
+    edges = spark.createDataFrame(chain + clique, ["src", "dst"])
+    got = {r["cluster"]: r["density_milli"]
+           for r in cluster_cohesion(clusters, edges).collect()}
+    assert got["B"] == 1000 and got["A"] == (2000 * 5) // 30 == 333

@@ -400,3 +400,107 @@ def test_monge_elkan_reordering_beats_whole_string(spark):
         "lev_milli", F.floor(levenshtein_score(F.col("s0"), F.col("s1")) * 1000)
     ).first()
     assert out["me_sym_milli"] > 700 > out["lev_milli"]
+
+
+# ---------------------------------------------------------------------------
+# SoftTFIDF (Cohen, Ravikumar & Fienberg 2003)
+# ---------------------------------------------------------------------------
+
+
+def _soft_py(pairs, corpus, threshold=0.9):
+    import math
+    import re
+
+    from nama_spark.operators.score import _jaro_winkler_np
+
+    def toks(s):
+        return [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
+
+    low = sorted({c.lower() for c in corpus})
+    n = len(low)
+    tf, df = {}, {}
+    for s in low:
+        for t in toks(s):
+            tf[(s, t)] = tf.get((s, t), 0) + 1
+    for s, t in tf:
+        df[t] = df.get(t, 0) + 1
+
+    def weights(s):
+        vv = {t: math.log(tf[(s, t)] + 1) * math.log(n / df[t])
+              for t in set(toks(s))}
+        nrm = math.sqrt(sum(x * x for x in vv.values()))
+        return {t: (x / nrm if nrm > 0 else 0.0) for t, x in vv.items()}
+
+    def soft(a, b):
+        va, vb = weights(a), weights(b)
+        tot = 0.0
+        for w, vw in sorted(va.items()):
+            best = max(
+                ((round(_jaro_winkler_np(w, u), 5), u) for u in vb),
+                default=None,
+            )
+            if best and best[0] > threshold:
+                tot += vw * vb[best[1]] * best[0]
+        return tot
+
+    out = {}
+    for a, b in pairs:
+        la, lb = a.lower(), b.lower()
+        out[(a, b)] = (
+            round(soft(la, lb), 5),
+            round(soft(lb, la), 5),
+            round((soft(la, lb) + soft(lb, la)) / 2, 5),
+        )
+    return out
+
+
+def test_soft_tfidf_matches_python_oracle(spark):
+    from nama_spark.operators.score import soft_tfidf_scores
+
+    corpus = [
+        "Smith John R", "Jon Smith", "Acme Inc", "Acme Corp Inc",
+        "Global Widgets Inc", "John Doe", "Doe Jon widgets",
+        "smyth jhon", "Acme Glbal Widgets",
+    ]
+    pairs = [
+        ("Smith John R", "Jon Smith"),
+        ("Acme Inc", "Acme Corp Inc"),
+        ("Global Widgets Inc", "Doe Jon widgets"),
+        ("John Doe", "Jon Smith"),
+        ("smyth jhon", "Smith John R"),
+        ("Acme Glbal Widgets", "Global Widgets Inc"),
+        ("Acme Inc", "Jon Smith"),          # nothing close → 0
+        ("Acme Inc", "Acme Inc"),           # identity → ~1
+    ]
+    cdf = spark.createDataFrame([(c,) for c in corpus], ["string"])
+    pdf = spark.createDataFrame(pairs, ["s0", "s1"])
+    got = {
+        (r["s0"], r["s1"]): (r["soft01"], r["soft10"], r["soft_sym"])
+        for r in soft_tfidf_scores(pdf, cdf, threshold=0.9).collect()
+    }
+    want = _soft_py(pairs, corpus)
+    for k in pairs:
+        assert all(abs(a - b) < 1e-9 for a, b in zip(got[k], want[k])), (
+            k, got[k], want[k])
+    assert got[("Acme Inc", "Jon Smith")] == (0.0, 0.0, 0.0)
+    assert got[("Acme Inc", "Acme Inc")][2] > 0.999
+
+
+def test_soft_tfidf_rare_token_dominates(spark):
+    """The measure's raison d'être: an agreeing RARE token outweighs an
+    agreeing boilerplate token, even with equal token counts."""
+    from nama_spark.operators.score import soft_tfidf_scores
+
+    corpus = [f"filler{i} inc" for i in range(20)] + [
+        "zyxware solutions inc", "zyxware systems inc",
+        "alpha solutions inc", "beta systems inc",
+    ]
+    pairs = [
+        ("zyxware solutions inc", "zyxware systems inc"),  # rare token agrees
+        ("alpha solutions inc", "beta systems inc"),       # only 'inc' agrees
+    ]
+    cdf = spark.createDataFrame([(c,) for c in corpus], ["string"])
+    pdf = spark.createDataFrame(pairs, ["s0", "s1"])
+    got = {(r["s0"], r["s1"]): r["soft_sym"]
+           for r in soft_tfidf_scores(pdf, cdf).collect()}
+    assert got[pairs[0]] > 3 * max(got[pairs[1]], 0.01)
