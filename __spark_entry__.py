@@ -639,6 +639,106 @@ def q_monge_elkan_scores(spark, sf_dir):
     )
 
 
+_FS_NULL_PARAMS = {
+    "g_nation": {0: (0.05, 0.96), 1: (0.95, 0.04)},
+    "g_segment": {0: (0.10, 0.80), 1: (0.90, 0.20)},
+    "g_code": {0: (0.08, 0.92), 1: (0.92, 0.08)},
+}
+
+
+def q_fs_null_weights(spark, sf_dir):
+    """fellegi_sunter.null_aware + match_weights with MISSING fields: the
+    Splink null-level convention — a NULL on either side sets the gamma to
+    -1, which carries weight 0 (absence of evidence ≠ disagreement).
+    Consecutive-custkey pairs with deterministic synthetic missingness
+    (segment nulled when custkey%7==0, name-code when custkey%5==0)."""
+    from nama_spark.operators.fellegi_sunter import match_weights, null_aware
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None)).otherwise(
+            F.col("c_mktsegment")
+        ).alias("seg"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit(None)).otherwise(
+            F.substring("c_name", -2, 2)
+        ).alias("pre"),
+    )
+    a = c.select([F.col(x).alias(f"{x}_a") for x in c.columns])
+    b = c.select([F.col(x).alias(f"{x}_b") for x in c.columns])
+    pairs = a.join(
+        b, F.col("c_custkey_b") == F.col("c_custkey_a") + 1
+    )
+    g = pairs.select(
+        F.col("c_custkey_a").alias("c0"),
+        F.col("c_custkey_b").alias("c1"),
+        null_aware(
+            F.when(F.col("c_nationkey_a") == F.col("c_nationkey_b"), 1)
+            .otherwise(0),
+            F.col("c_nationkey_a"), F.col("c_nationkey_b"),
+        ).alias("g_nation"),
+        null_aware(
+            F.when(F.col("seg_a") == F.col("seg_b"), 1).otherwise(0),
+            F.col("seg_a"), F.col("seg_b"),
+        ).alias("g_segment"),
+        null_aware(
+            F.when(F.col("pre_a") == F.col("pre_b"), 1).otherwise(0),
+            F.col("pre_a"), F.col("pre_b"),
+        ).alias("g_code"),
+    )
+    return match_weights(
+        g, _FS_NULL_PARAMS, ["g_nation", "g_segment", "g_code"]
+    ).select(
+        "c0", "c1", "g_nation", "g_segment", "g_code",
+        F.col("weight_milli").cast("long").alias("weight_milli"),
+    )
+
+
+def q_rule_cascade_links(spark, sf_dir):
+    """linkage.rule_cascade_links — deterministic waterfall linkage with
+    rule provenance: verbatim → lower-first-3-tokens → stopword-stripped
+    sorted token set; first rule that fires wins, ties broken by smallest
+    right id. Left side: part names perturbed by partkey%4 (verbatim /
+    UPPER / 'incorporated ' prefix / 'the ' prefix) so each rule tier is
+    exercised. One equi-join per rule + one per-left-id window."""
+    from nama_spark.functions.tokenize import words
+    from nama_spark.operators.linkage import rule_cascade_links
+
+    part = _t(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    left = part.select(
+        pk.alias("id0"),
+        F.when(pk % 4 == 0, F.col("p_name"))
+        .when(pk % 4 == 1, F.upper(F.col("p_name")))
+        .when(pk % 4 == 2, F.concat(F.lit("incorporated "), F.col("p_name")))
+        .otherwise(F.concat(F.lit("the "), F.col("p_name")))
+        .alias("name"),
+    )
+    right = part.select(pk.alias("id1"), F.col("p_name").alias("name"))
+
+    stop = ("the", "incorporated", "inc")
+
+    def k_exact(df):
+        return F.col("name")
+
+    def k_first3(df):
+        return F.concat_ws(" ", F.slice(words(F.lower(F.col("name"))), 1, 3))
+
+    def k_tokenset(df):
+        toks = words(F.lower(F.col("name")))
+        kept = F.filter(toks, lambda w: ~w.isin(*stop))
+        return F.concat_ws(" ", F.array_sort(F.array_distinct(kept)))
+
+    rules = [
+        ("exact", k_exact, k_exact),
+        ("first3", k_first3, k_first3),
+        ("tokenset", k_tokenset, k_tokenset),
+    ]
+    return rule_cascade_links(left, right, rules).select(
+        "id0", "id1", "rule", F.col("rule_idx").cast("long").alias("rule_idx")
+    )
+
+
 def q_soft_tfidf_scores(spark, sf_dir):
     """score.soft_tfidf_scores — SoftTFIDF (Cohen, Ravikumar & Fienberg,
     IIWeb'03): corpus-IDF-weighted token match with Jaro-Winkler-softened
@@ -2255,6 +2355,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_delta_clusters": q_cc_delta_clusters,
         "monge_elkan_scores": q_monge_elkan_scores,
         "soft_tfidf_scores": q_soft_tfidf_scores,
+        "rule_cascade_links": q_rule_cascade_links,
+        "fs_null_weights": q_fs_null_weights,
         "cluster_cohesion": q_cluster_cohesion,
         "stable_entity_ids": q_stable_entity_ids,
         "fs_gamma_patterns": q_fs_gamma_patterns,
@@ -4795,6 +4897,112 @@ def oracle_sql() -> dict[str, str]:
                cast(floor((me01_milli + me10_milli) / 2.0) AS BIGINT)
                    AS me_sym_milli
         FROM d
+    """
+
+    # fs_null_weights: the null-level convention in SQL — gamma = -1 when
+    # either side is NULL, and the weight CASE maps -1 to 0. Milli weights
+    # are the same driver-side literals the Spark expression embeds.
+    _wn = milli_weights(_FS_NULL_PARAMS)
+    q["fs_null_weights"] = f"""
+        WITH c AS (
+            SELECT c_custkey, c_nationkey,
+                   CASE WHEN c_custkey % 7 = 0 THEN NULL
+                        ELSE c_mktsegment END AS seg,
+                   CASE WHEN c_custkey % 5 = 0 THEN NULL
+                        ELSE right(c_name, 2) END AS pre
+            FROM customer
+        ),
+        g AS (
+            SELECT a.c_custkey AS c0, b.c_custkey AS c1,
+                   CASE WHEN a.c_nationkey IS NULL OR b.c_nationkey IS NULL
+                        THEN -1
+                        WHEN a.c_nationkey = b.c_nationkey THEN 1
+                        ELSE 0 END AS g_nation,
+                   CASE WHEN a.seg IS NULL OR b.seg IS NULL THEN -1
+                        WHEN a.seg = b.seg THEN 1 ELSE 0 END AS g_segment,
+                   CASE WHEN a.pre IS NULL OR b.pre IS NULL THEN -1
+                        WHEN a.pre = b.pre THEN 1 ELSE 0 END AS g_code
+            FROM c a JOIN c b ON b.c_custkey = a.c_custkey + 1
+        )
+        SELECT c0, c1, g_nation, g_segment, g_code,
+               CAST(
+                 (CASE g_nation WHEN -1 THEN 0
+                                WHEN 0 THEN {_wn['g_nation'][0]}
+                                ELSE {_wn['g_nation'][1]} END)
+               + (CASE g_segment WHEN -1 THEN 0
+                                 WHEN 0 THEN {_wn['g_segment'][0]}
+                                 ELSE {_wn['g_segment'][1]} END)
+               + (CASE g_code WHEN -1 THEN 0
+                               WHEN 0 THEN {_wn['g_code'][0]}
+                               ELSE {_wn['g_code'][1]} END)
+               AS BIGINT) AS weight_milli
+        FROM g
+    """
+
+    # rule_cascade_links: one candidate CTE per rule (equi-join on that
+    # rule's key), union, first-rule-wins via row_number (rule_idx, id1) —
+    # the exact mirror of the Spark window.
+    q["rule_cascade_links"] = """
+        WITH lft AS (
+            SELECT p_partkey AS id0,
+                   CASE CAST(p_partkey % 4 AS INTEGER)
+                        WHEN 0 THEN p_name
+                        WHEN 1 THEN upper(p_name)
+                        WHEN 2 THEN 'incorporated ' || p_name
+                        ELSE 'the ' || p_name END AS name
+            FROM part
+        ),
+        rgt AS (SELECT p_partkey AS id1, p_name AS name FROM part),
+        lk AS (
+            SELECT id0, name,
+                   list_filter(string_split_regex(lower(name), '[^a-z0-9]+'),
+                               x -> x <> '') AS toks
+            FROM lft
+        ),
+        rk AS (
+            SELECT id1, name,
+                   list_filter(string_split_regex(lower(name), '[^a-z0-9]+'),
+                               x -> x <> '') AS toks
+            FROM rgt
+        ),
+        lkeys AS (
+            SELECT id0,
+                   name AS k_exact,
+                   array_to_string(list_slice(toks, 1, 3), ' ') AS k_first3,
+                   array_to_string(list_sort(list_distinct(list_filter(toks,
+                       x -> x NOT IN ('the', 'incorporated', 'inc')))), ' ')
+                       AS k_tokenset
+            FROM lk
+        ),
+        rkeys AS (
+            SELECT id1,
+                   name AS k_exact,
+                   array_to_string(list_slice(toks, 1, 3), ' ') AS k_first3,
+                   array_to_string(list_sort(list_distinct(list_filter(toks,
+                       x -> x NOT IN ('the', 'incorporated', 'inc')))), ' ')
+                       AS k_tokenset
+            FROM rk
+        ),
+        c0 AS (SELECT id0, id1, 0 AS rule_idx, 'exact' AS rule
+               FROM lkeys JOIN rkeys USING (k_exact)
+               WHERE k_exact IS NOT NULL),
+        c1 AS (SELECT id0, id1, 1 AS rule_idx, 'first3' AS rule
+               FROM lkeys JOIN rkeys USING (k_first3)
+               WHERE k_first3 IS NOT NULL),
+        c2 AS (SELECT id0, id1, 2 AS rule_idx, 'tokenset' AS rule
+               FROM lkeys JOIN rkeys USING (k_tokenset)
+               WHERE k_tokenset IS NOT NULL),
+        cands AS (
+            SELECT * FROM c0 UNION ALL SELECT * FROM c1
+            UNION ALL SELECT * FROM c2
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY id0 ORDER BY rule_idx, id1) AS rn
+            FROM cands
+        )
+        SELECT id0, id1, rule, CAST(rule_idx AS BIGINT) AS rule_idx
+        FROM ranked WHERE rn = 1
     """
 
     # soft_tfidf_scores: the decisions (threshold + argmax) run on

@@ -70,6 +70,13 @@ def em_fit(
       E:  p_γ = λ·∏ m_i(γ_i) / (λ·∏ m_i(γ_i) + (1−λ)·∏ u_i(γ_i))
       M:  λ     = Σ n_γ p_γ / Σ n_γ
           m_i(l) = Σ_{γ_i=l} n_γ p_γ / Σ n_γ p_γ        (u_i with 1−p_γ)
+
+    Missing data: level ``-1`` means "comparison unobservable for this
+    pair" (a NULL on either side — see ``null_aware``). A -1 comparison is
+    MARGINALIZED: it contributes factor 1 to both class likelihoods in the
+    E-step and is excluded from that comparison's M-step mass (Splink's
+    null-level convention). With no -1 levels anywhere the updates reduce
+    exactly to the unmodified formulas.
     """
     if isinstance(patterns, DataFrame):
         patterns = patterns.collect()
@@ -97,6 +104,8 @@ def em_fit(
         for g, n in rows:
             pm, pu = lam, 1.0 - lam
             for c, l in zip(gamma_cols, g):
+                if int(l) < 0:  # unobservable comparison: marginalize
+                    continue
                 m, u = params[c][int(l)]
                 pm *= m
                 pu *= u
@@ -104,19 +113,24 @@ def em_fit(
             resp.append(p)
         # M-step
         sm = sum(n * p for (_, n), p in zip(rows, resp))
-        su = total - sm
         lam = sm / total
         new_params = {}
         for ci, c in enumerate(gamma_cols):
             mm = {l: 0.0 for l in range(n_levels[c])}
             uu = {l: 0.0 for l in range(n_levels[c])}
+            sm_c = su_c = 0.0  # per-comparison observed mass only
             for (g, n), p in zip(rows, resp):
-                mm[int(g[ci])] += n * p
-                uu[int(g[ci])] += n * (1.0 - p)
+                l = int(g[ci])
+                if l < 0:
+                    continue
+                mm[l] += n * p
+                uu[l] += n * (1.0 - p)
+                sm_c += n * p
+                su_c += n * (1.0 - p)
             new_params[c] = {
                 l: (
-                    max(floor, mm[l] / sm) if sm > 0 else floor,
-                    max(floor, uu[l] / su) if su > 0 else floor,
+                    max(floor, mm[l] / sm_c) if sm_c > 0 else floor,
+                    max(floor, uu[l] / su_c) if su_c > 0 else floor,
                 )
                 for l in range(n_levels[c])
             }
@@ -145,13 +159,17 @@ def match_weights(
 ) -> DataFrame:
     """Add the summed integer milli match weight. ``params`` is either the
     em_fit (m, u) dict or an already-milli dict (int leaves). Pure column
-    expression — a chained CASE per comparison, no join/shuffle."""
+    expression — a chained CASE per comparison, no join/shuffle. Level -1
+    (comparison unobservable — NULL on either side, see ``null_aware``)
+    contributes weight 0: missing data is no evidence either way."""
     gamma_cols = gamma_cols or list(params.keys())
     sample = next(iter(next(iter(params.values())).values()))
     w = params if isinstance(sample, int) else milli_weights(params)
 
     def level_expr(c: str) -> Column:
-        expr = F.lit(None).cast("long")
+        expr = F.when(F.col(c) == -1, F.lit(0).cast("long")).otherwise(
+            F.lit(None).cast("long")
+        )
         for l, wl in sorted(w[c].items()):
             expr = F.when(F.col(c) == l, F.lit(int(wl))).otherwise(expr)
         return expr
@@ -207,12 +225,32 @@ def mu_from_labels(
         mm = {l: 0 for l in range(n_levels[c])}
         uu = {l: 0 for l in range(n_levels[c])}
         for r in counts:
+            if int(r["__l"]) < 0:  # null level: excluded from estimation
+                continue
             (mm if r["__m"] else uu)[int(r["__l"])] = r["__n"]
+        # normalize over the OBSERVED mass for this comparison (equals
+        # n_m/n_u exactly when no pair has a -1 level)
+        n_m_c = sum(mm.values()) or n_m
+        n_u_c = sum(uu.values()) or n_u
         params[c] = {
-            l: (max(floor, mm[l] / n_m), max(floor, uu[l] / n_u))
+            l: (max(floor, mm[l] / n_m_c), max(floor, uu[l] / n_u_c))
             for l in range(n_levels[c])
         }
     return n_m / (n_m + n_u), params
+
+
+def null_aware(inner: Column, c0: Column, c1: Column) -> Column:
+    """Wrap an agreement-level expression with the Fellegi–Sunter missing-
+    data convention: if EITHER side of the comparison is NULL, the level is
+    ``-1`` ("unobservable") instead of whatever ``inner`` would say. -1
+    levels carry weight 0 in ``match_weights`` (absence of evidence), are
+    marginalized by ``em_fit``, and are excluded from ``mu_from_labels``
+    estimation — a pair with a missing phone is NOT punished as a phone
+    disagreement (the classic naive-encoding bias; Splink's null-level
+    semantics). Pure column expression."""
+    return (
+        F.when(c0.isNull() | c1.isNull(), F.lit(-1)).otherwise(inner)
+    ).cast("int")
 
 
 def string_gammas(

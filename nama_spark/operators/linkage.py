@@ -116,3 +116,73 @@ def link_tables(
         out.where((F.col("__rl") == 1) & (F.col("__rr") == 1))
         .select("s0", "s1", "score")
     )
+
+
+def rule_cascade_links(
+    left: DataFrame,
+    right: DataFrame,
+    rules,
+    left_id: str = "id0",
+    right_id: str = "id1",
+    max_key_size: int | None = None,
+) -> DataFrame:
+    """Deterministic WATERFALL linkage — the production-ER pattern that
+    precedes any probabilistic pass: an ordered cascade of exact-key rules
+    (verbatim → normalized → truncated/phonetic …), where each left record
+    links by the FIRST rule that fires and the output carries the rule
+    name as provenance (audit: "why did these two link?").
+
+    ``rules`` is an ordered list of ``(name, left_key_fn, right_key_fn)``
+    where the key fns map a DataFrame to a key Column. For each left id
+    the winner is the match from the lowest-index firing rule, ties within
+    a rule broken by smallest right id — fully deterministic, engine- and
+    partition-invariant. Returns (left_id, right_id, rule, rule_idx) with
+    one row per matched left id; unmatched ids are simply absent (anti-join
+    the result to route the residue to the fuzzy pipeline).
+
+    Scale shape: one hash equi-join PER RULE on that rule's key (never a
+    cross join), a union, and one per-left-id window for first-rule-wins —
+    the window partitions on left id, so no global sort and no skew beyond
+    a left id's own candidate fan-out. ``max_key_size`` optionally drops
+    right-side key groups larger than the cap before joining (the blocking
+    df-cap pattern) so a degenerate rule key ("", "inc") cannot explode a
+    rule's join; dropped keys are dropped from THAT rule only — later
+    rules still see the record.
+
+    No reference counterpart (nama is probabilistic-only); included
+    because every deployed linkage system fronts the fuzzy matcher with a
+    deterministic cascade.
+    """
+    cands = None
+    for i, (name, kl, kr) in enumerate(rules):
+        l = left.select(
+            F.col(left_id).alias("_lid"), kl(left).alias("_k")
+        ).where(F.col("_k").isNotNull())
+        r = right.select(
+            F.col(right_id).alias("_rid"), kr(right).alias("_k")
+        ).where(F.col("_k").isNotNull())
+        if max_key_size is not None:
+            sizes = r.groupBy("_k").agg(F.count(F.lit(1)).alias("_n"))
+            r = r.join(
+                sizes.where(F.col("_n") <= max_key_size).select("_k"), "_k"
+            )
+        c = l.join(r, "_k").select(
+            "_lid",
+            "_rid",
+            F.lit(i).alias("rule_idx"),
+            F.lit(name).alias("rule"),
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    if cands is None:
+        raise ValueError("rules must be non-empty")
+    w = Window.partitionBy("_lid").orderBy("rule_idx", "_rid")
+    return (
+        cands.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            F.col("_lid").alias(left_id),
+            F.col("_rid").alias(right_id),
+            "rule",
+            "rule_idx",
+        )
+    )

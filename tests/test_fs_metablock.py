@@ -357,3 +357,102 @@ def test_tf_adjusted_weights(spark):
     for p in (1, 2, 3):
         assert (out[p]["weight_tf_milli"]
                 == out[p]["weight_milli"] + out[p]["tf_adj_milli"])
+
+
+# ---------------------------------------------------------------------------
+# missing-data (null-level) handling
+# ---------------------------------------------------------------------------
+
+
+def test_null_aware_levels(spark):
+    from pyspark.sql import functions as F
+
+    from nama_spark.operators.fellegi_sunter import null_aware
+
+    df = spark.createDataFrame(
+        [("a", "a"), ("a", "b"), (None, "a"), ("a", None), (None, None)],
+        ["x", "y"],
+    )
+    got = [r["g"] for r in df.select(null_aware(
+        F.when(F.col("x") == F.col("y"), 1).otherwise(0),
+        F.col("x"), F.col("y")).alias("g")).collect()]
+    assert got == [1, 0, -1, -1, -1]
+
+
+def test_match_weights_null_level_is_zero_evidence(spark):
+    from nama_spark.operators.fellegi_sunter import match_weights, milli_weights
+
+    params = {"g_a": {0: (0.05, 0.9), 1: (0.9, 0.05)},
+              "g_b": {0: (0.1, 0.8), 1: (0.8, 0.1)}}
+    w = milli_weights(params)
+    df = spark.createDataFrame(
+        [(1, 1, 1), (2, 1, -1), (3, -1, -1)], ["id", "g_a", "g_b"])
+    got = {r["id"]: r["weight_milli"] for r in
+           match_weights(df, params, ["g_a", "g_b"]).collect()}
+    assert got[1] == w["g_a"][1] + w["g_b"][1]
+    assert got[2] == w["g_a"][1]          # missing g_b contributes 0
+    assert got[3] == 0                    # all comparisons missing
+
+
+def test_em_fit_marginalizes_null_levels():
+    """An always-missing comparison must not disturb the fit: em_fit over
+    (g_a, g_b=-1) patterns returns the same lambda and g_a params as the
+    fit without g_b at all."""
+    from nama_spark.operators.fellegi_sunter import em_fit
+
+    base = [((1,), 300.0), ((0,), 700.0)]
+    rows1 = [{"g_a": g[0], "n_pairs": n} for g, n in base]
+    lam1, p1 = em_fit(rows1, ["g_a"], {"g_a": 2}, iters=40)
+    rows2 = [{"g_a": g[0], "g_b": -1, "n_pairs": n} for g, n in base]
+    lam2, p2 = em_fit(rows2, ["g_a", "g_b"], {"g_a": 2, "g_b": 2}, iters=40)
+    assert abs(lam1 - lam2) < 1e-12
+    for l in (0, 1):
+        assert abs(p1["g_a"][l][0] - p2["g_a"][l][0]) < 1e-12
+        assert abs(p1["g_a"][l][1] - p2["g_a"][l][1]) < 1e-12
+
+
+def test_em_fit_partial_nulls_reweight_observed_mass():
+    """Pairs where a comparison is unobservable shift that comparison's
+    m/u to the observed subset only — the estimate equals the fit on JUST
+    the observed rows when the missingness is independent of class."""
+    from nama_spark.operators.fellegi_sunter import em_fit
+
+    # one fully-observed comparison drives class assignment; g_b is missing
+    # on half of each pattern's mass
+    rows = [
+        {"g_a": 1, "g_b": 1, "n_pairs": 100.0},
+        {"g_a": 1, "g_b": -1, "n_pairs": 100.0},
+        {"g_a": 0, "g_b": 0, "n_pairs": 400.0},
+        {"g_a": 0, "g_b": -1, "n_pairs": 400.0},
+    ]
+    lam, p = em_fit(rows, ["g_a", "g_b"], {"g_a": 2, "g_b": 2}, iters=60)
+    rows_obs = [
+        {"g_a": 1, "g_b": 1, "n_pairs": 100.0},
+        {"g_a": 0, "g_b": 0, "n_pairs": 400.0},
+    ]
+    lam_o, p_o = em_fit(rows_obs, ["g_a", "g_b"], {"g_a": 2, "g_b": 2},
+                        iters=60)
+    for l in (0, 1):
+        assert abs(p["g_b"][l][0] - p_o["g_b"][l][0]) < 1e-6
+        assert abs(p["g_b"][l][1] - p_o["g_b"][l][1]) < 1e-6
+
+
+def test_mu_from_labels_excludes_null_levels(spark):
+    from fractions import Fraction
+
+    from nama_spark.operators.fellegi_sunter import mu_from_labels
+
+    rows = [
+        # (g_a, label): 4 matches (one unobservable), 4 non-matches (one -1)
+        (1, True), (1, True), (0, True), (-1, True),
+        (0, False), (0, False), (1, False), (-1, False),
+    ]
+    df = spark.createDataFrame(rows, ["g_a", "label"])
+    lam, params = mu_from_labels(df, "label", ["g_a"], {"g_a": 2})
+    # lambda still counts ALL labeled pairs
+    assert abs(lam - 0.5) < 1e-12
+    # m/u normalized over the 3 OBSERVED rows per class
+    assert abs(params["g_a"][1][0] - Fraction(2, 3)) < 1e-12
+    assert abs(params["g_a"][0][0] - Fraction(1, 3)) < 1e-12
+    assert abs(params["g_a"][1][1] - Fraction(1, 3)) < 1e-12
+    assert abs(params["g_a"][0][1] - Fraction(2, 3)) < 1e-12

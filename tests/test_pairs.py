@@ -504,3 +504,91 @@ def test_soft_tfidf_rare_token_dominates(spark):
     got = {(r["s0"], r["s1"]): r["soft_sym"]
            for r in soft_tfidf_scores(pdf, cdf).collect()}
     assert got[pairs[0]] > 3 * max(got[pairs[1]], 0.01)
+
+
+# ---------------------------------------------------------------------------
+# deterministic rule-cascade (waterfall) linkage
+# ---------------------------------------------------------------------------
+
+
+def _cascade_rules():
+    from pyspark.sql import functions as F
+
+    def k_exact(df):
+        return F.col("name")
+
+    def k_lower(df):
+        return F.lower(F.col("name"))
+
+    def k_first(df):
+        return F.substring(F.lower(F.col("name")), 1, 3)
+
+    return [("exact", k_exact, k_exact), ("lower", k_lower, k_lower),
+            ("first3chars", k_first, k_first)]
+
+
+def test_rule_cascade_first_rule_wins_and_ties(spark):
+    from nama_spark.operators.linkage import rule_cascade_links
+
+    left = spark.createDataFrame(
+        [(1, "Acme"), (2, "ACME"), (3, "acm corp"), (4, "zzz")],
+        ["id0", "name"],
+    )
+    right = spark.createDataFrame(
+        [(10, "Acme"), (11, "acme"), (12, "acmight"), (13, "other")],
+        ["id1", "name"],
+    )
+    got = {r["id0"]: (r["id1"], r["rule"], r["rule_idx"])
+           for r in rule_cascade_links(left, right, _cascade_rules()).collect()}
+    # id0=1 'Acme': exact → 10 (not the lower-rule 11)
+    assert got[1] == (10, "exact", 0)
+    # id0=2 'ACME': no verbatim; lower 'acme' matches BOTH 10 and 11 → min id1
+    assert got[2] == (10, "lower", 1)
+    # id0=3: only the 3-char prefix rule fires; 'acm' matches 10,11,12 → min
+    assert got[3] == (10, "first3chars", 2)
+    # id0=4: no rule fires → absent
+    assert 4 not in got and len(got) == 3
+
+
+def test_rule_cascade_max_key_size_skips_rule_not_record(spark):
+    """A right-side key group over the cap is dropped from THAT rule only;
+    the record still links through a later rule."""
+    from pyspark.sql import functions as F
+
+    from nama_spark.operators.linkage import rule_cascade_links
+
+    left = spark.createDataFrame([(1, "hot")], ["id0", "name"])
+    right = spark.createDataFrame(
+        [(i, "hot") for i in range(10, 15)] + [(99, "HOT")], ["id1", "name"]
+    )
+
+    def k_exact(df):
+        return F.col("name")
+
+    def k_lower(df):
+        return F.lower(F.col("name"))
+
+    rules = [("exact", k_exact, k_exact), ("lower", k_lower, k_lower)]
+    # cap 3: the 'hot' exact key (5 rows) is dropped; lower('hot') has 6 → also
+    # dropped; nothing links
+    assert rule_cascade_links(left, right, rules, max_key_size=3).count() == 0
+    # cap 5: exact 'hot' (5 rows) allowed → links via rule 0, min id1
+    got = rule_cascade_links(left, right, rules, max_key_size=5).first()
+    assert (got["id1"], got["rule"]) == (10, "exact")
+
+
+def test_rule_cascade_partition_invariance(spark):
+    from nama_spark.operators.linkage import rule_cascade_links
+
+    left = spark.createDataFrame(
+        [(i, f"name{i % 7}") for i in range(60)], ["id0", "name"]
+    )
+    right = spark.createDataFrame(
+        [(i, f"NAME{i % 5}") for i in range(40)], ["id1", "name"]
+    )
+    a = {(r["id0"], r["id1"], r["rule"]) for r in
+         rule_cascade_links(left, right, _cascade_rules()).collect()}
+    b = {(r["id0"], r["id1"], r["rule"]) for r in
+         rule_cascade_links(left.repartition(13), right.repartition(7),
+                            _cascade_rules()).collect()}
+    assert a == b and len(a) > 0
