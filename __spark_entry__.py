@@ -639,6 +639,28 @@ def q_monge_elkan_scores(spark, sf_dir):
     )
 
 
+def q_bloom_dice_pairs(spark, sf_dir):
+    """pprl.bloom_dice_pairs — privacy-preserving linkage scoring (Schnell,
+    Bachteler & Reiher 2009 CLK Bloom filters): char-bigram k-hash
+    encodings as sorted bit-position arrays (engine-portable md5 hash),
+    Dice coefficient in exact integer milli. Encodes each DISTINCT string
+    once; pure JVM array expressions, no Python. Pair source:
+    consecutive-key part names."""
+    from nama_spark.operators.pprl import bloom_dice_pairs
+
+    part = _t(spark, sf_dir, "part")
+    a = part.select(F.col("p_partkey").alias("k"), F.col("p_name").alias("s0"))
+    b = part.select(
+        (F.col("p_partkey") - 1).alias("k"), F.col("p_name").alias("s1")
+    )
+    pairs = a.join(b, "k")
+    out = bloom_dice_pairs(pairs, m=256, k=3, q=2)
+    return out.select(
+        "k", "s0", "s1",
+        F.col("dice_milli").cast("long").alias("dice_milli"),
+    )
+
+
 _FS_NULL_PARAMS = {
     "g_nation": {0: (0.05, 0.96), 1: (0.95, 0.04)},
     "g_segment": {0: (0.10, 0.80), 1: (0.90, 0.20)},
@@ -2357,6 +2379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft_tfidf_scores": q_soft_tfidf_scores,
         "rule_cascade_links": q_rule_cascade_links,
         "fs_null_weights": q_fs_null_weights,
+        "bloom_dice_pairs": q_bloom_dice_pairs,
         "cluster_cohesion": q_cluster_cohesion,
         "stable_entity_ids": q_stable_entity_ids,
         "fs_gamma_patterns": q_fs_gamma_patterns,
@@ -4897,6 +4920,44 @@ def oracle_sql() -> dict[str, str]:
                cast(floor((me01_milli + me10_milli) / 2.0) AS BIGINT)
                    AS me_sym_milli
         FROM d
+    """
+
+    # bloom_dice_pairs: the CLK encoding re-expressed in DuckDB list
+    # lambdas — char bigrams of the lowercased name, 3 md5-derived hash
+    # positions per gram (first 6 hex digits mod 256, the repo's portable
+    # hash idiom), distinct-sorted position lists, exact integer-milli
+    # Dice via list_intersect.
+    q["bloom_dice_pairs"] = """
+        WITH p0 AS (
+            SELECT a.p_partkey AS k, a.p_name AS s0, b.p_name AS s1
+            FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
+        ),
+        strs AS (
+            SELECT s0 AS s FROM p0 UNION SELECT s1 FROM p0
+        ),
+        enc AS (
+            SELECT s,
+                   list_sort(list_distinct(flatten(list_transform(
+                       list_transform(range(1, length(lower(s))),
+                                      j -> substr(lower(s), j, 2)),
+                       g -> [
+                           CAST('0x' || substr(md5(g || '|1'), 1, 6)
+                                AS BIGINT) % 256,
+                           CAST('0x' || substr(md5(g || '|2'), 1, 6)
+                                AS BIGINT) % 256,
+                           CAST('0x' || substr(md5(g || '|3'), 1, 6)
+                                AS BIGINT) % 256
+                       ])))) AS bits
+            FROM strs
+        )
+        SELECT k, s0, s1,
+               CAST(CASE WHEN len(e0.bits) + len(e1.bits) > 0
+                    THEN (2000 * len(list_intersect(e0.bits, e1.bits)))
+                         // (len(e0.bits) + len(e1.bits))
+                    ELSE 1000 END AS BIGINT) AS dice_milli
+        FROM p0
+        JOIN enc e0 ON e0.s = p0.s0
+        JOIN enc e1 ON e1.s = p0.s1
     """
 
     # fs_null_weights: the null-level convention in SQL — gamma = -1 when

@@ -592,3 +592,63 @@ def test_rule_cascade_partition_invariance(spark):
          rule_cascade_links(left.repartition(13), right.repartition(7),
                             _cascade_rules()).collect()}
     assert a == b and len(a) > 0
+
+
+# ---------------------------------------------------------------------------
+# PPRL: Bloom-filter (CLK) encoding + Dice
+# ---------------------------------------------------------------------------
+
+
+def _clk_py(s, m=256, k=3, q=2):
+    import hashlib
+
+    s = s.lower()
+    grams = [s[j:j + q] for j in range(len(s) - q + 1)] if len(s) >= q else []
+    return sorted({
+        int(hashlib.md5(f"{g}|{i}".encode()).hexdigest()[:6], 16) % m
+        for g in grams for i in range(1, k + 1)
+    })
+
+
+def test_bloom_encode_matches_python_oracle(spark):
+    from nama_spark.operators.pprl import bloom_encode
+
+    names = ["Smith John", "jon smith", "a", "", "Acme Corp Inc", "ACME"]
+    df = spark.createDataFrame([(n,) for n in names], ["string"])
+    got = {r["string"]: list(r["bloom"])
+           for r in bloom_encode(df, m=256, k=3, q=2).collect()}
+    for n in names:
+        assert got[n] == _clk_py(n), n
+    assert got["a"] == [] and got[""] == []           # shorter than q
+    assert got["ACME"] == _clk_py("acme")             # case-insensitive
+
+
+def test_bloom_dice_tracks_cleartext_similarity(spark):
+    """The PPRL contract: Dice on encodings approximates bigram Dice on
+    cleartext — identical → 1000, near-dup high, disjoint low."""
+    from nama_spark.operators.pprl import bloom_dice_pairs
+
+    pairs = [
+        ("acme corporation", "acme corporation"),   # identical
+        ("acme corporation", "acme corpration"),    # typo
+        ("acme corporation", "zzz qqq vvv"),        # unrelated
+    ]
+    df = spark.createDataFrame(pairs, ["s0", "s1"])
+    got = {(r["s0"], r["s1"]): r["dice_milli"]
+           for r in bloom_dice_pairs(df).collect()}
+    assert got[pairs[0]] == 1000
+    assert 800 <= got[pairs[1]] < 1000
+    assert got[pairs[2]] < 300
+    assert got[pairs[1]] > got[pairs[2]]
+
+
+def test_bloom_dice_empty_filters(spark):
+    from nama_spark.operators.pprl import bloom_dice_pairs
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("a", "acme"), ("acme", "acme")], ["s0", "s1"])
+    got = {(r["s0"], r["s1"]): r["dice_milli"]
+           for r in bloom_dice_pairs(df).collect()}
+    assert got[("a", "b")] == 1000      # both empty (vacuous identity)
+    assert got[("a", "acme")] == 0      # one empty
+    assert got[("acme", "acme")] == 1000
