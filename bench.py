@@ -639,6 +639,61 @@ def bench_fs_scoring(spark, sf_dir):
     return wall, {"fs_pairs": n, "fs_lambda": round(lam, 4)}
 
 
+def bench_hybrid_scoring(spark, sf_dir):
+    """The hybrid string-measure family over one pair stream: Monge–Elkan
+    (fused JVM higher-order projection), SoftTFIDF (corpus weights + JW
+    per distinct token pair), and CLK Bloom Dice (pure JVM arrays) —
+    consecutive-key part-name pairs. SPARK_GRAFT_PART_MULT replicates the
+    pair stream with shifted keys (names unchanged: the corpus/weight side
+    stays FIXED while pair mass grows ×mult — the deployment shape, where
+    the trained corpus is amortized across a growing candidate stream)."""
+    from pyspark.sql import functions as F
+
+    from nama_spark.operators.pprl import bloom_dice_pairs
+    from nama_spark.operators.score import monge_elkan_scores, soft_tfidf_scores
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_name"
+    )
+    mult = int(os.environ.get("SPARK_GRAFT_PART_MULT", "1"))
+    if mult > 1:
+        part = reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                part.select(
+                    (F.col("p_partkey") + F.lit(i * 10_000_000)).alias(
+                        "p_partkey"
+                    ),
+                    "p_name",
+                )
+                for i in range(mult)
+            ],
+        )
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    a = part.select(F.col("p_partkey").alias("k"), F.col("p_name").alias("s0"))
+    b = part.select(
+        (F.col("p_partkey") - 1).alias("k"), F.col("p_name").alias("s1")
+    )
+    pairs = a.join(b, "k").repartition(n_parts).cache()
+    n_pairs = pairs.count()
+    corpus = part.select(F.col("p_name").alias("string"))
+    t0 = time.time()
+    monge_elkan_scores(pairs).agg(F.sum("me_sym_milli")).collect()
+    t_me = time.time()
+    soft_tfidf_scores(pairs, corpus).agg(F.sum("soft_sym")).collect()
+    t_soft = time.time()
+    bloom_dice_pairs(pairs).agg(F.sum("dice_milli")).collect()
+    t_bloom = time.time()
+    wall = t_bloom - t0
+    pairs.unpersist()
+    return wall, {
+        "hybrid_pairs": n_pairs,
+        "hybrid_me_sec": round(t_me - t0, 3),
+        "hybrid_soft_sec": round(t_soft - t_me, 3),
+        "hybrid_bloom_sec": round(t_bloom - t_soft, 3),
+    }
+
+
 def bench_sorted_neighborhood(spark, sf_dir, n_entities):
     """Distributed global rank + rank equi-join over the fixture name
     universe (the driver query's own universe is only ~64 names — too small
@@ -742,6 +797,7 @@ def main():
     run("corpus_pipeline", bench_corpus_pipeline, sf_dir)
     run("winnow_dedup", bench_winnow_dedup, sf_dir)
     run("fs_scoring", bench_fs_scoring, sf_dir)
+    run("hybrid_scoring", bench_hybrid_scoring, sf_dir)
     run("sorted_neighborhood", bench_sorted_neighborhood, sf_dir, n_entities)
 
     pairs_per_sec = (
