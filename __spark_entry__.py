@@ -639,6 +639,40 @@ def q_monge_elkan_scores(spark, sf_dir):
     )
 
 
+def q_one_to_one_links(spark, sf_dir):
+    """linkage.one_to_one_links — 1:1 assignment via 3-round mutual-best
+    peeling over a ±2-key candidate window with deterministic md5-derived
+    integer scores (the portable hash idiom). Candidates come from an
+    offset EXPLODE + equi-join (never a range BNLJ); each round is two
+    per-id windows + anti-joins."""
+    from nama_spark.operators.linkage import one_to_one_links
+
+    part = _t(spark, sf_dir, "part")
+    a = part.select(F.col("p_partkey").alias("id0"))
+    cand = a.select(
+        "id0",
+        F.explode(F.array(*[F.lit(i) for i in range(-2, 3)])).alias("_off"),
+    ).select("id0", (F.col("id0") + F.col("_off")).alias("id1"))
+    cand = cand.join(
+        part.select(F.col("p_partkey").alias("id1")), "id1"
+    ).select(
+        "id0", "id1",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("id0"), F.col("id1"))), 1, 4
+                ),
+                16, 10,
+            ).cast("long") % 1000
+        ).alias("score"),
+    )
+    return one_to_one_links(cand, rounds=3).select(
+        "id0", "id1",
+        F.col("score").cast("long").alias("score"),
+        F.col("round").cast("int").alias("round"),
+    )
+
+
 def q_bloom_dice_pairs(spark, sf_dir):
     """pprl.bloom_dice_pairs — privacy-preserving linkage scoring (Schnell,
     Bachteler & Reiher 2009 CLK Bloom filters): char-bigram k-hash
@@ -2380,6 +2414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rule_cascade_links": q_rule_cascade_links,
         "fs_null_weights": q_fs_null_weights,
         "bloom_dice_pairs": q_bloom_dice_pairs,
+        "one_to_one_links": q_one_to_one_links,
         "cluster_cohesion": q_cluster_cohesion,
         "stable_entity_ids": q_stable_entity_ids,
         "fs_gamma_patterns": q_fs_gamma_patterns,
@@ -4920,6 +4955,65 @@ def oracle_sql() -> dict[str, str]:
                cast(floor((me01_milli + me10_milli) / 2.0) AS BIGINT)
                    AS me_sym_milli
         FROM d
+    """
+
+    # one_to_one_links: the 3-round mutual-best peel unrolled — each round
+    # is two row_numbers (score desc, partner asc), the mutual cut, and a
+    # NOT IN pool shrink; md5-derived scores use the portable hash idiom.
+    q["one_to_one_links"] = """
+        WITH cand AS (
+            SELECT a.p_partkey AS id0, b.p_partkey AS id1,
+                   CAST('0x' || substr(md5(a.p_partkey || ':' || b.p_partkey),
+                        1, 4) AS BIGINT) % 1000 AS score
+            FROM part a
+            JOIN (SELECT unnest([-2, -1, 0, 1, 2]) AS off) o ON true
+            JOIN part b ON b.p_partkey = a.p_partkey + o.off
+        ),
+        r1 AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY id0
+                       ORDER BY score DESC, id1) AS rl,
+                   row_number() OVER (PARTITION BY id1
+                       ORDER BY score DESC, id0) AS rr
+            FROM cand
+        ),
+        m1 AS (SELECT id0, id1, score, 1 AS round
+               FROM r1 WHERE rl = 1 AND rr = 1),
+        rem1 AS (
+            SELECT id0, id1, score FROM cand
+            WHERE id0 NOT IN (SELECT id0 FROM m1)
+              AND id1 NOT IN (SELECT id1 FROM m1)
+        ),
+        r2 AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY id0
+                       ORDER BY score DESC, id1) AS rl,
+                   row_number() OVER (PARTITION BY id1
+                       ORDER BY score DESC, id0) AS rr
+            FROM rem1
+        ),
+        m2 AS (SELECT id0, id1, score, 2 AS round
+               FROM r2 WHERE rl = 1 AND rr = 1),
+        rem2 AS (
+            SELECT id0, id1, score FROM rem1
+            WHERE id0 NOT IN (SELECT id0 FROM m2)
+              AND id1 NOT IN (SELECT id1 FROM m2)
+        ),
+        r3 AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY id0
+                       ORDER BY score DESC, id1) AS rl,
+                   row_number() OVER (PARTITION BY id1
+                       ORDER BY score DESC, id0) AS rr
+            FROM rem2
+        ),
+        m3 AS (SELECT id0, id1, score, 3 AS round
+               FROM r3 WHERE rl = 1 AND rr = 1)
+        SELECT id0, id1, score, CAST(round AS INTEGER) AS round FROM m1
+        UNION ALL
+        SELECT id0, id1, score, CAST(round AS INTEGER) AS round FROM m2
+        UNION ALL
+        SELECT id0, id1, score, CAST(round AS INTEGER) AS round FROM m3
     """
 
     # bloom_dice_pairs: the CLK encoding re-expressed in DuckDB list

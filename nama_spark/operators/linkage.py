@@ -186,3 +186,62 @@ def rule_cascade_links(
             "rule_idx",
         )
     )
+
+
+def one_to_one_links(
+    scores: DataFrame,
+    left_id: str = "id0",
+    right_id: str = "id1",
+    score_col: str = "score",
+    rounds: int = 3,
+) -> DataFrame:
+    """ONE-TO-ONE assignment by iterative mutual-best peeling — the
+    distributed greedy that approximates the (inherently sequential)
+    global greedy assignment: in each round, a pair is matched iff each
+    side is the other's best REMAINING candidate; matched ids leave the
+    pool and the next round re-elects bests among what is left. Three
+    rounds resolve the chains the single-shot ``mode="mutual"`` rule
+    leaves unmatched (A's best took B, so A's second-best becomes its
+    best), and every pair kept is still a mutual best at the time it is
+    matched — no conflicting assignments, deterministic throughout
+    (ties: score desc, partner id asc).
+
+    Returns (left_id, right_id, score_col, round) with at most one row
+    per left id AND per right id overall. Scale shape per round: two
+    per-id windows + one equi-join for the mutual intersection + two
+    hash anti-joins to shrink the pool — never a global sort; `rounds`
+    is a small constant (Kwashie et al.-style peeling converges
+    geometrically on realistic score graphs).
+
+    No reference counterpart (nama unites groups rather than assigning
+    1:1); included because exclusive assignment (each invoice to at most
+    one PO, each patient to at most one registry row) is a core linkage
+    deliverable the best-left/mutual single-shot rules cannot guarantee
+    to saturate.
+    """
+    remaining = scores.select(
+        F.col(left_id).alias("_l"),
+        F.col(right_id).alias("_r"),
+        F.col(score_col).alias("_s"),
+    )
+    matched = None
+    for rnd in range(1, rounds + 1):
+        wl = Window.partitionBy("_l").orderBy(F.col("_s").desc(), F.col("_r"))
+        wr = Window.partitionBy("_r").orderBy(F.col("_s").desc(), F.col("_l"))
+        best = (
+            remaining.withColumn("_rl", F.row_number().over(wl))
+            .withColumn("_rr", F.row_number().over(wr))
+            .where((F.col("_rl") == 1) & (F.col("_rr") == 1))
+            .select("_l", "_r", "_s", F.lit(rnd).alias("round"))
+            .localCheckpoint(eager=False)
+        )
+        matched = best if matched is None else matched.unionByName(best)
+        remaining = remaining.join(
+            best.select("_l"), "_l", "left_anti"
+        ).join(best.select("_r"), "_r", "left_anti")
+    return matched.select(
+        F.col("_l").alias(left_id),
+        F.col("_r").alias(right_id),
+        F.col("_s").alias(score_col),
+        "round",
+    )

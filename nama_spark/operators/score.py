@@ -618,7 +618,9 @@ def soft_tfidf_scores(
         .distinct()
         .withColumn("jw5", F.round(jw(F.col("w"), F.col("u")), 5))
     )
-    tp = tp.join(tok_pairs, ["w", "u"])
+    # both directed argmaxes consume this stream — pin it so the weight
+    # joins and the JW evaluation run once, not once per direction
+    tp = tp.join(tok_pairs, ["w", "u"]).localCheckpoint(eager=False)
 
     def directed(key_tok, key_v, other_tok, other_v, out_col):
         best = tp.groupBy("l0", "l1", key_tok, key_v).agg(

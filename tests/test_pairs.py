@@ -652,3 +652,78 @@ def test_bloom_dice_empty_filters(spark):
     assert got[("a", "b")] == 1000      # both empty (vacuous identity)
     assert got[("a", "acme")] == 0      # one empty
     assert got[("acme", "acme")] == 1000
+
+
+# ---------------------------------------------------------------------------
+# one-to-one assignment (iterative mutual-best peeling)
+# ---------------------------------------------------------------------------
+
+
+def _peel_py(edges, rounds=3):
+    """From-spec mutual-best peeling with (score desc, partner asc) ties."""
+    remaining = list(edges)
+    out = {}
+    for rnd in range(1, rounds + 1):
+        best_l, best_r = {}, {}
+        for l, r, s in remaining:
+            if l not in best_l or (s, -_ord(r)) > (best_l[l][1], -_ord(best_l[l][0])):
+                best_l[l] = (r, s)
+            if r not in best_r or (s, -_ord(l)) > (best_r[r][1], -_ord(best_r[r][0])):
+                best_r[r] = (l, s)
+        hit = {(l, r, s) for l, r, s in remaining
+               if best_l[l][0] == r and best_r[r][0] == l}
+        for l, r, s in hit:
+            out[(l, r)] = (s, rnd)
+        gone_l = {l for l, _, _ in hit}
+        gone_r = {r for _, r, _ in hit}
+        remaining = [(l, r, s) for l, r, s in remaining
+                     if l not in gone_l and r not in gone_r]
+    return out
+
+
+def _ord(x):
+    return x  # ids are ints in these tests; asc tie-break
+
+
+def test_one_to_one_resolves_chains_beyond_single_shot_mutual(spark):
+    from nama_spark.operators.linkage import one_to_one_links
+
+    edges = [(1, 10, 900), (2, 10, 800), (2, 20, 700)]
+    df = spark.createDataFrame(edges, ["id0", "id1", "score"])
+    got = {(r["id0"], r["id1"]): (r["score"], r["round"])
+           for r in one_to_one_links(df).collect()}
+    # round 1: (1,10) mutual; round 2: B1 gone, so (2,20) becomes mutual
+    assert got == {(1, 10): (900, 1), (2, 20): (700, 2)}
+
+
+def test_one_to_one_matches_python_oracle_and_is_exclusive(spark):
+    import random
+
+    from nama_spark.operators.linkage import one_to_one_links
+
+    rng = random.Random(7)
+    edges = list({(rng.randrange(30), 100 + rng.randrange(30)): None
+                  for _ in range(250)})
+    edges = [(l, r, rng.randrange(1000)) for (l, r) in edges]
+    df = spark.createDataFrame(edges, ["id0", "id1", "score"])
+    got = {(r["id0"], r["id1"]): (r["score"], r["round"])
+           for r in one_to_one_links(df, rounds=4).collect()}
+    want = _peel_py(edges, rounds=4)
+    assert got == want
+    ls = [l for l, _ in got]
+    rs = [r for _, r in got]
+    assert len(ls) == len(set(ls)) and len(rs) == len(set(rs))  # 1:1
+
+
+def test_one_to_one_partition_invariance(spark):
+    import random
+
+    from nama_spark.operators.linkage import one_to_one_links
+
+    rng = random.Random(3)
+    edges = [(rng.randrange(20), 100 + rng.randrange(20), rng.randrange(50))
+             for _ in range(120)]
+    df = spark.createDataFrame(edges, ["id0", "id1", "score"]).distinct()
+    a = {tuple(r) for r in one_to_one_links(df).collect()}
+    b = {tuple(r) for r in one_to_one_links(df.repartition(17)).collect()}
+    assert a == b and len(a) > 0
