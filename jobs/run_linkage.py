@@ -14,6 +14,9 @@ the selection rule:
     best_left  best-scoring right per left (deterministic ties)
     mutual     kept only when each side is the other's best — the
                scalable relational core of one-to-one assignment
+    one_to_one K-round mutual-best peeling: matched ids leave the pool
+               and bests are re-elected, resolving the chains single-shot
+               mutual leaves unmatched (adds a round column)
     fs         unsupervised Fellegi–Sunter: pattern EM over string
                agreement vectors, pairs kept by posterior P(match|γ) ≥
                --threshold (links carry weight_milli + p_match; the
@@ -40,7 +43,7 @@ def parse_args(argv=None):
     p.add_argument("--right-col", default="string")
     p.add_argument("--catalog", default=None)
     p.add_argument("--mode", default="mutual",
-                   choices=["best_left", "mutual", "fs"])
+                   choices=["best_left", "mutual", "one_to_one", "fs"])
     p.add_argument("--threshold", type=float, default=0.5)
     p.add_argument("--tokenizer", default="words")
     p.add_argument("--weighting", default="tf-idf")

@@ -85,10 +85,12 @@ def link_tables(
     mode: str = "best_left",
     **candidate_kwargs,
 ) -> DataFrame:
-    """(s0, s1, score) linked rows per the selection rule. Left strings with
-    no ≥-threshold candidate are absent (callers outer-join back if they
-    need unmatched rows)."""
-    assert mode in ("best_left", "mutual")
+    """(s0, s1, score) linked rows per the selection rule (``best_left``,
+    ``mutual``, or ``one_to_one`` — K-round mutual-best peeling, which also
+    appends the ``round`` column). Left strings with no ≥-threshold
+    candidate are absent (callers outer-join back if they need unmatched
+    rows)."""
+    assert mode in ("best_left", "mutual", "one_to_one")
     scored = link_candidates(left, right, **candidate_kwargs).where(
         F.col("score") >= threshold
     )
@@ -108,6 +110,20 @@ def link_tables(
     out = scored.withColumn("__rl", F.row_number().over(wl))
     if mode == "best_left":
         return out.where(F.col("__rl") == 1).select("s0", "s1", "score")
+    if mode == "one_to_one":
+        # K-round mutual-best peeling; the rank key keeps the rounded-score
+        # + verbatim-wins-ties contract (struct desc: rscore, then exact)
+        keyed = scored.withColumn(
+            "__ord",
+            F.struct(
+                rscore.alias("r"),
+                (F.col("s1") == F.col("s0")).cast("int").alias("e"),
+            ),
+        )
+        return one_to_one_links(
+            keyed, left_id="s0", right_id="s1", score_col="score",
+            order_col="__ord",
+        ).select("s0", "s1", "score", "round")
     wr = Window.partitionBy("s1").orderBy(
         rscore.desc(), exact_first, F.col("s0").asc()
     )
@@ -194,6 +210,7 @@ def one_to_one_links(
     right_id: str = "id1",
     score_col: str = "score",
     rounds: int = 3,
+    order_col: str | None = None,
 ) -> DataFrame:
     """ONE-TO-ONE assignment by iterative mutual-best peeling — the
     distributed greedy that approximates the (inherently sequential)
@@ -204,7 +221,9 @@ def one_to_one_links(
     leaves unmatched (A's best took B, so A's second-best becomes its
     best), and every pair kept is still a mutual best at the time it is
     matched — no conflicting assignments, deterministic throughout
-    (ties: score desc, partner id asc).
+    (ties: score desc, partner id asc; pass ``order_col`` to rank on a
+    composite key — e.g. a (score, verbatim-equality) struct — while
+    ``score_col`` rides along unchanged).
 
     Returns (left_id, right_id, score_col, round) with at most one row
     per left id AND per right id overall. Scale shape per round: two
@@ -223,16 +242,17 @@ def one_to_one_links(
         F.col(left_id).alias("_l"),
         F.col(right_id).alias("_r"),
         F.col(score_col).alias("_s"),
+        F.col(order_col or score_col).alias("_o"),
     )
     matched = None
     for rnd in range(1, rounds + 1):
-        wl = Window.partitionBy("_l").orderBy(F.col("_s").desc(), F.col("_r"))
-        wr = Window.partitionBy("_r").orderBy(F.col("_s").desc(), F.col("_l"))
+        wl = Window.partitionBy("_l").orderBy(F.col("_o").desc(), F.col("_r"))
+        wr = Window.partitionBy("_r").orderBy(F.col("_o").desc(), F.col("_l"))
         best = (
             remaining.withColumn("_rl", F.row_number().over(wl))
             .withColumn("_rr", F.row_number().over(wr))
             .where((F.col("_rl") == 1) & (F.col("_rr") == 1))
-            .select("_l", "_r", "_s", F.lit(rnd).alias("round"))
+            .select("_l", "_r", "_s", "_o", F.lit(rnd).alias("round"))
             .localCheckpoint(eager=False)
         )
         matched = best if matched is None else matched.unionByName(best)

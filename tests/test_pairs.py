@@ -727,3 +727,48 @@ def test_one_to_one_partition_invariance(spark):
     a = {tuple(r) for r in one_to_one_links(df).collect()}
     b = {tuple(r) for r in one_to_one_links(df.repartition(17)).collect()}
     assert a == b and len(a) > 0
+
+
+def test_link_tables_one_to_one_saturates_beyond_mutual(spark):
+    """Two similar lefts compete for the same best right: single-shot
+    mutual links one and strands the other; one_to_one's second round
+    assigns the stranded left to its next-best remaining right."""
+    from nama_spark.operators.linkage import link_tables
+
+    # both lefts' BEST right is R1 ("acme rocket labs"): L1 ties it
+    # verbatim; L2 scores it 3-of-4 shared tokens vs only 2-of-5 for R2 —
+    # and R2 itself prefers L1 (2-of-4) over L2 (2-of-5), so single-shot
+    # mutual matches only (L1, R1) and strands L2
+    left = ["acme rocket labs", "acme rocket labs x"]
+    right = ["acme rocket labs", "acme rocket unit"]
+    ldf = spark.createDataFrame([(s,) for s in left], ["string"])
+    rdf = spark.createDataFrame([(s,) for s in right], ["string"])
+
+    mu = {(r["s0"], r["s1"]) for r in
+          link_tables(ldf, rdf, threshold=0.1, mode="mutual").collect()}
+    oo = {(r["s0"], r["s1"]): r["round"] for r in
+          link_tables(ldf, rdf, threshold=0.1, mode="one_to_one").collect()}
+    # both selections are conflict-free
+    for got in (mu, set(oo)):
+        ls = [a for a, _ in got]
+        rs = [b for _, b in got]
+        assert len(ls) == len(set(ls)) and len(rs) == len(set(rs))
+    # one_to_one links BOTH lefts; mutual strands one
+    assert len(oo) == 2 and len(mu) < 2
+    assert oo[("acme rocket labs", "acme rocket labs")] == 1
+    assert oo[("acme rocket labs x", "acme rocket unit")] == 2
+
+
+def test_link_tables_one_to_one_verbatim_wins_tie(spark):
+    """The verbatim-match-wins-score-ties contract holds in the peeling
+    mode too (the __ord struct ranks exact equality above a token-permuted
+    competitor with the same rounded score)."""
+    from nama_spark.operators.linkage import link_tables
+
+    left = ["alpha beta gamma"]
+    right = ["alpha beta gamma", "beta alpha gamma"]  # permuted ties at 1.0
+    ldf = spark.createDataFrame([(s,) for s in left], ["string"])
+    rdf = spark.createDataFrame([(s,) for s in right], ["string"])
+    got = [(r["s0"], r["s1"]) for r in
+           link_tables(ldf, rdf, threshold=0.5, mode="one_to_one").collect()]
+    assert ("alpha beta gamma", "alpha beta gamma") in got

@@ -1133,3 +1133,39 @@ def test_run_delta_er_job(spark, tmp_path):
     toks = spark.read.parquet(state + "/v000002/tokens")
     assert set(r["string"] for r in toks.select("string").distinct().collect()) \
         == set(groups1)
+
+
+def test_run_linkage_job_one_to_one_mode(spark, tmp_path):
+    """jobs/run_linkage.py --mode one_to_one: the peeling selection links
+    every left to a distinct right and records the peel round."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    try:
+        import run_linkage
+    finally:
+        sys.path.pop(0)
+
+    left = spark.createDataFrame(
+        [(f"acme widgets {i}",) for i in range(12)], ["name_l"]
+    )
+    right = left.select(
+        F.concat(F.lit("the "), F.col("name_l")).alias("name_r")
+    )
+    lp, rp = str(tmp_path / "l1.parquet"), str(tmp_path / "r1.parquet")
+    left.write.parquet(lp)
+    right.write.parquet(rp)
+    out = str(tmp_path / "links_1to1")
+    rc = run_linkage.main([
+        "--left", lp, "--left-col", "name_l",
+        "--right", rp, "--right-col", "name_r",
+        "--mode", "one_to_one", "--threshold", "0.3", "--output", out,
+    ])
+    assert rc == 0
+    rows = spark.read.parquet(out + "/links").collect()
+    links = {(r["s0"], r["s1"]) for r in rows}
+    assert links == {
+        (f"acme widgets {i}", f"the acme widgets {i}") for i in range(12)
+    }
+    assert all(r["round"] >= 1 for r in rows)
+    assert len({r["s1"] for r in rows}) == len(rows)  # exclusive
