@@ -200,8 +200,23 @@ def main():
         "- raw JSON: BENCH/scaling_low.json, BENCH/scaling_high.json,",
         "  BENCH/host_ceiling.json.",
     ]
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # Regenerate ONLY the measured-tables header; everything after the
+    # generated section (per-session records appended over the rounds) is
+    # preserved — a scaling re-run must never clobber the history.
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    tail = []
+    if os.path.exists(path):
+        with open(path) as f:
+            lines = f.read().split("\n")
+        for i, l in enumerate(lines):
+            if l.strip() == "BENCH/host_ceiling.json.":
+                tail = lines[i + 1:]
+                break
+    with open(path, "w") as f:
         f.write("\n".join(md) + "\n")
+        if tail:
+            out = "\n".join(tail)
+            f.write(out if out.endswith("\n") else out + "\n")
     with open(os.path.join(REPO, "BENCH", "scaling_low.json"), "w") as f:
         json.dump(low, f, indent=2)
     with open(os.path.join(REPO, "BENCH", "scaling_high.json"), "w") as f:
