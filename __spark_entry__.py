@@ -639,6 +639,31 @@ def q_monge_elkan_scores(spark, sf_dir):
     )
 
 
+def q_blocking_scheme_stats(spark, sf_dir):
+    """block.blocking_scheme_stats — the blocking-scheme selection report:
+    per candidate key, block counts, candidate-pair mass (Σ n·(n−1)/2,
+    never materialized), labeled-pair coverage, and integer-milli pair
+    completeness / reduction ratio. Gold sample: consecutive-custkey
+    pairs; schemes: name-suffix, nation, segment, balance band."""
+    from nama_spark.operators.block import blocking_scheme_stats
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        "c_name", "c_nationkey", "c_mktsegment", "c_acctbal",
+    )
+    gold = c.select(F.col("id").alias("id0"), (F.col("id") + 1).alias("id1"))
+    gold = gold.join(c.select(F.col("id").alias("id1")), "id1").select(
+        "id0", "id1"
+    )
+    keys = {
+        "name3": lambda df: F.substring("c_name", -3, 3),
+        "nation": lambda df: F.col("c_nationkey").cast("string"),
+        "segment": lambda df: F.col("c_mktsegment"),
+        "balband": lambda df: F.floor(F.col("c_acctbal") / 1000).cast("string"),
+    }
+    return blocking_scheme_stats(c, gold, keys)
+
+
 def q_one_to_one_links(spark, sf_dir):
     """linkage.one_to_one_links — 1:1 assignment via 3-round mutual-best
     peeling over a ±2-key candidate window with deterministic md5-derived
@@ -2415,6 +2440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_null_weights": q_fs_null_weights,
         "bloom_dice_pairs": q_bloom_dice_pairs,
         "one_to_one_links": q_one_to_one_links,
+        "blocking_scheme_stats": q_blocking_scheme_stats,
         "cluster_cohesion": q_cluster_cohesion,
         "stable_entity_ids": q_stable_entity_ids,
         "fs_gamma_patterns": q_fs_gamma_patterns,
@@ -4956,6 +4982,66 @@ def oracle_sql() -> dict[str, str]:
                    AS me_sym_milli
         FROM d
     """
+
+    # blocking_scheme_stats: one CTE chain per scheme (block-size groupBy →
+    # 1-row agg; labeled pairs joined onto the key map), assembled by a
+    # python loop so all four schemes share the exact template.
+    _schemes = {
+        "name3": "right(c_name, 3)",
+        "nation": "CAST(c_nationkey AS VARCHAR)",
+        "segment": "c_mktsegment",
+        "balband": "CAST(CAST(floor(c_acctbal / 1000) AS BIGINT) AS VARCHAR)",
+    }
+    _parts = []
+    for _nm, _expr in _schemes.items():
+        _parts.append(f"""
+        k_{_nm} AS (
+            SELECT id, {_expr} AS k FROM c WHERE {_expr} IS NOT NULL
+        ),
+        b_{_nm} AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+                   CAST(max(nb) AS BIGINT) AS max_block,
+                   CAST(sum(nb * (nb - 1) / 2) AS BIGINT) AS cand
+            FROM (SELECT k, count(*) AS nb FROM k_{_nm} GROUP BY 1)
+        ),
+        g_{_nm} AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_gold,
+                   CAST(coalesce(sum(CASE WHEN ka.k = kb.k THEN 1 ELSE 0 END),
+                        0) AS BIGINT) AS covered
+            FROM gold
+            JOIN k_{_nm} ka ON ka.id = gold.id0
+            JOIN k_{_nm} kb ON kb.id = gold.id1
+        ),
+        r_{_nm} AS (
+            SELECT '{_nm}' AS scheme, n_blocks, max_block,
+                   cand AS cand_pairs, covered AS covered_matches, n_gold,
+                   CASE WHEN n_gold > 0 THEN (1000 * covered) // n_gold
+                        ELSE 1000 END AS pc_milli,
+                   CASE WHEN t > 0 THEN 1000 - (1000 * cand) // t
+                        ELSE 0 END AS rr_milli
+            FROM b_{_nm}, g_{_nm}, tot
+        )""")
+    q["blocking_scheme_stats"] = (
+        """
+        WITH c AS (
+            SELECT c_custkey AS id, c_name, c_nationkey, c_mktsegment,
+                   c_acctbal
+            FROM customer
+        ),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+        tot AS (SELECT (n * (n - 1)) // 2 AS t FROM nn),
+        gold AS (
+            SELECT a.id AS id0, b.id AS id1
+            FROM c a JOIN c b ON b.id = a.id + 1
+        ),"""
+        + ",".join(_parts)
+        + """
+        SELECT * FROM r_name3
+        UNION ALL SELECT * FROM r_nation
+        UNION ALL SELECT * FROM r_segment
+        UNION ALL SELECT * FROM r_balband
+    """
+    )
 
     # one_to_one_links: the 3-round mutual-best peel unrolled — each round
     # is two row_numbers (score desc, partner asc), the mutual cut, and a

@@ -520,3 +520,99 @@ def metablock_prune(
         )
         return weighted.join(kept, ["s0", "s1"], "left_semi")
     raise ValueError(f"unknown method: {method!r}")
+
+
+def blocking_scheme_stats(
+    records: DataFrame,
+    gold_pairs: DataFrame,
+    keys,
+    id_col: str = "id",
+    left_id: str = "id0",
+    right_id: str = "id1",
+) -> DataFrame:
+    """Blocking-SCHEME selection report (Christen, "Data Matching" ch. 7;
+    the measurement behind learned/greedy scheme selection à la Michelson
+    & Knoblock 2006): one row per candidate key function with
+
+        scheme, n_blocks, max_block,
+        cand_pairs        Σ_b n_b·(n_b−1)/2 — candidate mass WITHOUT ever
+                          materializing a pair
+        covered_matches   labeled match pairs whose two sides share the key
+        n_gold            labeled match pairs (after dropping null-key rows)
+        pc_milli          floor(1000·covered/n_gold)   (pair completeness)
+        rr_milli          1000 − floor(1000·cand_pairs/C(n,2))  (reduction)
+
+    ``keys`` is ``{scheme_name: fn}`` with fn mapping the records DataFrame
+    to a key Column (null keys excluded from blocking — standard).
+    Choosing a scheme is then an argmax over this table (or a greedy union
+    for multi-pass blocking, adding schemes by marginal covered_matches
+    per cand_pair).
+
+    Scale shape per scheme: ONE groupBy over the keyed records (block
+    sizes), one 1-row aggregate, and two hash joins of the LABELED pair
+    sample (gold sets are sample-sized, not corpus-sized) onto the key
+    map. The per-scheme scalars are assembled driver-side into the k-row
+    report — k is the number of candidate schemes, a small constant.
+
+    No reference counterpart (nama never evaluates blocking); completes
+    the existing single-candidate-set ``evaluate.blocking_quality``.
+    """
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    n = records.count()
+    total_pairs = n * (n - 1) // 2
+    rows = []
+    for name, fn in keys.items():
+        keyed = records.select(
+            F.col(id_col).alias("_id"), fn(records).alias("_k")
+        ).where(F.col("_k").isNotNull())
+        agg = (
+            keyed.groupBy("_k")
+            .agg(F.count(F.lit(1)).alias("nb"))
+            .agg(
+                F.count(F.lit(1)).alias("n_blocks"),
+                F.max("nb").alias("max_block"),
+                F.sum(F.col("nb") * (F.col("nb") - 1) / 2).alias("cand"),
+            )
+            .collect()[0]
+        )
+        g = (
+            gold_pairs.select(
+                F.col(left_id).alias("_a"), F.col(right_id).alias("_b")
+            )
+            .join(keyed.select(F.col("_id").alias("_a"),
+                               F.col("_k").alias("_ka")), "_a")
+            .join(keyed.select(F.col("_id").alias("_b"),
+                               F.col("_k").alias("_kb")), "_b")
+        )
+        counts = g.agg(
+            F.count(F.lit(1)).alias("n_gold"),
+            F.sum(
+                F.when(F.col("_ka") == F.col("_kb"), 1).otherwise(0)
+            ).alias("covered"),
+        ).collect()[0]
+        cand = int(agg["cand"] or 0)
+        n_gold = int(counts["n_gold"] or 0)
+        covered = int(counts["covered"] or 0)
+        rows.append((
+            name,
+            int(agg["n_blocks"] or 0),
+            int(agg["max_block"] or 0),
+            cand,
+            covered,
+            n_gold,
+            (1000 * covered) // n_gold if n_gold else 1000,
+            1000 - (1000 * cand) // total_pairs if total_pairs else 0,
+        ))
+    schema = StructType([
+        StructField("scheme", StringType()),
+        StructField("n_blocks", LongType()),
+        StructField("max_block", LongType()),
+        StructField("cand_pairs", LongType()),
+        StructField("covered_matches", LongType()),
+        StructField("n_gold", LongType()),
+        StructField("pc_milli", LongType()),
+        StructField("rr_milli", LongType()),
+    ])
+    spark = records.sparkSession
+    return spark.createDataFrame(rows, schema)

@@ -126,3 +126,59 @@ def test_blocking_stats(spark):
     # retained gold pairs: ab, bc, de (af crosses groups) → 3/4
     assert s["pair_completeness"] == 0.75
     assert abs(s["reduction_ratio"] - (1 - 4 / 15)) < 1e-12
+
+
+def test_blocking_scheme_stats_vs_bruteforce(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from nama_spark.operators.block import blocking_scheme_stats
+
+    rng = random.Random(5)
+    recs = [(i, rng.randrange(4), rng.randrange(3)) for i in range(80)]
+    gold = [(i, i + 1) for i in range(0, 79, 2)]
+    rdf = spark.createDataFrame(recs, ["id", "ka", "kb"])
+    gdf = spark.createDataFrame(gold, ["id0", "id1"])
+    keys = {
+        "a": lambda df: F.col("ka").cast("string"),
+        "b": lambda df: F.col("kb").cast("string"),
+        "ab": lambda df: F.concat_ws("|", "ka", "kb"),
+    }
+    got = {r["scheme"]: r.asDict() for r in
+           blocking_scheme_stats(rdf, gdf, keys).collect()}
+
+    n = len(recs)
+    total = n * (n - 1) // 2
+    key_fns = {"a": lambda r: str(r[1]), "b": lambda r: str(r[2]),
+               "ab": lambda r: f"{r[1]}|{r[2]}"}
+    by_id = {r[0]: r for r in recs}
+    for name, kf in key_fns.items():
+        from collections import Counter
+        blocks = Counter(kf(r) for r in recs)
+        cand = sum(v * (v - 1) // 2 for v in blocks.values())
+        covered = sum(1 for a, b in gold if kf(by_id[a]) == kf(by_id[b]))
+        row = got[name]
+        assert row["n_blocks"] == len(blocks)
+        assert row["max_block"] == max(blocks.values())
+        assert row["cand_pairs"] == cand
+        assert row["covered_matches"] == covered
+        assert row["n_gold"] == len(gold)
+        assert row["pc_milli"] == (1000 * covered) // len(gold)
+        assert row["rr_milli"] == 1000 - (1000 * cand) // total
+
+
+def test_blocking_scheme_stats_null_keys_excluded(spark):
+    from pyspark.sql import functions as F
+
+    from nama_spark.operators.block import blocking_scheme_stats
+
+    rdf = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, None)], ["id", "k"])
+    gdf = spark.createDataFrame([(1, 2), (2, 3)], ["id0", "id1"])
+    row = blocking_scheme_stats(
+        rdf, gdf, {"k": lambda df: F.col("k")}).first()
+    # record 3 drops out of blocking AND of the gold denominator
+    assert row["n_blocks"] == 1 and row["cand_pairs"] == 1
+    assert row["n_gold"] == 1 and row["covered_matches"] == 1
+    assert row["pc_milli"] == 1000
