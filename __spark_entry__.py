@@ -498,6 +498,40 @@ def q_golden_records(spark, sf_dir):
     )
 
 
+def q_golden_records_delta(spark, sf_dir):
+    """fusion.golden_records_delta — incremental fusion: yesterday's golden
+    table (customers with custkey%11 != 0) plus today's arrivals
+    (custkey%11 == 0) re-fuses ONLY the arrival-touched clusters and
+    carries the rest. The oracle is the FULL golden recompute over today's
+    records — the delta path must be indistinguishable from it (same
+    convention as cc_delta_clusters)."""
+    from nama_spark.operators.fusion import golden_records, golden_records_delta
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.substring("c_name", -2, 2).alias("grp"),
+        "c_name", "c_acctbal", "c_mktsegment",
+    )
+    rules = {"c_name": "longest", "c_acctbal": "max",
+             "c_mktsegment": "most_frequent"}
+    yesterday = cust.where(F.col("c_custkey") % 11 != 0).drop("c_custkey")
+    today = cust.drop("c_custkey")
+    prev = golden_records(yesterday, "grp", rules)
+    changed = (
+        cust.where(F.col("c_custkey") % 11 == 0)
+        .select(F.col("grp").alias("group"))
+        .distinct()
+    )
+    out = golden_records_delta(prev, today, "grp", rules, changed)
+    return out.select(
+        "group",
+        F.col("n_members").cast("long").alias("n_members"),
+        "c_name",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+
+
 def q_fs_tf_adjusted(spark, sf_dir):
     """fellegi_sunter.term_frequencies + tf_adjusted_weights — Winkler's
     value-specific u (the adjustment Splink applies): pairs agreeing on a
@@ -2450,6 +2484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metablock_wep_pairs": q_metablock_wep_pairs,
         "metablock_cnp_pairs": q_metablock_cnp_pairs,
         "golden_records": q_golden_records,
+        "golden_records_delta": q_golden_records_delta,
         "fs_tf_adjusted": q_fs_tf_adjusted,
         # --- NEW this round (r05) ---
         "quality_classifier_score": q_quality_classifier_score,
@@ -2972,6 +3007,11 @@ def oracle_sql() -> dict[str, str]:
         SELECT b."group", b.n_members, l.c_name, b.c_acctbal, v.c_mktsegment
         FROM base b JOIN longest l USING ("group") JOIN vote v USING ("group")
     """
+
+    # golden_records_delta: the delta fold must be INDISTINGUISHABLE from
+    # a full re-fuse of today's records, so its oracle IS the full golden
+    # recompute — the yesterday/arrivals split exists only Spark-side.
+    q["golden_records_delta"] = q["golden_records"]
 
     q["metablock_cnp_pairs"] = f"""
         WITH toks AS ({_SQL_WORD_TOKENS}),

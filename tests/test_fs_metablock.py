@@ -456,3 +456,69 @@ def test_mu_from_labels_excludes_null_levels(spark):
     assert abs(params["g_a"][0][0] - Fraction(1, 3)) < 1e-12
     assert abs(params["g_a"][1][1] - Fraction(1, 3)) < 1e-12
     assert abs(params["g_a"][0][1] - Fraction(2, 3)) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# incremental golden records
+# ---------------------------------------------------------------------------
+
+
+def test_golden_records_delta_equals_full_recompute(spark):
+    """The delta contract: re-fusing only the changed clusters and carrying
+    the rest yields EXACTLY the full recompute over the current records."""
+    import random
+
+    from nama_spark.operators.fusion import golden_records, golden_records_delta
+
+    rng = random.Random(13)
+    v1 = [(f"g{rng.randrange(12)}", f"name{i:03d}" + "x" * rng.randrange(4),
+           rng.randrange(1000), rng.choice("ABC"))
+          for i in range(120)]
+    rules = {"name": "longest", "bal": "max", "seg": "most_frequent"}
+    cols = ["grp", "name", "bal", "seg"]
+    df1 = spark.createDataFrame(v1, cols)
+    prev = golden_records(df1, "grp", rules).localCheckpoint()
+
+    # day-2 churn: move some rows between clusters, add rows, drop rows
+    v2 = []
+    touched = set()
+    for i, (g, n, b, s) in enumerate(v1):
+        if i % 17 == 0:
+            g2 = f"g{rng.randrange(12)}"
+            touched |= {g, g2}
+            v2.append((g2, n, b, s))
+        elif i % 23 == 0:
+            touched.add(g)          # dropped row
+        else:
+            v2.append((g, n, b, s))
+    for i in range(10):             # arrivals
+        g = f"g{rng.randrange(12)}"
+        touched.add(g)
+        v2.append((g, f"new{i:02d}", rng.randrange(1000), rng.choice("ABC")))
+    df2 = spark.createDataFrame(v2, cols)
+    changed = spark.createDataFrame([(g,) for g in sorted(touched)], ["group"])
+
+    got = {r["group"]: tuple(r) for r in
+           golden_records_delta(prev, df2, "grp", rules, changed).collect()}
+    want = {r["group"]: tuple(r) for r in
+            golden_records(df2, "grp", rules).collect()}
+    assert got == want
+
+
+def test_golden_records_delta_superset_of_changed_is_safe(spark):
+    """Passing MORE groups than actually changed (a conservative caller)
+    still equals the full recompute."""
+    from pyspark.sql import functions as F
+
+    from nama_spark.operators.fusion import golden_records, golden_records_delta
+
+    rows = [("a", "x", 1), ("a", "yy", 2), ("b", "zzz", 3)]
+    rules = {"name": "longest", "bal": "max"}
+    df = spark.createDataFrame(rows, ["grp", "name", "bal"])
+    prev = golden_records(df, "grp", rules)
+    all_groups = df.select(F.col("grp").alias("group")).distinct()
+    got = {r["group"]: tuple(r) for r in
+           golden_records_delta(prev, df, "grp", rules, all_groups).collect()}
+    want = {r["group"]: tuple(r) for r in
+            golden_records(df, "grp", rules).collect()}
+    assert got == want
