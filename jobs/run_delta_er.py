@@ -59,6 +59,14 @@ def parse_args(argv=None):
     p.add_argument("--weighting", default="tf-idf")
     p.add_argument("--measure", default="jaccard")
     p.add_argument("--max-block-size", type=int, default=100)
+    p.add_argument("--golden-rules", default=None,
+                   help="comma list field=rule (rule: max|min|longest|"
+                        "most_frequent|sum|avg|any): maintain a golden-"
+                        "record table in state, delta-fused per batch")
+    p.add_argument("--records-input", default=None,
+                   help="record table (parquet/table id) carrying the "
+                        "fields --golden-rules fuses; joined to clusters "
+                        "on --string-col. Required with --golden-rules")
     return p.parse_args(argv)
 
 
@@ -70,7 +78,8 @@ def _current_version(state: str) -> str | None:
         return f.read().strip()
 
 
-def _write_state(state: str, version: str, clusters, entity_ids, tokens):
+def _write_state(state: str, version: str, clusters, entity_ids, tokens,
+                 golden=None):
     base = os.path.join(state, version)
     clusters.write.mode("overwrite").parquet(os.path.join(base, "clusters"))
     entity_ids.write.mode("overwrite").parquet(
@@ -78,6 +87,8 @@ def _write_state(state: str, version: str, clusters, entity_ids, tokens):
     )
     if tokens is not None:
         tokens.write.mode("overwrite").parquet(os.path.join(base, "tokens"))
+    if golden is not None:
+        golden.write.mode("overwrite").parquet(os.path.join(base, "golden"))
     # flip CURRENT last: readers always see a complete version
     tmp = os.path.join(state, "CURRENT.tmp")
     with open(tmp, "w") as f:
@@ -153,7 +164,61 @@ def main(argv=None):
     )
     ids = stable_entity_ids(prev_ids, assignment)
 
-    _write_state(args.state, next_version, united.df, ids, tokens_out)
+    # optional golden-record maintenance: delta-fuse only churn-touched
+    # clusters (fusion.golden_records_delta); a batch's changed set is the
+    # clusters containing any delta string — under the job's arrival-only
+    # model every merged/new cluster contains one, and clusters whose
+    # labels died in a merge are dropped by the alive semi-join.
+    golden_out = None
+    n_golden = n_refused = None
+    if args.golden_rules:
+        from nama_spark.operators.fusion import (
+            golden_records,
+            golden_records_delta,
+        )
+
+        if not args.records_input:
+            raise SystemExit("--golden-rules requires --records-input")
+        rules = dict(kv.split("=", 1)
+                     for kv in args.golden_rules.split(","))
+        records = read_records(
+            spark, args.records_input, catalog=args.catalog
+        )
+        rec = records.join(
+            united.df.select(
+                F.col("string").alias(args.string_col), "group"
+            ),
+            args.string_col,
+        )
+        prev_golden_path = (
+            os.path.join(args.state, version, "golden")
+            if version is not None else None
+        )
+        if prev_golden_path and os.path.exists(prev_golden_path):
+            prev_golden = spark.read.parquet(prev_golden_path)
+            changed = (
+                united.df.join(
+                    delta.select(
+                        F.col(args.string_col).alias("string")
+                    ).distinct(),
+                    "string", "leftsemi",
+                ).select("group").distinct()
+            )
+            alive = united.df.select("group").distinct()
+            golden_out = golden_records_delta(
+                prev_golden.join(alive, "group", "leftsemi"),
+                rec, "group", rules, changed,
+            ).localCheckpoint(eager=False)
+            n_refused = changed.count()
+        else:
+            # first golden-enabled run (init, or flag newly added)
+            golden_out = golden_records(rec, "group", rules).localCheckpoint(
+                eager=False
+            )
+        n_golden = golden_out.count()
+
+    _write_state(args.state, next_version, united.df, ids, tokens_out,
+                 golden=golden_out)
 
     out_clusters = spark.read.parquet(
         os.path.join(args.state, next_version, "clusters")
@@ -167,6 +232,10 @@ def main(argv=None):
         "groups": n_groups,
         "wall_sec": round(time.time() - t0, 2),
     }
+    if n_golden is not None:
+        summary["golden_rows"] = n_golden
+        if n_refused is not None:
+            summary["golden_refused_clusters"] = n_refused
     print(json.dumps(summary))
     return 0
 

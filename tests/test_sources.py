@@ -1169,3 +1169,73 @@ def test_run_linkage_job_one_to_one_mode(spark, tmp_path):
     }
     assert all(r["round"] >= 1 for r in rows)
     assert len({r["s1"] for r in rows}) == len(rows)  # exclusive
+
+
+def test_run_delta_er_job_golden_records(spark, tmp_path):
+    """--golden-rules: the state's golden table after a delta day equals a
+    FULL golden_records recompute over the record store joined to the
+    current partition (the delta-fusion contract, at the job surface)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    try:
+        import run_delta_er
+    finally:
+        sys.path.pop(0)
+
+    from nama_spark.operators.fusion import golden_records
+
+    day0 = spark.createDataFrame(
+        [(f"acme widget company {i}",) for i in range(20)], ["repo"]
+    )
+    day1 = spark.createDataFrame(
+        [(f"acme widget compny {i}",) for i in range(6)], ["repo"]
+    )
+    # record store: rows for every string seen so far, with fields to fuse
+    recs = spark.createDataFrame(
+        [(f"acme widget company {i}", f"desc{i:02d}" + "x" * (i % 3), i * 10)
+         for i in range(20)]
+        + [(f"acme widget compny {i}", f"short{i}", 1000 + i)
+           for i in range(6)],
+        ["repo", "descr", "stars"],
+    )
+    p0, p1 = str(tmp_path / "g0.parquet"), str(tmp_path / "g1.parquet")
+    pr = str(tmp_path / "grecs.parquet")
+    day0.write.parquet(p0)
+    day1.write.parquet(p1)
+    recs.write.parquet(pr)
+    state = str(tmp_path / "gstate")
+
+    rules = "descr=longest,stars=max"
+    rc = run_delta_er.main([
+        "--init", "--delta-input", p0, "--string-col", "repo",
+        "--state", state, "--threshold", "0.7",
+        "--golden-rules", rules, "--records-input", pr,
+    ])
+    assert rc == 0
+    rc = run_delta_er.main([
+        "--delta-input", p1, "--string-col", "repo",
+        "--state", state, "--threshold", "0.7",
+        "--golden-rules", rules, "--records-input", pr,
+    ])
+    assert rc == 0
+
+    clusters = spark.read.parquet(state + "/v000002/clusters")
+    golden = spark.read.parquet(state + "/v000002/golden")
+    want = golden_records(
+        recs.join(
+            clusters.select(F.col("string").alias("repo"), "group"), "repo"
+        ),
+        "group",
+        {"descr": "longest", "stars": "max"},
+    )
+    got = {r["group"]: (r["n_members"], r["descr"], r["stars"])
+           for r in golden.collect()}
+    wnt = {r["group"]: (r["n_members"], r["descr"], r["stars"])
+           for r in want.collect()}
+    assert got == wnt and len(got) > 0
+    # twins merged into their originals' clusters: those golden rows must
+    # reflect the arrival (stars=max picks the 1000+ arrival value)
+    merged = {r["group"] for r in clusters.where(
+        F.col("string").like("%compny%")).collect()}
+    assert all(got[g][2] >= 1000 for g in merged)
