@@ -246,6 +246,169 @@ def region_corpus(spark, sf_dir):
         t(f"rep{rep} corpus pipeline")
 
 
+
+
+def region_soft_tfidf_phases(spark, sf_dir):
+    """soft_tfidf_scores body, phase by phase (mirrors score.py)."""
+    from nama_spark.functions.tokenize import tokens_table
+    from nama_spark.operators.score import jaro_winkler_udf
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select("p_partkey", "p_name")
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    a = part.select(F.col("p_partkey").alias("k"), F.col("p_name").alias("s0"))
+    b = part.select((F.col("p_partkey") - 1).alias("k"), F.col("p_name").alias("s1"))
+    pairs = a.join(b, "k").repartition(n_parts).cache()
+    pairs.count()
+    corpus = part.select(F.col("p_name").alias("string"))
+    s0, s1, string_col, threshold = "s0", "s1", "string", 0.9
+    for rep in range(2):
+        t = T(spark)
+        low = (
+            corpus.select(F.lower(F.col(string_col)).alias("string"))
+            .where(F.col("string").isNotNull())
+            .distinct()
+        )
+        n_strings = low.count()
+        t(f"rep{rep} corpus count ({n_strings})")
+        pair_strings = (
+            pairs.select(F.lower(F.col(s0)).alias("string"))
+            .union(pairs.select(F.lower(F.col(s1)).alias("string")))
+            .where(F.col("string").isNotNull())
+            .distinct()
+        )
+        corpus_toks = tokens_table(low, tokenizer="words")
+        df_tab = corpus_toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+        toks = tokens_table(low.union(pair_strings).distinct(), tokenizer="words")
+        v = F.log(F.col("tf") + F.lit(1.0)) * F.log(
+            F.lit(float(n_strings)) / F.coalesce(F.col("df"), F.lit(1)).cast("double")
+        )
+        vtab = toks.join(df_tab, "token", "left").select("string", "token", v.alias("v"))
+        nrm = vtab.groupBy("string").agg(
+            F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm")
+        )
+        wtab = vtab.join(nrm, "string").select(
+            "string", "token",
+            F.when(F.col("nrm") > 0, F.col("v") / F.col("nrm")).otherwise(F.lit(0.0)).alias("V"),
+        ).localCheckpoint()
+        t(f"rep{rep} weight table ({wtab.count()})")
+        p = pairs.select(
+            F.lower(F.col(s0)).alias("l0"), F.lower(F.col(s1)).alias("l1")
+        ).distinct()
+        t0c = p.join(
+            wtab.select(F.col("string").alias("l0"), F.col("token").alias("w"),
+                        F.col("V").alias("v0")), "l0",
+        )
+        t1c = p.join(
+            wtab.select(F.col("string").alias("l1"), F.col("token").alias("u"),
+                        F.col("V").alias("v1")), "l1",
+        )
+        tp = t0c.join(t1c, ["l0", "l1"]).localCheckpoint()
+        t(f"rep{rep} token cross product ({tp.count()})")
+        jw = jaro_winkler_udf()
+        tok_pairs = (
+            tp.select("w", "u").distinct()
+            .withColumn("jw5", F.round(jw(F.col("w"), F.col("u")), 5))
+        ).localCheckpoint()
+        t(f"rep{rep} distinct JW ({tok_pairs.count()})")
+        tp2 = tp.join(tok_pairs, ["w", "u"]).localCheckpoint()
+        t(f"rep{rep} join jw back ({tp2.count()})")
+
+        def directed(key_tok, key_v, other_tok, other_v, out_col):
+            best = tp2.groupBy("l0", "l1", key_tok, key_v).agg(
+                F.max(F.struct("jw5", other_tok, other_v)).alias("b")
+            )
+            return (
+                best.where(F.col("b.jw5") > threshold)
+                .groupBy("l0", "l1")
+                .agg(F.sum(F.col(key_v) * F.col(f"b.{other_v}") * F.col("b.jw5")).alias(out_col))
+            )
+
+        c0 = directed("w", "v0", "u", "v1", "soft01")
+        c1 = directed("u", "v1", "w", "v0", "soft10")
+        res = (
+            p.join(c0, ["l0", "l1"], "left").join(c1, ["l0", "l1"], "left")
+            .select("l0", "l1",
+                    F.round(F.coalesce("soft01", F.lit(0.0)), 5).alias("soft01"),
+                    F.round(F.coalesce("soft10", F.lit(0.0)), 5).alias("soft10"))
+        )
+        keyed = pairs.withColumn("l0", F.lower(F.col(s0))).withColumn("l1", F.lower(F.col(s1)))
+        out = keyed.join(res, ["l0", "l1"])
+        out.agg(F.sum("soft01")).collect()
+        t(f"rep{rep} argmax + final join")
+    pairs.unpersist()
+
+
+def region_ivf_phases(spark, sf_dir):
+    """ivf_candidates body, phase by phase (mirrors embed.py flat path)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
+
+    from fixtures.make_fixtures import fixture_dataframes, make_fixture
+    from nama_spark.operators.embed import cosine_expr, embed_strings
+
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    n_entities = int(os.environ.get("SPARK_GRAFT_ENTITIES", max(100, int(30000 * sf))))
+    fx = make_fixture(seed=7, n_entities=max(200, n_entities // 4), max_files=3)
+    records, _, _ = fixture_dataframes(spark, fx)
+    names = records.select(F.col("repo").alias("string")).distinct()
+    cos_threshold, nprobe, sample_per_cell, seed, max_iter = 0.8, 2, 50, 42, 10
+    for rep in range(2):
+        t = T(spark)
+        emb = embed_strings(names, count_col=None, dim=64, seed=42)
+        feat = emb.select("string", "vec").localCheckpoint(eager=False)
+        n = feat.count()
+        t(f"rep{rep} embed+checkpoint ({n})")
+        n_cells = max(8, min(n // 400, 4096))
+        n_cells = min(n_cells, n)
+        fit_frac = min(1.0, (sample_per_cell * n_cells) / max(n, 1))
+        fit_df = feat.sample(fraction=fit_frac, seed=seed) if fit_frac < 1.0 else feat
+        fit_feat = fit_df.select(
+            array_to_vector(F.col("vec").cast("array<double>")).alias("features")
+        ).localCheckpoint(eager=False)
+        n_fit = fit_feat.count()
+        t(f"rep{rep} fit sample ({n_fit})")
+        model = KMeans(k=n_cells, seed=seed, maxIter=max_iter,
+                       featuresCol="features", predictionCol="cell").fit(fit_feat)
+        t(f"rep{rep} MLlib KMeans fit")
+        centers_df = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+            ["cell", "centroid"],
+        )
+        d2 = F.aggregate(
+            F.zip_with(F.col("vec").cast("array<double>"), F.col("centroid"),
+                       lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda a, x: a + x,
+        )
+        w = Window.partitionBy("string").orderBy(F.col("d2").asc(), F.col("cell").asc())
+        cand_cells = (
+            feat.crossJoin(F.broadcast(centers_df))
+            .withColumn("d2", d2)
+            .select("string", "cell", "d2")
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= nprobe)
+            .select("string", "cell")
+        )
+        assigned = cand_cells.join(feat, "string").select("cell", "string", "vec")
+        assigned = assigned.select(
+            F.col("cell").cast("long").alias("cell"), "string", "vec"
+        ).localCheckpoint()
+        t(f"rep{rep} assignment ({assigned.count()})")
+        aa = assigned.select("cell", F.col("string").alias("s0"), F.col("vec").alias("v0"))
+        bb = assigned.select("cell", F.col("string").alias("s1"), F.col("vec").alias("v1"))
+        cos = cosine_expr(F.col("v0"), F.col("v1"))
+        out = (
+            aa.join(bb, "cell")
+            .where(F.col("s0") < F.col("s1"))
+            .withColumn("cos", cos)
+            .where(F.col("cos") >= cos_threshold)
+            .select("s0", "s1", "cos")
+            .dropDuplicates(["s0", "s1"])
+        )
+        n2 = out.count()
+        t(f"rep{rep} cell self-join ({n2})")
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark()

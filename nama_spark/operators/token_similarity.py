@@ -26,7 +26,6 @@ from nama_spark.functions.tokenize import token_weights, tokens_table
 from nama_spark.operators.block import (
     anti_join_same_group,
     eligible_tokens,
-    salt_pairs,
     token_block_pairs,
 )
 from nama_spark.operators.cluster import labels_for_nodes
@@ -51,19 +50,23 @@ class TokenSimilarity:
         measure: str = "jaccard",
         max_block_size: int = 100,
         reference_doc_counts: bool = True,
-        score_impl: str = "explode",
+        score_impl: str = "map",
     ):
         self.tokenizer = tokenizer
         self.weighting = weighting
         self.measure = measure
         self.max_block_size = max_block_size
         self.reference_doc_counts = reference_doc_counts
-        # "explode" (skinny join-agg) | "map" (token→weight map payload).
-        # Equality-tested against each other; measured on this host the
-        # exploded join ties the map variant at cap 100 and beats it ~40%
-        # at cap 200 (and scales better with cores: 0.73 vs 0.51 at 2→8),
-        # so it is the default; the map variant wins when candidate pairs
-        # vastly outnumber (pair × token) rows.
+        # "map" (token→weight map payload, default) | "explode" (skinny
+        # join-agg). Equality-tested against each other (test_pairs.py).
+        # Round-6 re-measure ON THE THRESHOLDED PATH (the path predict /
+        # TokenSimPass actually execute — the earlier explode-favoring
+        # numbers compared unfiltered counts, where Catalyst eliminates the
+        # intersection join entirely): at cap 100, sf0.1 universe ~5.2k
+        # names / 210k pairs, map scores ≥-threshold edges in 3.7-5.3 s vs
+        # explode's 9.4-12.1 s — the exploded variant shuffles the O(pairs ×
+        # tokens-per-string) fan-out twice, the map variant two O(pairs)
+        # map-payload joins with the intersection loop in-JVM.
         self.score_impl = score_impl
         self.threshold: float | None = None
         self._tokens: DataFrame | None = None
@@ -88,6 +91,16 @@ class TokenSimilarity:
             weighting=self.weighting,
             reference_doc_counts=self.reference_doc_counts,
         ).cache()
+        # Materialize both caches NOW (guide §5 caching): a lazily-cached
+        # token table referenced from several branches of one downstream
+        # action (eligible-token filter, block self-join ×2, intersection
+        # ×2, norms) races its own cache population — stages scheduled
+        # before the blocks land recompute the whole tokenize subtree.
+        # Measured on pipeline_er's TokenSimPass at sf0.1: edges 20.3 s
+        # lazy → 10.7 s eager (the bench's own fit-then-count prewarm
+        # becomes a no-op cache hit).
+        self._weights.count()
+        self._tokens.count()
         return self
 
     def fit_incremental(
@@ -118,6 +131,9 @@ class TokenSimilarity:
             weighting=self.weighting,
             reference_doc_counts=self.reference_doc_counts,
         ).cache()
+        # eager for the same multi-branch-consumer reason as fit()
+        self._weights.count()
+        self._tokens.count()
         self._strings = self._tokens.select("string").distinct()
         return delta
 
@@ -135,10 +151,22 @@ class TokenSimilarity:
     def pair_scores(self, skip_same_group: MatchData | None = None) -> DataFrame:
         """(s0, s1, score) for every candidate pair (cacheable for threshold
         sweeps)."""
-        pairs = self.candidate_pairs()
+        # Pin the candidate stream once: token_similarity_scores references
+        # ``pairs`` twice (as the left side of the zero-intersection left
+        # join AND inside pair_intersection_sums), and Spark does not reuse
+        # the block-join+distinct exchange across the two references —
+        # without the pin the whole candidate subtree runs twice per action
+        # (measured at sf0.1, threshold path: 11.3 s → 6.5 s from this pin).
+        pairs = self.candidate_pairs().localCheckpoint(eager=False)
         if skip_same_group is not None:
             pairs = anti_join_same_group(pairs, skip_same_group.df)
-        pairs = salt_pairs(pairs)
+        # NOTE (guide §2.4, round 6): candidate_pairs ends in a .distinct()
+        # on (s0, s1), whose hash partitioning already spreads pairs
+        # uniformly by pair key — the salt_pairs repartition that used to
+        # sit here re-shuffled the identical distribution a second time
+        # (one full exchange of the candidate stream for zero skew benefit).
+        # salt_pairs stays available for callers whose pair source is NOT
+        # already pair-key-partitioned.
         if self.score_impl == "map":
             from nama_spark.operators.score import token_similarity_scores_map
 
@@ -262,7 +290,9 @@ class TokenSimilarity:
                 prev_tokens, genuinely_new
             )
         elig = eligible_tokens(self._weights, 2, self.max_block_size)
-        pairs = salt_pairs(token_block_pairs_against(self._tokens, nw, elig))
+        # token_block_pairs_against already ends in a pair-key .distinct();
+        # no extra salt repartition needed (see pair_scores)
+        pairs = token_block_pairs_against(self._tokens, nw, elig)
         scorer = (
             token_similarity_scores_map
             if self.score_impl == "map"
