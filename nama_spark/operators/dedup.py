@@ -71,9 +71,199 @@ def word_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             lambda i: F.array_join(F.slice(t, i + 1, k), " "),
         ),
     ).otherwise(F.array(F.array_join(t, " ")))
-    return (
-        tokenized.select("doc_id", F.explode(shingles).alias("shingle"))
+    # dedup INSIDE the array (in-JVM, per doc) before exploding: the rows
+    # are then distinct by construction — the old explode-then-.distinct()
+    # paid a full corpus-wide shuffle of the shingle stream for the same
+    # result (guide §2.4: remove shuffles outright).
+    return tokenized.select(
+        "doc_id", F.explode(F.array_distinct(shingles)).alias("shingle")
+    )
+
+
+def _overlap_prefilter(
+    items: DataFrame,
+    item_col: str,
+    max_df: int,
+) -> DataFrame:
+    """(id0, id1, n_elig, n0, n1, ub) for every blocked candidate pair:
+    n_elig = shared items with df in [2, max_df] (counted during pair
+    enumeration — the same shuffle the old distinct paid), ub = n_elig +
+    min(hot0, hot1) an upper bound on the true intersection size (hot =
+    items with df > max_df, never enumerated pairwise), n0/n1 the exact
+    per-doc set sizes. See _pair_overlap's caller docstrings for the
+    exactness argument: any measure monotone in |∩| evaluated at ub can
+    prefilter candidates with zero false drops."""
+    dfreq = items.groupBy(item_col).agg(F.count(F.lit(1)).alias("df"))
+    elig = dfreq.where(
+        (F.col("df") >= 2) & (F.col("df") <= max_df)
+    ).select(item_col)
+    se = items.join(elig, item_col, "left_semi")
+    a = se.select(item_col, F.col("doc_id").alias("id0"))
+    b = se.select(item_col, F.col("doc_id").alias("id1"))
+    partial = (
+        a.join(b, item_col)
+        .where(F.col("id0") < F.col("id1"))
+        .groupBy("id0", "id1")
+        .agg(F.count(F.lit(1)).alias("n_elig"))
+    )
+    sizes = items.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n"))
+    hot = dfreq.where(F.col("df") > max_df).select(item_col)
+    hcnt = (
+        items.join(hot, item_col, "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("__h"))
+    )
+    out = (
+        partial.join(
+            sizes.select(F.col("doc_id").alias("id0"), F.col("__n").alias("n0")),
+            "id0",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id1"), F.col("__n").alias("n1")),
+            "id1",
+        )
+        .join(
+            hcnt.select(F.col("doc_id").alias("id0"), F.col("__h").alias("h0")),
+            "id0", "left",
+        )
+        .join(
+            hcnt.select(F.col("doc_id").alias("id1"), F.col("__h").alias("h1")),
+            "id1", "left",
+        )
+    )
+    ub = F.col("n_elig") + F.least(
+        F.coalesce(F.col("h0"), F.lit(0)), F.coalesce(F.col("h1"), F.lit(0))
+    )
+    return out.select(
+        "id0", "id1", "n_elig", "n0", "n1",
+        F.least(ub, F.least("n0", "n1")).alias("ub"),
+    )
+
+
+# Verify-stage broadcast gate: candidate-doc item tables at or under this
+# row count (~40 B/row → tens of MB built) broadcast so the intersection
+# fan-out never shuffles; larger sets use the shuffled joins. Override via
+# SPARK_GRAFT_VERIFY_BROADCAST_ROWS for clusters with bigger/smaller
+# executor memory.
+import os as _os
+
+_VERIFY_BROADCAST_ROWS = int(
+    _os.environ.get("SPARK_GRAFT_VERIFY_BROADCAST_ROWS", "2000000")
+)
+# Candidate-pair count at which the collected-set verify path starts to
+# beat the shuffled joins (its collect+broadcast is a fixed cost).
+_VERIFY_SET_PATH_MIN_PAIRS = int(
+    _os.environ.get("SPARK_GRAFT_VERIFY_SET_PATH_MIN_PAIRS", "100000")
+)
+
+
+def _pair_overlap(cand: DataFrame, items: DataFrame, item_col: str) -> DataFrame:
+    """(id0, id1, n_inter, n0, n1) for candidate pairs over an exploded
+    (doc_id, <item_col>) set table — the shared verify stage of the
+    shingle/fingerprint near-dup operators.
+
+    Round-6 shape (guide §2.3/§2.4): the pair list is pinned once and its
+    doc ids SEMI-JOIN the item table before anything else, so the
+    intersection joins and the size aggregate shuffle O(candidate-doc
+    items), not the whole corpus — the candidate-driven discipline
+    minhash_lsh_pairs_delta already used (measured on winnow_near_pairs at
+    sf0.1: the two full ~4M-row fingerprint shuffles of the old verify
+    stage drop to the ~500 candidate docs' rows). Exactness is unchanged:
+    intersection and set sizes only ever read rows of docs that appear in
+    a candidate pair.
+
+    When the candidate-doc item table fits a broadcast
+    (``_VERIFY_BROADCAST_ROWS``), both intersection joins build from the
+    broadcast side and the whole verify runs MAP-SIDE over the candidate
+    stream — the O(cand × items-per-doc) fan-out is pipelined through two
+    broadcast-hash probes straight into the partial aggregation, and the
+    fan-out never hits an exchange (measured on winnow_near_pairs at
+    sf0.1: the ~150M-row (pair, item) shuffle this removes was the whole
+    query's dominant stage, 27 s → 7 s end to end). Past the gate the
+    plan falls back to the shuffled joins — same results, cluster-scale
+    safe (the adaptive small-side discipline of cluster.py's union-find
+    fast path)."""
+    cand = cand.localCheckpoint(eager=False)
+    ids = (
+        cand.select(F.col("id0").alias("doc_id"))
+        .union(cand.select(F.col("id1").alias("doc_id")))
         .distinct()
+    )
+    it = items.join(ids, "doc_id", "left_semi").localCheckpoint(eager=False)
+    # The native-set path pays a fixed collect+broadcast cost, so it only
+    # wins when the verify fan-out is big: small candidate sets (e.g.
+    # ngram_jaccard's few hundred survivors after the ub-prefilter) go
+    # through the plain shuffled joins below — measured 4.5-6.3 s vs the
+    # set path's 8.5-10.5 s there, while winnow's 1.38M-candidate verify
+    # is 15-22 s on the set path vs 24-34 s on the joins.
+    if (
+        cand.count() >= _VERIFY_SET_PATH_MIN_PAIRS
+        and it.count() <= _VERIFY_BROADCAST_ROWS
+    ):
+        # Vectorized-native path (guide §4.2): the candidate docs' item
+        # sets are collected once (bounded by the gate), broadcast, and
+        # each task intersects python sets in C over Arrow batches of the
+        # pair stream — the per-pair cost is ~µs and, crucially, the
+        # O(cand × items-per-doc) fan-out never materializes as operator
+        # rows at all. The JVM alternatives measured on winnow_near_pairs
+        # at sf0.1 (1.38M candidates × ~110 items): shuffled row fan-out
+        # 188M operator rows / 692 CPU-s; array_intersect expressions
+        # ~40 µs/pair (hash-set build per row) — both dominated the query.
+        # The pair stream is re-spread first because AQE's bytes-based
+        # coalescing is blind to per-row verify cost.
+        spark = cand.sparkSession
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        cand = cand.repartition(n_parts, F.col("id0"), F.col("id1"))
+        doc_sets: dict = {}
+        for r in it.collect():
+            doc_sets.setdefault(r["doc_id"], set()).add(r[item_col])
+        bc = spark.sparkContext.broadcast(doc_sets)
+        out_schema = T.StructType(
+            [cand.schema["id0"], cand.schema["id1"]]
+            + [
+                T.StructField(c, T.LongType())
+                for c in ("n_inter", "n0", "n1")
+            ]
+        )
+
+        def intersect_batches(batches):
+            s = bc.value
+            for pdf in batches:
+                pairs = list(zip(pdf["id0"], pdf["id1"]))
+                sets0 = [s[a] for a, _ in pairs]
+                sets1 = [s[b] for _, b in pairs]
+                yield pd.DataFrame(
+                    {
+                        "id0": pdf["id0"],
+                        "id1": pdf["id1"],
+                        "n_inter": [
+                            len(a & b) for a, b in zip(sets0, sets1)
+                        ],
+                        "n0": [len(a) for a in sets0],
+                        "n1": [len(b) for b in sets1],
+                    }
+                )
+
+        return cand.mapInPandas(intersect_batches, schema=out_schema)
+    sizes = it.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n"))
+    inter = (
+        cand.join(it.select(F.col("doc_id").alias("id0"), item_col), "id0")
+        .join(
+            it.select(F.col("doc_id").alias("id1"), item_col),
+            ["id1", item_col],
+        )
+        .groupBy("id0", "id1")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("id0"), F.col("__n").alias("n0")),
+            "id0",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id1"), F.col("__n").alias("n1")),
+            "id1",
+        )
     )
 
 
@@ -97,29 +287,16 @@ def ngram_jaccard_pairs(
     # (not cache) so nothing stays pinned in executor storage after the
     # returned frame is consumed (same rationale as winnow_near_pairs)
     sh = word_shingles(df, text_col, id_col, k).localCheckpoint(eager=False)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    elig = dfreq.where((F.col("df") >= 2) & (F.col("df") <= max_df)).select("shingle")
-    se = sh.join(elig, "shingle", "left_semi")
-    a = se.select(F.col("shingle"), F.col("doc_id").alias("id0"))
-    b = se.select(F.col("shingle"), F.col("doc_id").alias("id1"))
-    # the block join itself enumerates (pair, shared-eligible-shingle) rows;
-    # true intersection (incl. hot shingles) recomputed below
-    cand = (
-        a.join(b, "shingle")
-        .where(F.col("id0") < F.col("id1"))
-        .select("id0", "id1")
-        .distinct()
-    )
-    inter = (
-        cand.join(sh.select(F.col("doc_id").alias("id0"), "shingle"), "id0")
-        .join(sh.select(F.col("doc_id").alias("id1"), "shingle"), ["id1", "shingle"])
-        .groupBy("id0", "id1")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    out = (
-        inter.join(sizes.select(F.col("doc_id").alias("id0"), F.col("n_sh").alias("n0")), "id0")
-        .join(sizes.select(F.col("doc_id").alias("id1"), F.col("n_sh").alias("n1")), "id1")
+    # block + upper-bound prefilter (guide §3.2): only pairs whose jaccard
+    # AT the intersection upper bound clears the threshold go to the exact
+    # verify — measured at sf0.1 this cuts the verify set 1.13M → ~hundreds
+    # with bit-identical output (ub ≥ |∩| and jaccard is monotone in |∩|)
+    pre = _overlap_prefilter(sh, "shingle", max_df)
+    cand = pre.where(
+        F.col("ub") / (F.col("n0") + F.col("n1") - F.col("ub")) >= threshold
+    ).select("id0", "id1")
+    return (
+        _pair_overlap(cand, sh, "shingle")
         .withColumn(
             "jaccard",
             F.col("n_inter") / (F.col("n0") + F.col("n1") - F.col("n_inter")),
@@ -127,7 +304,6 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id0", "id1", "jaccard")
     )
-    return out
 
 
 def containment_pairs(
@@ -149,37 +325,14 @@ def containment_pairs(
     intersection recomputed over ALL shingles — the df-cap only bounds
     pair enumeration, never the statistic."""
     sh = word_shingles(df, text_col, id_col, k).localCheckpoint(eager=False)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    elig = dfreq.where(
-        (F.col("df") >= 2) & (F.col("df") <= max_df)
-    ).select("shingle")
-    se = sh.join(elig, "shingle", "left_semi")
-    cand = (
-        se.select("shingle", F.col("doc_id").alias("id0"))
-        .join(se.select("shingle", F.col("doc_id").alias("id1")), "shingle")
-        .where(F.col("id0") < F.col("id1"))
-        .select("id0", "id1")
-        .distinct()
-    )
-    inter = (
-        cand.join(sh.select(F.col("doc_id").alias("id0"), "shingle"), "id0")
-        .join(
-            sh.select(F.col("doc_id").alias("id1"), "shingle"),
-            ["id1", "shingle"],
-        )
-        .groupBy("id0", "id1")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    # same ub-prefilter as ngram_jaccard_pairs: containment is monotone in
+    # |∩| too, so pairs below threshold at ub are below it exactly
+    pre = _overlap_prefilter(sh, "shingle", max_df)
+    cand = pre.where(
+        F.col("ub") / F.least("n0", "n1") >= threshold
+    ).select("id0", "id1")
     return (
-        inter.join(
-            sizes.select(F.col("doc_id").alias("id0"), F.col("n_sh").alias("n0")),
-            "id0",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("id1"), F.col("n_sh").alias("n1")),
-            "id1",
-        )
+        _pair_overlap(cand, sh, "shingle")
         .withColumn(
             "containment",
             F.col("n_inter") / F.least("n0", "n1"),
@@ -252,16 +405,8 @@ def minhash_lsh_pairs(
     )
     if verify_threshold is None:
         return cand
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    inter = (
-        cand.join(sh.select(F.col("doc_id").alias("id0"), "shingle"), "id0")
-        .join(sh.select(F.col("doc_id").alias("id1"), "shingle"), ["id1", "shingle"])
-        .groupBy("id0", "id1")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
     return (
-        inter.join(sizes.select(F.col("doc_id").alias("id0"), F.col("n_sh").alias("n0")), "id0")
-        .join(sizes.select(F.col("doc_id").alias("id1"), F.col("n_sh").alias("n1")), "id1")
+        _pair_overlap(cand, sh, "shingle")
         .withColumn(
             "jaccard",
             F.col("n_inter") / (F.col("n0") + F.col("n1") - F.col("n_inter")),
@@ -561,11 +706,12 @@ def winnow_fingerprints(
             lambda j: F.array_min(F.slice(g, j, window)),
         ),
     ).otherwise(F.when(n_g > 0, g).otherwise(F.array(F.col("__whole"))))
-    return (
-        hashed.select(
-            "doc_id",
-            F.explode(F.array_distinct(mins)).alias("fp"),
-        ).distinct()
+    # array_distinct already ran per doc, so (doc_id, fp) rows are distinct
+    # by construction — the old trailing .distinct() re-shuffled the whole
+    # fingerprint stream (~4M rows at sf0.1) for nothing (guide §2.4).
+    return hashed.select(
+        "doc_id",
+        F.explode(F.array_distinct(mins)).alias("fp"),
     )
 
 
@@ -594,27 +740,22 @@ def winnow_near_pairs(
     # AND truncates its lineage without leaving storage pinned forever in a
     # long-lived session — a lazy .cache() here is never unpersisted because
     # the result is returned unevaluated.
-    fps = winnow_fingerprints(df, text_col, id_col, k, window).localCheckpoint(
-        eager=False
+    # fp values are only join/group keys from here on (the output carries
+    # ids + jaccard, never fps) — unhex the md5 to 16 raw bytes so the
+    # verify fan-out shuffles 16-byte binary keys instead of 32-char hex
+    # strings (guide §2.3: narrower types; md5-hex → bytes is bijective)
+    fps = (
+        winnow_fingerprints(df, text_col, id_col, k, window)
+        .select("doc_id", F.unhex("fp").alias("fp"))
+        .localCheckpoint(eager=False)
     )
-    sizes = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
-    dfreq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
-    elig = dfreq.where((F.col("df") >= 2) & (F.col("df") <= max_df)).select("fp")
-    fe = fps.join(elig, "fp", "left_semi")
-    a = fe.select("fp", F.col("doc_id").alias("id0"))
-    b = fe.select("fp", F.col("doc_id").alias("id1"))
-    cand = (
-        a.join(b, "fp").where(F.col("id0") < F.col("id1")).select("id0", "id1").distinct()
-    )
-    inter = (
-        cand.join(fps.select(F.col("doc_id").alias("id0"), "fp"), "id0")
-        .join(fps.select(F.col("doc_id").alias("id1"), "fp"), ["id1", "fp"])
-        .groupBy("id0", "id1")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    # block + ub-prefilter + exact verify on survivors (see ngram_jaccard)
+    pre = _overlap_prefilter(fps, "fp", max_df)
+    cand = pre.where(
+        F.col("ub") / (F.col("n0") + F.col("n1") - F.col("ub")) >= threshold
+    ).select("id0", "id1")
     return (
-        inter.join(sizes.select(F.col("doc_id").alias("id0"), F.col("n_fp").alias("n0")), "id0")
-        .join(sizes.select(F.col("doc_id").alias("id1"), F.col("n_fp").alias("n1")), "id1")
+        _pair_overlap(cand, fps, "fp")
         .withColumn(
             "jaccard", F.col("n_inter") / (F.col("n0") + F.col("n1") - F.col("n_inter"))
         )

@@ -46,6 +46,17 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # guide §3.1/§9: let the planner pick shuffled-hash joins when one
+        # side's per-partition build fits — the engine's verify stages join
+        # a huge fan-out stream against a small keyed set, where SMJ pays
+        # two large sorts for nothing. The AQE threshold additionally
+        # rewrites SMJ→SHJ at runtime from OBSERVED map sizes (64 MB per
+        # partition build side), so the choice stays safe on skewed/big
+        # inputs at cluster scale.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m"
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
