@@ -12,6 +12,7 @@
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 import pandas as pd
@@ -190,19 +191,50 @@ def ivf_fit_centroids(
     n_cells = min(n_cells, n)
     fit_frac = min(1.0, (sample_per_cell * n_cells) / n)
     fit_df = corpus.sample(fraction=fit_frac, seed=seed) if fit_frac < 1.0 else corpus
-    fit_feat = fit_df.select(
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    spark = corpus.sparkSession
+    fit_rows = fit_df.select(
+        F.col(vec_col).cast("array<double>").alias("v")
     ).localCheckpoint(eager=False)
-    n_cells = max(1, min(n_cells, fit_feat.count()))
+    n_fit = fit_rows.count()
+    n_cells = max(1, min(n_cells, n_fit))
+    if n_fit <= _KMEANS_DRIVER_ROWS and n_cells <= _KMEANS_DRIVER_MAX_K:
+        # Bounded-sample fast path (round 6): the fit sample is
+        # sample_per_cell·n_cells rows BY CONSTRUCTION, and for the common
+        # cell counts it is a few thousand vectors — a driver-side numpy
+        # Lloyd (the same _np_kmeans the two-level fine fit already uses)
+        # replaces the ~20 scheduled MLlib jobs whose latency dominated
+        # the fit (measured 1.6-2.1 s MLlib vs ~50 ms numpy at 400-row
+        # samples; the bounded collect is the PQ-codebook discipline).
+        # Bigger samples keep the distributed MLlib fit.
+        X = np.array([r["v"] for r in fit_rows.collect()], dtype=float)
+        centers = _np_kmeans(
+            X, n_cells, np.random.RandomState(seed), max_iter=max_iter
+        )
+        return spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+            ["cell", "centroid"],
+        )
     model = KMeans(
         k=n_cells, seed=seed, maxIter=max_iter,
         featuresCol="features", predictionCol="cell",
-    ).fit(fit_feat)
-    spark = corpus.sparkSession
+    ).fit(fit_rows.select(array_to_vector(F.col("v")).alias("features")))
     return spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         ["cell", "centroid"],
     )
+
+
+# Fit-sample row count under which k-means runs as a driver-side numpy
+# Lloyd instead of MLlib (bounded collect: rows × dim × 8 B ≈ 25 MB at the
+# default). Override via env for bigger/smaller driver heaps.
+_KMEANS_DRIVER_ROWS = int(
+    os.environ.get("SPARK_GRAFT_KMEANS_DRIVER_ROWS", "50000")
+)
+# _np_kmeans' k-means++ seeding is O(n·k²·d) — the driver path is only a
+# win for small cell counts; larger k stays on the distributed MLlib fit.
+_KMEANS_DRIVER_MAX_K = int(
+    os.environ.get("SPARK_GRAFT_KMEANS_DRIVER_MAX_K", "64")
+)
 
 
 def _np_kmeans(X: np.ndarray, k: int, rng: np.random.RandomState,

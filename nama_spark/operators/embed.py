@@ -606,9 +606,6 @@ def ivf_candidates(
     sub-cells of a split cell are missed like any cross-cell pair; recall
     is measured, not assumed (test_skew.py::test_hot_cell_secondary_split).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     if embeddings.isEmpty():
         return embeddings.select(
             F.col("string").alias("s0"),
@@ -639,24 +636,17 @@ def ivf_candidates(
             feat, centers_df, nprobe, id_col="string", vec_col="vec"
         )
     else:
+        from nama_spark.operators.ann import ivf_fit_centroids
+
         n_cells = min(want_cells, n)
         nprobe = min(nprobe, n_cells)
-
-        fit_frac = min(1.0, (sample_per_cell * n_cells) / max(n, 1))
-        fit_df = feat.sample(fraction=fit_frac, seed=seed) if fit_frac < 1.0 else feat
-        fit_feat = fit_df.select(
-            array_to_vector(F.col("vec").cast("array<double>")).alias("features")
-        ).localCheckpoint(eager=False)
-        n_cells = max(1, min(n_cells, fit_feat.count()))
-        model = KMeans(
-            k=n_cells, seed=seed, maxIter=max_iter,
-            featuresCol="features", predictionCol="cell",
-        ).fit(fit_feat)
-
-        spark = embeddings.sparkSession
-        centers_df = spark.createDataFrame(
-            [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-            ["cell", "centroid"],
+        # shared fit (round 6): ivf_fit_centroids carries the bounded-sample
+        # driver numpy Lloyd fast path — at bench cell counts the MLlib fit
+        # was ~20 scheduled jobs of pure latency (measured 1.6-2.1 s vs
+        # ~50 ms) — and the distributed MLlib fit past the gate.
+        centers_df = ivf_fit_centroids(
+            feat, n_cells=n_cells, sample_per_cell=sample_per_cell,
+            max_iter=max_iter, vec_col="vec", seed=seed,
         )
         d2 = F.aggregate(
             F.zip_with(
@@ -691,20 +681,56 @@ def ivf_candidates(
             assigned, max_cell_rows, sample_per_cell=sample_per_cell,
             max_iter=max_iter, seed=seed,
         )
-    a = assigned.select("cell", F.col("string").alias("s0"), F.col("vec").alias("v0"))
-    b = assigned.select("cell", F.col("string").alias("s1"), F.col("vec").alias("v1"))
-    # cosine + threshold filter run MAP-SIDE in the join stage; only the
-    # ≥-threshold survivors shuffle for the cross-cell dedupe (a pair meeting
-    # in two probed cells passes the filter identically in both copies).
-    # Measured at 30k vectors: dedupe-then-filter shuffled 24M wide rows in
-    # 54.6 s; filter-then-dedupe shuffles just the survivors.
-    cos = cosine_expr(F.col("v0"), F.col("v1"))
+    # Per-cell pair stage (round 6, guide §4.2): one applyInPandas over the
+    # cell groups computes all within-cell cosines as TILED numpy float64
+    # matmuls (BLAS) and emits only the ≥-threshold survivors — the old
+    # within-cell self-join evaluated the zip_with/aggregate cosine once
+    # per candidate pair in the JVM's interpreted higher-order-function
+    # path (~10 µs/pair; measured 7-9 s for the 2.2M pairs of the sf0.1
+    # embed workload vs <1 s here). Tiling bounds memory at B² doubles per
+    # score block; per-cell memory is bounded by design (the ~400-row
+    # occupancy target — pre-split genuinely hot cells via max_cell_rows).
+    # Rows are sorted by string inside each cell so the emitted (s0 < s1)
+    # orientation matches the old join's string comparison; a pair met in
+    # two probed cells still collapses in the cross-cell dedupe.
+    t = float(cos_threshold)
+    out_schema = T.StructType(
+        [
+            T.StructField("s0", T.StringType()),
+            T.StructField("s1", T.StringType()),
+            T.StructField("cos", T.DoubleType()),
+        ]
+    )
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        strs = pdf["string"].to_numpy()
+        order = np.argsort(strs)
+        strs = strs[order]
+        X = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["vec"].to_numpy()[order]]
+        )
+        m = len(strs)
+        o0: list = []
+        o1: list = []
+        oc: list = []
+        B = 2048
+        for i0 in range(0, m, B):
+            Xi = X[i0:i0 + B]
+            for j0 in range(i0, m, B):
+                S = Xi @ X[j0:j0 + B].T
+                mask = S >= t
+                if i0 == j0:
+                    mask = np.triu(mask, 1)
+                ii, jj = np.nonzero(mask)
+                if len(ii):
+                    o0.extend(strs[i0 + ii])
+                    o1.extend(strs[j0 + jj])
+                    oc.extend(float(x) for x in S[ii, jj])
+        return pd.DataFrame({"s0": o0, "s1": o1, "cos": oc})
+
     return (
-        a.join(b, "cell")
-        .where(F.col("s0") < F.col("s1"))
-        .withColumn("cos", cos)
-        .where(F.col("cos") >= cos_threshold)
-        .select("s0", "s1", "cos")
+        assigned.groupBy("cell")
+        .applyInPandas(cell_pairs, out_schema)
         .dropDuplicates(["s0", "s1"])
     )
 
