@@ -25,12 +25,21 @@ folding used for threshold pushdown (embeddings.py:147).
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+# Corpus size (distinct strings) under which soft_tfidf_scores collects
+# the corpus, builds the df table driver-side and runs the whole pair
+# stage in one mapInPandas instead of the ~20-exchange relational plan.
+_SOFT_TFIDF_DRIVER_CORPUS_ROWS = int(
+    os.environ.get("SPARK_GRAFT_SOFT_TFIDF_DRIVER_CORPUS_ROWS", "200000")
+)
 
 
 # ---------- relational token-set scorers ----------
@@ -561,6 +570,130 @@ def soft_tfidf_scores(
         .distinct()
     )
     n_strings = low.count()  # scalar corpus size (one action, one value)
+
+    # pinned: consumed by the pair stage and the final re-join
+    p = pairs.select(
+        F.lower(F.col(s0)).alias("l0"), F.lower(F.col(s1)).alias("l1")
+    ).distinct().localCheckpoint(eager=False)
+
+    keyed = pairs.withColumn("l0", F.lower(F.col(s0))).withColumn(
+        "l1", F.lower(F.col(s1))
+    )
+
+    # ---- collected-corpus fast path (round 6, guide §4.2) ----
+    # The relational plan below costs ~20 exchanges (weight-table chain,
+    # two weight joins, the token cross-product join, the distinct-JW
+    # table + its ArrowEvalPython + join-back, two argmax groupBy chains,
+    # two result joins); measured at sf0.1 the query is pure stage
+    # latency. When the CORPUS is bounded (the deployment shape this
+    # measure is built for — a fixed trained corpus scored against a
+    # growing pair stream), collect it once, build the df table driver-
+    # side, and run the ENTIRE pair stage in one mapInPandas: per-string
+    # V weights (same ln(tf+1)·ln(N/df) / L2 formulas), the same jw5
+    # (shared _jaro_winkler_np + an exact HALF_UP round-5 twin of Spark's
+    # round), the same (jw5, token, V) struct-max tie-break, CLOSE(θ)
+    # rule and final round-5 columns. Past the gate the relational path
+    # runs unchanged — it handles corpora too big to collect.
+    if n_strings <= _SOFT_TFIDF_DRIVER_CORPUS_ROWS:
+        import decimal as _dec
+        import re as _re
+        from collections import Counter as _Counter
+
+        token_re = _re.compile("[^A-Za-z0-9]+")
+
+        def _words(s: str) -> list:
+            return [w for w in token_re.split(s) if w != ""]
+
+        df_map: dict = {}
+        for r in low.collect():
+            for tok in set(_words(r["string"])):
+                df_map[tok] = df_map.get(tok, 0) + 1
+        spark = pairs.sparkSession
+        bc = spark.sparkContext.broadcast((df_map, float(n_strings)))
+        thr = float(threshold)
+
+        q5 = _dec.Decimal("0.00001")
+
+        def _round5(x: float) -> float:
+            # Spark's round(double, 5): BigDecimal.valueOf (shortest
+            # decimal repr, like python repr) + HALF_UP
+            return float(
+                _dec.Decimal(repr(x)).quantize(q5, rounding=_dec.ROUND_HALF_UP)
+            )
+
+        out_schema = T.StructType(
+            [
+                T.StructField("l0", T.StringType()),
+                T.StructField("l1", T.StringType()),
+                T.StructField("soft01", T.DoubleType()),
+                T.StructField("soft10", T.DoubleType()),
+                T.StructField("soft_sym", T.DoubleType()),
+            ]
+        )
+
+        def score_batches(batches):
+            dfm, n_corpus = bc.value
+            w_memo: dict = {}
+            jw_memo: dict = {}
+
+            def weights(s: str) -> list:
+                out = w_memo.get(s)
+                if out is None:
+                    tf = _Counter(_words(s))
+                    v = {
+                        w: math.log(c + 1.0)
+                        * math.log(n_corpus / float(dfm.get(w, 1)))
+                        for w, c in tf.items()
+                    }
+                    nrm = math.sqrt(sum(x * x for x in v.values()))
+                    out = [
+                        (w, (x / nrm) if nrm > 0 else 0.0)
+                        for w, x in v.items()
+                    ]
+                    w_memo[s] = out
+                return out
+
+            def jw5(a: str, b: str) -> float:
+                key = (a, b)
+                v = jw_memo.get(key)
+                if v is None:
+                    v = _round5(_jaro_winkler_np(a, b))
+                    jw_memo[key] = v
+                return v
+
+            def directed(side0, side1):
+                total = None
+                for w, v0 in side0:
+                    best = None
+                    for u, v1 in side1:
+                        cand = (jw5(w, u), u, v1)
+                        if best is None or cand > best:
+                            best = cand
+                    if best is not None and best[0] > thr:
+                        term = v0 * best[2] * best[0]
+                        total = term if total is None else total + term
+                return total
+
+            for pdf in batches:
+                rows = []
+                for l0, l1 in zip(pdf["l0"], pdf["l1"]):
+                    w0 = weights(l0)
+                    w1 = weights(l1)
+                    s01 = directed(w0, w1)
+                    s10 = directed(w1, w0)
+                    a = 0.0 if s01 is None else s01
+                    b = 0.0 if s10 is None else s10
+                    rows.append(
+                        (l0, l1, _round5(a), _round5(b), _round5((a + b) / 2.0))
+                    )
+                yield pd.DataFrame(
+                    rows, columns=["l0", "l1", "soft01", "soft10", "soft_sym"]
+                )
+
+        res_fast = p.mapInPandas(score_batches, schema=out_schema)
+        return keyed.join(res_fast, ["l0", "l1"]).drop("l0", "l1")
+
+    # ---- relational path (corpora too large to collect) ----
     # IDF statistics come from the corpus alone, but weight ROWS must also
     # exist for pair strings outside it (linking a fresh batch against a
     # trained corpus) — a token unseen in the corpus gets df = 1, the
@@ -571,9 +704,36 @@ def soft_tfidf_scores(
         .where(F.col("string").isNotNull())
         .distinct()
     )
-    corpus_toks = tokens_table(low, tokenizer="words")  # (string, token, tf)
-    df_tab = corpus_toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    toks = tokens_table(low.union(pair_strings).distinct(), tokenizer="words")
+    # ONE tokenization of the union universe with a corpus-membership flag
+    # (round 6): the old shape tokenized the corpus twice — once for the
+    # df table, once inside the union token table (two extra
+    # distinct+explode+groupBy subtrees, guide §2.4).
+    all_strings = (
+        low.withColumn("__in_corpus", F.lit(1))
+        .unionByName(pair_strings.withColumn("__in_corpus", F.lit(0)))
+        .groupBy("string")
+        .agg(F.max("__in_corpus").alias("__in_corpus"))
+    )
+    from nama_spark.functions.tokenize import tokenizer_expr
+
+    toks = (
+        all_strings.select(
+            "string", "__in_corpus",
+            F.explode(tokenizer_expr("words")(F.col("string"))).alias("token"),
+        )
+        .groupBy("string", "token")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.max("__in_corpus").alias("__in_corpus"),
+        )
+    )
+    # df per token over corpus strings only — toks rows are unique per
+    # (string, token), so the row count IS the distinct-string count
+    df_tab = (
+        toks.where(F.col("__in_corpus") == 1)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
     v = F.log(F.col("tf") + F.lit(1.0)) * F.log(
         F.lit(float(n_strings)) / F.coalesce(F.col("df"), F.lit(1)).cast("double")
     )
@@ -583,17 +743,16 @@ def soft_tfidf_scores(
     nrm = vtab.groupBy("string").agg(
         F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm")
     )
+    # pinned: the weight table feeds BOTH pair-side joins (t0 AND t1) — an
+    # unpinned wtab recomputes the whole corpus-weights subtree twice per
+    # action (measured ~half the query's wall at sf0.1)
     wtab = vtab.join(nrm, "string").select(
         "string",
         "token",
         F.when(F.col("nrm") > 0, F.col("v") / F.col("nrm"))
         .otherwise(F.lit(0.0))
         .alias("V"),
-    )
-
-    p = pairs.select(
-        F.lower(F.col(s0)).alias("l0"), F.lower(F.col(s1)).alias("l1")
-    ).distinct()
+    ).localCheckpoint(eager=False)
     t0 = p.join(
         wtab.select(
             F.col("string").alias("l0"),
@@ -652,8 +811,5 @@ def soft_tfidf_scores(
                 5,
             ).alias("soft_sym"),
         )
-    )
-    keyed = pairs.withColumn("l0", F.lower(F.col(s0))).withColumn(
-        "l1", F.lower(F.col(s1))
     )
     return keyed.join(res, ["l0", "l1"]).drop("l0", "l1")
