@@ -72,9 +72,11 @@ class TokenSimPass:
     def edges(self, md: MatchData, lineage: LineageLog) -> DataFrame:
         if self.normalize:
             key = norm_key(F.col("string"), self.normalize)
+            # pinned: consumed by the universe AND both pullback joins —
+            # three re-evaluations of the regex chain otherwise (round 6)
             keyed = md.df.select("string", key.alias("norm")).where(
                 F.col("norm").isNotNull() & (F.col("norm") != "")
-            )
+            ).localCheckpoint(eager=False)
             universe = keyed.select(F.col("norm").alias("string")).distinct()
         else:
             keyed = md.df.select("string", F.col("string").alias("norm"))
@@ -149,9 +151,10 @@ class EmbeddingPass:
 
         if self.normalize:
             key = norm_key(F.col("string"), self.normalize)
+            # pinned for the same three-consumer reason as TokenSimPass
             keyed = md.df.select("string", key.alias("norm")).where(
                 F.col("norm").isNotNull() & (F.col("norm") != "")
-            )
+            ).localCheckpoint(eager=False)
             universe = keyed.select(F.col("norm").alias("string")).distinct()
         else:
             keyed = md.df.select("string", F.col("string").alias("norm"))
@@ -230,12 +233,19 @@ class MatchPipeline:
         spark = records.sparkSession
         lineage = LineageLog(spark, self.checkpoint_dir)
 
-        # file-scale → name-scale: one aggregation, counts = multiplicities
+        # file-scale → name-scale: one aggregation, counts = multiplicities.
+        # Pinned (round 6): every pass, the partition stats and the final
+        # unite re-reads md.df — unpinned, each consumer re-runs the
+        # file-scale groupBy (guide §5 localCheckpoint for reused
+        # intermediates); the ingest count below materializes the pin.
         names = records.groupBy(F.col(string_col).alias("string")).agg(
             F.count(F.lit(1)).alias("count")
         )
         md = MatchData(
-            names.withColumn("group", F.col("string")), _relabel=False
+            names.withColumn("group", F.col("string")).localCheckpoint(
+                eager=False
+            ),
+            _relabel=False,
         )
         lineage.add("ingest", "distinct_strings", md.df.count())
 
