@@ -34,6 +34,59 @@ from nama_spark.operators.matchdata import MatchData
 from nama_spark.operators.score import token_similarity_scores
 
 
+# Fitted-token-table row count under which pair_scores ships the score
+# model ({string → token set, Σw, Σw²} + token→weight) broadcast into one
+# mapInPandas instead of the relational join-aggregate plans (rows ≈
+# strings × tokens-per-string; ~2M rows ≈ low hundreds of MB built).
+import os as _os
+
+_TOKENSIM_BROADCAST_TOKEN_ROWS = int(
+    _os.environ.get("SPARK_GRAFT_TOKENSIM_BROADCAST_TOKEN_ROWS", "2000000")
+)
+# Universe size (distinct strings) under which fit() tokenizes driver-side
+# (python twin of the tokenizer expressions, verified equal in
+# tests/test_tokensim_broadcast_path.py) instead of running the
+# distinct+explode+groupBy chain distributed — at a few thousand strings
+# the distributed fit is pure stage latency (measured ~4 s vs ~0.5 s).
+_TOKENSIM_DRIVER_FIT_STRINGS = int(
+    _os.environ.get("SPARK_GRAFT_TOKENSIM_DRIVER_FIT_STRINGS", "100000")
+)
+
+
+def _score_model(strs: dict, wd: dict) -> dict:
+    """{string: (sorted token tuple, token set, Σw, Σw²)} — sums iterate
+    SORTED tokens so scores are identical across runs (python set order is
+    hash-randomized per process) and across the fit paths."""
+    model = {}
+    for s, toks in strs.items():
+        ordered = tuple(sorted(toks))
+        w_sum = 0.0
+        w2_sum = 0.0
+        for t in ordered:
+            w = wd[t]
+            w_sum += w
+            w2_sum += w * w
+        model[s] = (ordered, set(ordered), w_sum, w2_sum)
+    return model
+
+
+def _py_tokenize(s: str, kind: str) -> list:
+    """Python twin of functions.tokenize's Column tokenizers (same
+    code-point semantics as Spark's UTF8String substr/length)."""
+    if kind == "nmgrams23":
+        return [s[i:i + n] for n in (2, 3)
+                for i in range(len(s) - n + 1)]
+    if kind == "bigrams":
+        return [s[i:i + 2] for i in range(len(s) - 1)]
+    if kind == "trigrams":
+        return [s[i:i + 3] for i in range(len(s) - 2)]
+    if kind == "words":
+        import re as _re
+
+        return [w for w in _re.split("[^A-Za-z0-9]+", s) if w != ""]
+    raise ValueError(f"unknown tokenizer: {kind}")
+
+
 class TokenSimilarity:
     """Configurable token-blocking similarity matcher.
 
@@ -72,6 +125,8 @@ class TokenSimilarity:
         self._tokens: DataFrame | None = None
         self._weights: DataFrame | None = None
         self._strings: DataFrame | None = None
+        self._n_token_rows: int | None = None
+        self._score_bc = None  # broadcast score model (fast path, see below)
 
     # ---------- fit ----------
 
@@ -85,6 +140,15 @@ class TokenSimilarity:
         self._strings = strings_df.select(
             F.col(string_col).alias("string")
         ).distinct()
+        # Driver fast fit (round 6): the limit(cap+1).collect probe costs
+        # one bounded action; under the gate the whole tokenize+weight
+        # chain (6 exchanges + 2 cache materializations of pure stage
+        # latency at a few-thousand-string universe) collapses to python
+        # dict math + two local-data createDataFrames with identical rows.
+        probe = self._strings.limit(_TOKENSIM_DRIVER_FIT_STRINGS + 1).collect()
+        if len(probe) <= _TOKENSIM_DRIVER_FIT_STRINGS:
+            self._fit_driver([r["string"] for r in probe])
+            return self
         self._tokens = tokens_table(self._strings, tokenizer=self.tokenizer).cache()
         self._weights = token_weights(
             self._tokens,
@@ -100,8 +164,74 @@ class TokenSimilarity:
         # lazy → 10.7 s eager (the bench's own fit-then-count prewarm
         # becomes a no-op cache hit).
         self._weights.count()
-        self._tokens.count()
+        self._n_token_rows = self._tokens.count()
+        self._score_bc = None
         return self
+
+    def _fit_driver(self, strings: list) -> None:
+        """Build the (string, token, tf) and (token, f, d, weight) tables
+        from a collected universe — same rows as tokens_table +
+        token_weights (equality-tested), materialized as cached local-data
+        DataFrames so every distributed consumer (block join, the
+        token_similarity_scores functions, incremental paths) works
+        unchanged."""
+        import math as _math
+        from collections import Counter as _Counter
+
+        from pyspark.sql import types as T
+
+        spark = self._strings.sparkSession
+        tok_rows = []
+        freq: dict = {}
+        nstr: dict = {}
+        for s in strings:
+            tf = _Counter(_py_tokenize(s, self.tokenizer))
+            for t, c in tf.items():
+                tok_rows.append((s, t, c))
+                freq[t] = freq.get(t, 0) + c
+                nstr[t] = nstr.get(t, 0) + 1
+        tok_schema = T.StructType(
+            [
+                T.StructField("string", T.StringType()),
+                T.StructField("token", T.StringType()),
+                T.StructField("tf", T.LongType()),
+            ]
+        )
+        self._tokens = spark.createDataFrame(tok_rows, tok_schema).cache()
+        w_rows = []
+        for t, f in freq.items():
+            d = f if self.reference_doc_counts else nstr[t]
+            if self.weighting == "tf":
+                w = float(f)
+            elif self.weighting == "idf":
+                w = 1.0 / _math.log(1.0 + d)
+            elif self.weighting == "tf-idf":
+                w = f / _math.log(1.0 + d)
+            elif self.weighting is None or self.weighting == "none":
+                w = 1.0
+            else:
+                raise ValueError(f"unknown weighting: {self.weighting}")
+            w_rows.append((t, f, d, w))
+        w_schema = T.StructType(
+            [
+                T.StructField("token", T.StringType()),
+                T.StructField("f", T.LongType()),
+                T.StructField("d", T.LongType()),
+                T.StructField("weight", T.DoubleType()),
+            ]
+        )
+        self._weights = spark.createDataFrame(w_rows, w_schema).cache()
+        self._weights.count()
+        self._n_token_rows = self._tokens.count()
+        # the score model is already in hand — broadcast it now instead of
+        # re-collecting the two tables on the first pair_scores call
+        wd = {t: w for (t, _f, _d, w) in w_rows}
+        strs: dict = {}
+        for s, t, _c in tok_rows:
+            strs.setdefault(s, set()).add(t)
+        self._score_bc = spark.sparkContext.broadcast(
+            (_score_model(strs, wd), wd)
+        )
 
     def fit_incremental(
         self,
@@ -133,7 +263,8 @@ class TokenSimilarity:
         ).cache()
         # eager for the same multi-branch-consumer reason as fit()
         self._weights.count()
-        self._tokens.count()
+        self._n_token_rows = self._tokens.count()
+        self._score_bc = None
         self._strings = self._tokens.select("string").distinct()
         return delta
 
@@ -167,6 +298,24 @@ class TokenSimilarity:
         # (one full exchange of the candidate stream for zero skew benefit).
         # salt_pairs stays available for callers whose pair source is NOT
         # already pair-key-partitioned.
+        if (
+            self._n_token_rows is not None
+            and self._n_token_rows <= _TOKENSIM_BROADCAST_TOKEN_ROWS
+        ):
+            # Broadcast-model fast path (round 6, guide §4.2): when the
+            # fitted token table is bounded, ship {string → token set,
+            # Σw, Σw²} plus the global token→weight dict broadcast into
+            # one mapInPandas over the (still fully distributed) candidate
+            # stream — python set intersection + dict lookups per pair
+            # replace the two map-payload joins and the per-pair JVM
+            # higher-order intersection loop. The broadcast is built once
+            # per fit and reused across thresholds/sweeps (the same
+            # fit-once/predict-many contract the cached token table
+            # already has); strings whose tokenization is empty have no
+            # model entry and their pairs drop, exactly like the inner
+            # map/norms joins. The gate bounds the broadcast side only —
+            # the pair side scales with the candidate stream.
+            return self._pair_scores_broadcast(pairs)
         if self.score_impl == "map":
             from nama_spark.operators.score import token_similarity_scores_map
 
@@ -175,6 +324,85 @@ class TokenSimilarity:
             )
         return token_similarity_scores(
             pairs, self._tokens, self._weights, measure=self.measure
+        )
+
+    def _pair_scores_broadcast(self, pairs: DataFrame) -> DataFrame:
+        """The broadcast-model scorer behind pair_scores' gate: one
+        mapInPandas over the candidate stream, sets/weights from a
+        per-fit broadcast. Same measure definitions as
+        token_similarity_scores(_map); equality is covered by
+        tests/test_tokensim_broadcast_path.py."""
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        spark = pairs.sparkSession
+        if self._score_bc is None:
+            weights = {
+                r["token"]: r["weight"] for r in self._weights.collect()
+            }
+            strs: dict = {}
+            for r in self._tokens.collect():
+                strs.setdefault(r["string"], set()).add(r["token"])
+            self._score_bc = spark.sparkContext.broadcast(
+                (_score_model(strs, weights), weights)
+            )
+        bc = self._score_bc
+        cosine = self.measure == "cosine"
+        if not cosine and self.measure != "jaccard":
+            raise ValueError(f"unknown measure: {self.measure}")
+
+        out_schema = T.StructType(
+            [
+                T.StructField("s0", T.StringType()),
+                T.StructField("s1", T.StringType()),
+                T.StructField("score", T.DoubleType()),
+            ]
+        )
+
+        def score_batches(batches):
+            strs, wd = bc.value
+            for pdf in batches:
+                r0, r1, rs = [], [], []
+                for a, b in zip(pdf["s0"], pdf["s1"]):
+                    ma = strs.get(a)
+                    mb = strs.get(b)
+                    if ma is None or mb is None:
+                        continue  # inner-join drop, same as the JVM paths
+                    ta, sa, wsa, w2a = ma
+                    tb, sb, wsb, w2b = mb
+                    # iterate the smaller side's SORTED tuple, probe the
+                    # bigger side's set — deterministic sum order
+                    small, big = (ta, sb) if len(ta) <= len(tb) else (tb, sa)
+                    if cosine:
+                        inter2 = 0.0
+                        for t in small:
+                            if t in big:
+                                w = wd[t]
+                                inter2 += w * w
+                        import math as _m
+
+                        denom = _m.sqrt(w2a) * _m.sqrt(w2b)
+                        score = (
+                            inter2 / denom
+                            if inter2 > 0 and denom > 0
+                            else 0.0
+                        )
+                    else:
+                        inter = 0.0
+                        for t in small:
+                            if t in big:
+                                inter += wd[t]
+                        union = wsa + wsb - inter
+                        score = (
+                            inter / union if inter > 0 and union > 0 else 0.0
+                        )
+                    r0.append(a)
+                    r1.append(b)
+                    rs.append(score)
+                yield pd.DataFrame({"s0": r0, "s1": r1, "score": rs})
+
+        return pairs.select("s0", "s1").mapInPandas(
+            score_batches, schema=out_schema
         )
 
     # ---------- predict ----------
@@ -186,6 +414,9 @@ class TokenSimilarity:
         for df in (self._tokens, self._weights):
             if df is not None:
                 df.unpersist()
+        if self._score_bc is not None:
+            self._score_bc.unpersist()
+            self._score_bc = None
         return self
 
     def predict(
