@@ -30,8 +30,13 @@ from pyspark.sql import types as T
 # ---------- exact ----------
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep the smallest id per identical text (hash groupBy — one shuffle)."""
-    w = Window.partitionBy(text_col).orderBy(id_col)
+    """Keep the smallest id per identical text (hash groupBy — one shuffle).
+
+    The window partitions on md5(text), not the raw text (round 6, guide
+    §2.3: shuffle keys, not payloads) — the exchange hashes and sorts a
+    16-byte digest instead of whole documents, the same md5-equivalence
+    the exact-dedup oracle (q_dedup_exact_docs) already defines."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
@@ -41,10 +46,13 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, canonical_id) for every doc, canonical = min id of identical
-    text."""
+    text. Partitioned on md5(text) so only (id, digest) rows shuffle — the
+    documents themselves never cross the exchange (guide §2.3)."""
     return df.select(
         F.col(id_col).alias("doc_id"),
-        F.min(id_col).over(Window.partitionBy(text_col)).alias("canonical_id"),
+        F.min(id_col)
+        .over(Window.partitionBy(F.md5(F.col(text_col))))
+        .alias("canonical_id"),
     )
 
 
