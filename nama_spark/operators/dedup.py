@@ -192,22 +192,29 @@ def _pair_overlap(cand: DataFrame, items: DataFrame, item_col: str) -> DataFrame
     safe (the adaptive small-side discipline of cluster.py's union-find
     fast path)."""
     cand = cand.localCheckpoint(eager=False)
-    ids = (
-        cand.select(F.col("id0").alias("doc_id"))
-        .union(cand.select(F.col("id1").alias("doc_id")))
-        .distinct()
-    )
-    it = items.join(ids, "doc_id", "left_semi").localCheckpoint(eager=False)
-    # The native-set path pays a fixed collect+broadcast cost, so it only
-    # wins when the verify fan-out is big: small candidate sets (e.g.
-    # ngram_jaccard's few hundred survivors after the ub-prefilter) go
-    # through the plain shuffled joins below — measured 4.5-6.3 s vs the
-    # set path's 8.5-10.5 s there, while winnow's 1.38M-candidate verify
-    # is 15-22 s on the set path vs 24-34 s on the joins.
-    if (
-        cand.count() >= _VERIFY_SET_PATH_MIN_PAIRS
-        and it.count() <= _VERIFY_BROADCAST_ROWS
-    ):
+    n_cand = cand.count()
+    if n_cand < _VERIFY_SET_PATH_MIN_PAIRS:
+        # Small candidate set (e.g. ngram_jaccard's few hundred survivors
+        # after the ub-prefilter): restrict the item table to candidate
+        # docs (cheap semi-join, big win when candidates are few) and run
+        # the plain shuffled joins — the native-set path's fixed
+        # collect+broadcast cost is not worth it here (measured 4.5-6.3 s
+        # vs 8.5-10.5 s on the sf0.1 ngram workload).
+        ids = (
+            cand.select(F.col("id0").alias("doc_id"))
+            .union(cand.select(F.col("id1").alias("doc_id")))
+            .distinct()
+        )
+        it = items.join(ids, "doc_id", "left_semi").localCheckpoint(
+            eager=False
+        )
+        return _pair_overlap_joined(cand, it, item_col)
+    # Large candidate set: most docs appear in some pair, so the semi-join
+    # restriction would cost a full pass for ~no reduction (measured at
+    # DOC_MULT=10 minhash: +3.4 s of pure adaptive machinery) — work on
+    # the full item table directly.
+    it = items.localCheckpoint(eager=False)
+    if it.count() <= _VERIFY_BROADCAST_ROWS:
         # Vectorized-native path (guide §4.2): the candidate docs' item
         # sets are collected once (bounded by the gate), broadcast, and
         # each task intersects python sets in C over Arrow batches of the
@@ -253,6 +260,14 @@ def _pair_overlap(cand: DataFrame, items: DataFrame, item_col: str) -> DataFrame
                 )
 
         return cand.mapInPandas(intersect_batches, schema=out_schema)
+    return _pair_overlap_joined(cand, it, item_col)
+
+
+def _pair_overlap_joined(
+    cand: DataFrame, it: DataFrame, item_col: str
+) -> DataFrame:
+    """The shuffled-join verify: exact intersection counts + set sizes via
+    two equi-joins and two size joins (the pre-round-6 shape)."""
     sizes = it.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n"))
     inter = (
         cand.join(it.select(F.col("doc_id").alias("id0"), item_col), "id0")
