@@ -270,6 +270,16 @@ def main(argv=None):
         funnel["resumed"] = True
     else:
         docs = read_records(spark, args.input, catalog=args.catalog)
+        # Input-parallelism guard (guide §2.5): a corpus delivered as a few
+        # big files scans as a few tasks, and every map-side stage (md5
+        # dedup keys, shingles, the quality/lang regex profile, the final
+        # write) inherits that width — the event log showed the whole job
+        # serialized through 1-task stages on a single-file input. Spread
+        # once up front, derived from the session's shuffle width (not a
+        # constant); inputs already wider than that are left alone.
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        if docs.rdd.getNumPartitions() < n_parts:
+            docs = docs.repartition(n_parts)
         funnel = {"input": docs.count()}
 
         # 0b. C4 line-level cleaning — FIRST text-shaping stage (C4 itself
@@ -392,7 +402,15 @@ def main(argv=None):
                 spark, args.checkpoint_dir, docs, pairs, funnel
             )
 
-    # 3-5. profile columns, then gate on them
+    # 3-5. profile columns, then gate on them. Width guard first: AQE
+    # coalesces the post-dedup survivors by BYTES (to one partition at
+    # bench scale) and the checkpoint freezes that layout, so the regex
+    # profile below — the job's most compute-dense projection — ran as a
+    # single task (event log: 4.3 s / 1 task). No-op when the frame is
+    # already at least shuffle-width partitions (the cluster-scale case).
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if docs.rdd.getNumPartitions() < n_parts:
+        docs = docs.repartition(n_parts)
     t = F.col(args.text_col)
     docs = docs.withColumns(
         {
