@@ -139,7 +139,11 @@ def connected_components(
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
 
     e = _canonical_edges(edges, src, dst)
-    e = e.checkpoint() if checkpoint_dir else e.localCheckpoint()
+    # lazy pin: the checksum aggregate right below materializes the
+    # checkpoint — one job instead of an eager-checkpoint job followed by
+    # a checksum job (round 6; same result, ~0.4 s per CC invocation of
+    # pure scheduling saved)
+    e = e.checkpoint() if checkpoint_dir else e.localCheckpoint(eager=False)
     prev = _checksum(e)
     _log(lineage, "cc", 0, prev[0], "edges", float(prev[0]))
 
@@ -159,7 +163,8 @@ def connected_components(
     for it in range(1, max_iter + 1):
         t0 = time.time()
         e2 = _small_star(_large_star(e))
-        e2 = e2.checkpoint() if checkpoint_dir else e2.localCheckpoint()
+        # lazy pin + checksum materializes in one job (see above)
+        e2 = e2.checkpoint() if checkpoint_dir else e2.localCheckpoint(eager=False)
         cur = _checksum(e2)
         e.unpersist()
         e = e2
