@@ -277,10 +277,13 @@ def main(argv=None):
         # serialized through 1-task stages on a single-file input. Spread
         # once up front, derived from the session's shuffle width (not a
         # constant); inputs already wider than that are left alone.
+        # Count the input BEFORE the spread: the number is identical and the
+        # count job then runs a plain (column-pruned) scan instead of paying
+        # the repartition exchange a first time on its own (round 6).
+        funnel = {"input": docs.count()}
         n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
         if docs.rdd.getNumPartitions() < n_parts:
             docs = docs.repartition(n_parts)
-        funnel = {"input": docs.count()}
 
         # 0b. C4 line-level cleaning — FIRST text-shaping stage (C4 itself
         # cleans lines before dedup: stripped boilerplate lines would otherwise
@@ -436,7 +439,32 @@ def main(argv=None):
     if langs:
         docs = docs.where(F.col("lang").isin(langs))
     docs = docs.localCheckpoint(eager=False)
-    funnel["after_filters"] = docs.count()
+    # Fusion gate (round 6): when NO later stage filters or mutates the
+    # frame, the after_filters count and the total-token sum are observed
+    # during the shard write itself (one CollectMetrics node on the write's
+    # plan) instead of two separate full passes — same values, two fewer
+    # jobs. Any active later stage keeps the explicit count (its value
+    # would differ from the write's row count).
+    later_stages = any([
+        args.lm_ref, args.quality_ref, args.decontam_eval,
+        args.mixture_temperature > 0,
+        bool(args.dsir_ref) and args.dsir_keep > 0,
+        args.redact_pii, args.bpe_merges > 0, args.val_fraction > 0,
+    ])
+    write_obs = None
+    if later_stages:
+        funnel["after_filters"] = docs.count()
+    else:
+        from pyspark.sql import Observation
+
+        write_obs = Observation("corpus_final")
+        docs = docs.observe(
+            write_obs,
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_toks"),
+        )
+        # placeholder keeps the funnel key order; filled after the write
+        funnel["after_filters"] = None
 
     # 3c. LM perplexity gate — fit the bigram count model on the trusted
     # reference (small by definition: CCNet fits Wikipedia, scores the
@@ -628,7 +656,12 @@ def main(argv=None):
             args.output + "/train_shards"
         )
         funnel["train_shards"] = args.shuffle_shards
-    tok_total = docs.agg(F.sum("n_tokens").alias("t")).collect()[0]["t"] or 0
+    if write_obs is not None:
+        m = write_obs.get
+        funnel["after_filters"] = int(m["n_docs"])
+        tok_total = m["n_toks"] or 0
+    else:
+        tok_total = docs.agg(F.sum("n_tokens").alias("t")).collect()[0]["t"] or 0
 
     summary = {
         "funnel": funnel,

@@ -263,6 +263,116 @@ def _pair_overlap(cand: DataFrame, items: DataFrame, item_col: str) -> DataFrame
     return _pair_overlap_joined(cand, it, item_col)
 
 
+# Byte budget for the broadcast hot-item bitmask matrix (docs-with-hot-items
+# × ceil(distinct-hot/64) 8-byte words). Past it the verify falls back to the
+# full set-intersection path. Override via SPARK_GRAFT_VERIFY_HOT_MASK_BYTES.
+_VERIFY_HOT_MASK_MAX_BYTES = int(
+    _os.environ.get("SPARK_GRAFT_VERIFY_HOT_MASK_BYTES", str(256 * 2**20))
+)
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _pair_overlap_pre(
+    pre: DataFrame, items: DataFrame, item_col: str, max_df: int
+) -> DataFrame:
+    """(id0, id1, n_inter, n0, n1) for ``_overlap_prefilter`` survivors —
+    the round-6 verify that REUSES the prefilter's exact counts instead of
+    re-intersecting full item sets per pair.
+
+    Exactness: every item has df == 1 (unsharable), df in [2, max_df]
+    (eligible — counted exactly into ``n_elig`` during pair enumeration) or
+    df > max_df (hot). Hence |A∩B| = n_elig + |shared hot items|, and
+    n0/n1 from the prefilter are the exact set sizes. Only the hot overlap
+    is left to compute per pair, and the hot vocabulary is tiny by
+    construction (each hot item repeats > max_df times, so distinct hot ≤
+    rows/max_df): each doc's hot set becomes a fixed-width bitmask, the
+    whole matrix broadcasts, and per-pair overlap is AND+popcount over
+    numpy rows — no per-pair Python sets, no fan-out join, and the
+    broadcast shrinks from every doc's full item set to a few mask words.
+
+    Small candidate sets (under ``_VERIFY_SET_PATH_MIN_PAIRS``) keep the
+    pre-round-6 semi-join + shuffled verify (the fixed costs here are not
+    worth it — same reasoning as ``_pair_overlap``); an over-budget mask
+    matrix falls back to ``_pair_overlap`` unchanged."""
+    cand = pre.select("id0", "id1", "n_elig", "n0", "n1").localCheckpoint(
+        eager=False
+    )
+    n_cand = cand.count()
+    if n_cand < _VERIFY_SET_PATH_MIN_PAIRS:
+        return _pair_overlap(cand.select("id0", "id1"), items, item_col)
+
+    it = items.localCheckpoint(eager=False)
+    dfreq = it.groupBy(item_col).agg(F.count(F.lit(1)).alias("df"))
+    hot_rows = it.join(
+        dfreq.where(F.col("df") > max_df).select(item_col), item_col, "left_semi"
+    )
+    n_hot_rows = hot_rows.count()
+    passthrough = cand.select(
+        "id0", "id1",
+        F.col("n_elig").cast("long").alias("n_inter"),
+        F.col("n0").cast("long").alias("n0"),
+        F.col("n1").cast("long").alias("n1"),
+    )
+    if n_hot_rows == 0:
+        # no hot items anywhere: the prefilter counts ARE the verify
+        return passthrough
+    if n_hot_rows > _VERIFY_BROADCAST_ROWS:
+        return _pair_overlap(cand.select("id0", "id1"), it, item_col)
+
+    pdf = hot_rows.select("doc_id", item_col).toPandas()
+    bits, _ = pd.factorize(pdf[item_col])
+    drow, doc_ids = pd.factorize(pdf["doc_id"])
+    n_bits = int(bits.max()) + 1
+    n_words = (n_bits + 63) // 64
+    if (len(doc_ids) + 1) * n_words * 8 > _VERIFY_HOT_MASK_MAX_BYTES:
+        return _pair_overlap(cand.select("id0", "id1"), it, item_col)
+    # last row stays all-zero: docs with no hot items map there
+    mat = np.zeros((len(doc_ids) + 1, n_words), dtype=np.uint64)
+    np.bitwise_or.at(
+        mat,
+        (drow, bits // 64),
+        np.uint64(1) << (bits % 64).astype(np.uint64),
+    )
+    zero_row = len(doc_ids)
+    docpos = pd.Series(
+        np.arange(len(doc_ids), dtype=np.int64), index=doc_ids
+    )
+    spark = cand.sparkSession
+    bc = spark.sparkContext.broadcast((docpos, mat, zero_row))
+    out_schema = T.StructType(
+        [cand.schema["id0"], cand.schema["id1"]]
+        + [T.StructField(c, T.LongType()) for c in ("n_inter", "n0", "n1")]
+    )
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cand = cand.repartition(n_parts, F.col("id0"), F.col("id1"))
+
+    def hot_overlap_batches(batches):
+        pos, m, zrow = bc.value
+        mu8 = m.view(np.uint8)
+        w8 = mu8.shape[1]
+        for b in batches:
+            i0 = pos.reindex(b["id0"]).fillna(zrow).to_numpy(np.int64)
+            i1 = pos.reindex(b["id1"]).fillna(zrow).to_numpy(np.int64)
+            inter = mu8[i0] & mu8[i1]
+            n_hot = (
+                _POPCNT8[inter]
+                .sum(axis=1, dtype=np.int64)
+                if w8
+                else np.zeros(len(i0), dtype=np.int64)
+            )
+            yield pd.DataFrame(
+                {
+                    "id0": b["id0"],
+                    "id1": b["id1"],
+                    "n_inter": b["n_elig"].to_numpy(np.int64) + n_hot,
+                    "n0": b["n0"].to_numpy(np.int64),
+                    "n1": b["n1"].to_numpy(np.int64),
+                }
+            )
+
+    return cand.mapInPandas(hot_overlap_batches, schema=out_schema)
+
+
 def _pair_overlap_joined(
     cand: DataFrame, it: DataFrame, item_col: str
 ) -> DataFrame:
@@ -317,9 +427,9 @@ def ngram_jaccard_pairs(
     pre = _overlap_prefilter(sh, "shingle", max_df)
     cand = pre.where(
         F.col("ub") / (F.col("n0") + F.col("n1") - F.col("ub")) >= threshold
-    ).select("id0", "id1")
+    )
     return (
-        _pair_overlap(cand, sh, "shingle")
+        _pair_overlap_pre(cand, sh, "shingle", max_df)
         .withColumn(
             "jaccard",
             F.col("n_inter") / (F.col("n0") + F.col("n1") - F.col("n_inter")),
@@ -353,9 +463,9 @@ def containment_pairs(
     pre = _overlap_prefilter(sh, "shingle", max_df)
     cand = pre.where(
         F.col("ub") / F.least("n0", "n1") >= threshold
-    ).select("id0", "id1")
+    )
     return (
-        _pair_overlap(cand, sh, "shingle")
+        _pair_overlap_pre(cand, sh, "shingle", max_df)
         .withColumn(
             "containment",
             F.col("n_inter") / F.least("n0", "n1"),
@@ -777,13 +887,15 @@ def winnow_near_pairs(
         .select("doc_id", F.unhex("fp").alias("fp"))
         .localCheckpoint(eager=False)
     )
-    # block + ub-prefilter + exact verify on survivors (see ngram_jaccard)
+    # block + ub-prefilter + exact verify on survivors (see ngram_jaccard);
+    # the verify reuses the prefilter's exact n_elig/n0/n1 — only the hot
+    # overlap is computed per pair (bitmask AND+popcount, _pair_overlap_pre)
     pre = _overlap_prefilter(fps, "fp", max_df)
     cand = pre.where(
         F.col("ub") / (F.col("n0") + F.col("n1") - F.col("ub")) >= threshold
-    ).select("id0", "id1")
+    )
     return (
-        _pair_overlap(cand, fps, "fp")
+        _pair_overlap_pre(cand, fps, "fp", max_df)
         .withColumn(
             "jaccard", F.col("n_inter") / (F.col("n0") + F.col("n1") - F.col("n_inter"))
         )

@@ -270,8 +270,9 @@ class MatchPipeline:
             else:
                 # pin the partition: it feeds the groups count, the partition
                 # stats AND the next pass — unpinned, each consumer re-runs
-                # the whole pass chain from the source
-                md = MatchData(md.df.localCheckpoint(), _relabel=False)
+                # the whole pass chain from the source. Lazy: the groups
+                # count below materializes the pin in the same job (round 6)
+                md = MatchData(md.df.localCheckpoint(eager=False), _relabel=False)
             wall = time.time() - t0
             n_groups = md.df.select("group").distinct().count()
             lineage.add(p.name, "wall_sec", wall, checkpoint=stage_dir)
@@ -303,8 +304,10 @@ class MatchPipeline:
                     # no durable checkpoint → pin the edge set once; it is
                     # consumed twice more (partition stats collect + the
                     # fused-CC union) and would otherwise recompute the
-                    # whole pass per consumer
-                    edges = edges.localCheckpoint()
+                    # whole pass per consumer. Lazy pin: the partition-stats
+                    # collect right below materializes it — one job, not an
+                    # eager-checkpoint job followed by a stats job (round 6)
+                    edges = edges.localCheckpoint(eager=False)
                 lineage.add(p.name, "wall_sec", time.time() - t0, checkpoint=stage_dir)
                 lineage.add_partition_stats(edges, p.name)
             all_edges = edges if all_edges is None else all_edges.union(edges)
@@ -336,8 +339,9 @@ class MatchPipeline:
         else:
             # pin the clustered partition for the groups count, partition
             # stats and whatever the caller does next (label-election window
-            # + join would otherwise re-run per action)
-            md = MatchData(md.df.localCheckpoint(), _relabel=False)
+            # + join would otherwise re-run per action). Lazy: the groups
+            # count below materializes the pin in the same job (round 6)
+            md = MatchData(md.df.localCheckpoint(eager=False), _relabel=False)
         lineage.add("fused_cc", "wall_sec", time.time() - t0, checkpoint=final_dir)
         lineage.add("fused_cc", "groups", md.df.select("group").distinct().count())
         lineage.add_partition_stats(md.df, "fused_cc")

@@ -106,6 +106,55 @@ def test_containment_matches_old_semantics_on_both_paths(
     assert pairs.get((100, 101)) == pytest.approx(1.0)
 
 
+def test_winnow_hot_mask_path_equals_joined_path(spark, monkeypatch):
+    """The round-6 hot-bitmask verify (n_inter = n_elig + popcount of
+    shared hot items) must reproduce the shuffled-join verify exactly,
+    jaccard values included."""
+    docs = _docs(spark)
+    kw = dict(k=8, window=4, threshold=0.2, max_df=10)
+    monkeypatch.setattr(D, "_VERIFY_SET_PATH_MIN_PAIRS", 10**9)
+    want = {
+        (r["id0"], r["id1"]): r["jaccard"]
+        for r in D.winnow_near_pairs(docs, **kw).collect()
+    }
+    monkeypatch.setattr(D, "_VERIFY_SET_PATH_MIN_PAIRS", 0)
+    got = {
+        (r["id0"], r["id1"]): r["jaccard"]
+        for r in D.winnow_near_pairs(docs, **kw).collect()
+    }
+    assert set(got) == set(want) and len(got) > 0
+    for p in got:
+        assert got[p] == pytest.approx(want[p], abs=1e-12)
+    # over-budget mask matrix must fall back to the set path, same results
+    monkeypatch.setattr(D, "_VERIFY_HOT_MASK_MAX_BYTES", 1)
+    fallback = {
+        (r["id0"], r["id1"]): r["jaccard"]
+        for r in D.winnow_near_pairs(docs, **kw).collect()
+    }
+    assert fallback == got
+
+
+def test_hot_mask_passthrough_when_no_hot_items(spark, monkeypatch):
+    """With max_df above every doc frequency there are no hot items, and
+    the forced hot-mask path must return the prefilter counts directly."""
+    docs = _docs(spark)
+    monkeypatch.setattr(D, "_VERIFY_SET_PATH_MIN_PAIRS", 10**9)
+    want = {
+        (r["id0"], r["id1"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(
+            docs, k=3, threshold=0.3, max_df=10**6
+        ).collect()
+    }
+    monkeypatch.setattr(D, "_VERIFY_SET_PATH_MIN_PAIRS", 0)
+    got = {
+        (r["id0"], r["id1"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(
+            docs, k=3, threshold=0.3, max_df=10**6
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_winnow_prefilter_never_drops_a_true_pair(spark, monkeypatch):
     """ub >= |∩| by construction: every pair the unfiltered (huge-cap)
     pipeline reports must survive the prefiltered one."""
