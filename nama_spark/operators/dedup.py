@@ -269,6 +269,12 @@ def _pair_overlap(cand: DataFrame, items: DataFrame, item_col: str) -> DataFrame
 _VERIFY_HOT_MASK_MAX_BYTES = int(
     _os.environ.get("SPARK_GRAFT_VERIFY_HOT_MASK_BYTES", str(256 * 2**20))
 )
+# Driver-collect budget for the (doc_id, bit) int pairs the mask build reads
+# (16 B/row through Arrow — far lighter than the full set-dict collect, so
+# the gate sits well above _VERIFY_BROADCAST_ROWS).
+_VERIFY_HOT_COLLECT_ROWS = int(
+    _os.environ.get("SPARK_GRAFT_VERIFY_HOT_COLLECT_ROWS", str(16_000_000))
+)
 _POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
 
@@ -302,11 +308,17 @@ def _pair_overlap_pre(
         return _pair_overlap(cand.select("id0", "id1"), items, item_col)
 
     it = items.localCheckpoint(eager=False)
+    spark = cand.sparkSession
     dfreq = it.groupBy(item_col).agg(F.count(F.lit(1)).alias("df"))
+    # consumed three times below (stats, vocab, bit join) — pin once
     hot_rows = it.join(
         dfreq.where(F.col("df") > max_df).select(item_col), item_col, "left_semi"
-    )
-    n_hot_rows = hot_rows.count()
+    ).localCheckpoint(eager=False)
+    stats = hot_rows.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col("doc_id")).alias("d"),
+    ).collect()[0]
+    n_hot_rows, n_hot_docs = int(stats["n"]), int(stats["d"])
     passthrough = cand.select(
         "id0", "id1",
         F.col("n_elig").cast("long").alias("n_inter"),
@@ -316,16 +328,31 @@ def _pair_overlap_pre(
     if n_hot_rows == 0:
         # no hot items anywhere: the prefilter counts ARE the verify
         return passthrough
-    if n_hot_rows > _VERIFY_BROADCAST_ROWS:
+    if n_hot_rows > _VERIFY_HOT_COLLECT_ROWS:
         return _pair_overlap(cand.select("id0", "id1"), it, item_col)
 
-    pdf = hot_rows.select("doc_id", item_col).toPandas()
-    bits, _ = pd.factorize(pdf[item_col])
-    drow, doc_ids = pd.factorize(pdf["doc_id"])
-    n_bits = int(bits.max()) + 1
+    # hot vocabulary is small by construction (each hot item repeats
+    # > max_df times: distinct hot ≤ rows/max_df) — collect it, assign bit
+    # positions, and ship ONLY (doc_id, bit) ints to the driver through
+    # Arrow; raw item values (strings/bytes) never leave the cluster
+    hot_vocab = [r[0] for r in hot_rows.select(item_col).distinct().collect()]
+    n_bits = len(hot_vocab)
     n_words = (n_bits + 63) // 64
-    if (len(doc_ids) + 1) * n_words * 8 > _VERIFY_HOT_MASK_MAX_BYTES:
+    if (n_hot_docs + 1) * n_words * 8 > _VERIFY_HOT_MASK_MAX_BYTES:
         return _pair_overlap(cand.select("id0", "id1"), it, item_col)
+    bit_tab = spark.createDataFrame(
+        [(v, i) for i, v in enumerate(hot_vocab)],
+        T.StructType(
+            [it.schema[item_col], T.StructField("__bit", T.IntegerType())]
+        ),
+    )
+    pdf = (
+        hot_rows.join(F.broadcast(bit_tab), item_col)
+        .select("doc_id", "__bit")
+        .toPandas()
+    )
+    drow, doc_ids = pd.factorize(pdf["doc_id"])
+    bits = pdf["__bit"].to_numpy(np.int64)
     # last row stays all-zero: docs with no hot items map there
     mat = np.zeros((len(doc_ids) + 1, n_words), dtype=np.uint64)
     np.bitwise_or.at(
@@ -337,7 +364,6 @@ def _pair_overlap_pre(
     docpos = pd.Series(
         np.arange(len(doc_ids), dtype=np.int64), index=doc_ids
     )
-    spark = cand.sparkSession
     bc = spark.sparkContext.broadcast((docpos, mat, zero_row))
     out_schema = T.StructType(
         [cand.schema["id0"], cand.schema["id1"]]
