@@ -35,7 +35,16 @@ def _label_window():
 
 def elect_labels(df: DataFrame) -> DataFrame:
     """Re-elect canonical group labels: max count, ties → min string
-    (match_data.py:163). One window over the group key."""
+    (match_data.py:163). One window over the group key.
+
+    Round 6 note: an arg-min aggregate + self-join variant (map-side
+    combinable, AQE-skew-splittable) was built, measured equal at bench
+    scale, and REJECTED: annotating rows with a per-group aggregate via a
+    self-join references the input plan twice, and this function runs
+    inside ``MatchData.__init__`` over arbitrary, often unpinned plans —
+    doubling any expensive upstream chain per action is a worse scale
+    hazard than the window's single sorted pass (giant components are
+    already bounded by the unite_similar giant-component guard)."""
     return df.withColumn("group", F.first("string").over(_label_window()))
 
 
@@ -268,14 +277,24 @@ class MatchData:
 
         own = df.select(F.col("string").alias("src"), F.col("group").alias("dst"))
         all_edges = own.union(edges)
-        labels = labels_for_nodes(
-            df.select("string"), all_edges, node_col="string", **cc_kwargs
+        # Direct left join against the component map: every string appears
+        # exactly once in df (partition invariant) and every edge endpoint
+        # that matters is a universe string, so labels_for_nodes' extra
+        # distinct-universe shuffle + second join add nothing here — strings
+        # outside the component map keep their own label via the coalesce
+        # (round 6, guide §2.1: one full universe shuffle removed from every
+        # unite). Synthetic label nodes (mapping case) land only on the
+        # comp side of the left join and drop out, as before.
+        from nama_spark.operators.cluster import connected_components
+
+        comp = connected_components(all_edges, src="src", dst="dst", **cc_kwargs)
+        out = df.join(comp, df["string"] == comp["node"], "left").select(
+            "string", "count",
+            F.coalesce(F.col("component"), F.col("string")).alias("group"),
         )
-        out = df.drop("group").join(labels, df["string"] == labels["node"]).select(
-            "string", "count", F.col("component").alias("group")
-        )
-        # Synthetic label nodes (mapping case) can win the min — strip them by
-        # re-electing real labels from member strings (labels are cosmetic).
+        # Synthetic label nodes (mapping case) can win the component min —
+        # strip them by re-electing real labels from member strings (labels
+        # are cosmetic; the constructor re-elects).
         return MatchData(out)
 
     def unite_incremental(
