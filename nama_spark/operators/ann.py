@@ -475,6 +475,82 @@ def ivf_assign(
     )
 
 
+def _cell_topk_builder(k: int, np_dtype):
+    """applyInPandas cogroup fn: per IVF cell, score every (probe-query ×
+    assigned-vector) cosine in numpy and emit each query's top-k WITH
+    TIES on the k-th cos value. Bit-exact vs the cosine_sim_expr join:
+    products are computed in the INPUT element dtype (float32 arrays
+    multiply in float32 before the double fold, exactly like
+    zip_with(x*y) on array<float>), the fold is dimension-sequential, and
+    cos = dot / (norm·norm) in float64. Ties (and NaNs, kept as +inf in
+    the truncation key) are never dropped, so the downstream global
+    window sees every row it could rank ≤ k — truncation is lossless by
+    the per-cell-superset argument (a pair beaten by ≥k pairs in its own
+    cell is beaten by ≥k pairs globally)."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        # self-contained closure (no nama_spark module references — workers
+        # may not have the package importable; the repo's UDF convention)
+        def seq_dim_sum(prod):
+            # accumulate over the LAST axis in index order, float64 — the
+            # bit-exact twin of F.aggregate(..., 0.0, acc + x)'s
+            # left-to-right fold (np.sum's pairwise reduction can differ
+            # in the last ulp)
+            acc = np.zeros(prod.shape[:-1], dtype=np.float64)
+            for j in range(prod.shape[-1]):
+                acc += prod[..., j].astype(np.float64, copy=False)
+            return acc
+
+        left = pdf[pdf["side"] == 0]
+        right = pdf[pdf["side"] == 1]
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame(
+                {"query_id": left["id"][:0],
+                 "neighbor_id": right["id"][:0],
+                 "cos": np.zeros(0, dtype=np.float64)}
+            )
+        Q = np.stack(left["vec"].to_numpy()).astype(np_dtype, copy=False)
+        C = np.stack(right["vec"].to_numpy()).astype(np_dtype, copy=False)
+        qn = np.sqrt(seq_dim_sum(Q * Q))
+        cn = np.sqrt(seq_dim_sum(C * C))
+        qid = left["id"].to_numpy()
+        nid = right["id"].to_numpy()
+        n = len(C)
+        kk = min(k, n)
+        out_q, out_n, out_c = [], [], []
+        # bound the (queries × cell) cos matrix at ~128M float64 entries
+        step = max(1, (1 << 27) // max(1, n))
+        for s in range(0, len(Q), step):
+            Qs = Q[s:s + step]
+            dot = np.zeros((len(Qs), n), dtype=np.float64)
+            for j in range(Q.shape[1]):
+                dot += np.multiply.outer(Qs[:, j], C[:, j]).astype(
+                    np.float64, copy=False
+                )
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dot / np.multiply.outer(qn[s:s + step], cn)
+            key = np.where(np.isnan(cos), np.inf, cos)
+            self_mask = qid[s:s + step, None] == nid[None, :]
+            key = np.where(self_mask, -np.inf, key)
+            if n > kk:
+                thr = np.partition(key, n - kk, axis=1)[:, n - kk]
+            else:
+                thr = np.full(len(Qs), -np.inf)
+            keep = (key >= thr[:, None]) & ~self_mask
+            for i in range(len(Qs)):
+                sel = np.flatnonzero(keep[i])
+                out_q.append(np.repeat(qid[s + i], len(sel)))
+                out_n.append(nid[sel])
+                out_c.append(cos[i, sel])
+        return pd.DataFrame(
+            {"query_id": np.concatenate(out_q),
+             "neighbor_id": np.concatenate(out_n),
+             "cos": np.concatenate(out_c)}
+        )
+
+    return fn
+
+
 def ivf_topk_delta(
     queries: DataFrame,
     centers: DataFrame,
@@ -487,10 +563,20 @@ def ivf_topk_delta(
     """Top-k per query against a PERSISTED IVF index (``centers`` +
     ``assigned``, as built by ivf_fit_centroids/ivf_assign): probe the
     nprobe nearest cells, exact cosine re-rank inside them. A query batch
-    of Δq rows costs O(Δq·n_cells) assignment + the probed-cell join —
+    of Δq rows costs O(Δq·n_cells) assignment + the probed-cell work —
     the indexed corpus is touched only through its cell partitions.
     ``nprobe = n_cells`` probes everything: exact top-k (the test anchor).
-    Same output contract as ivf_topk: (query_id, neighbor_id, cos, rank)."""
+    Same output contract as ivf_topk: (query_id, neighbor_id, cos, rank).
+
+    The per-cell re-rank runs as ONE cogrouped applyInPandas (round 6,
+    guide §4.2): probe queries and assigned vectors meet per cell, all
+    within-cell cosines run as numpy array math, and only each query's
+    top-k (ties included) leaves the cell — the candidate fan-out
+    (|q| · nprobe · occupancy rows through an exchange, each paying an
+    interpreted ~10 µs higher-order cosine) never materializes, and the
+    global window ranks |q| · nprobe · k rows instead. Scoring is
+    bit-exact vs the old join (see _cell_topk_builder); non-float vector
+    columns keep the join path."""
     if queries.isEmpty():
         return _empty_topk(queries, id_col)
     probes = ivf_assign(queries, centers, nprobe=nprobe,
@@ -498,20 +584,49 @@ def ivf_topk_delta(
         F.col(id_col).alias("query_id"), F.col("cell"),
         F.col(vec_col).alias("qv"),
     )
-    cand = probes.join(
-        assigned.select(
-            "cell", F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("cv"),
-        ),
-        "cell",
-    ).where(F.col("query_id") != F.col("neighbor_id"))
-    cos = cosine_sim_expr(F.col("qv"), F.col("cv"))
+    corpus_cells = assigned.select(
+        "cell", F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
+    elem = None
+    vt = probes.schema["qv"].dataType
+    if isinstance(vt, T.ArrayType):
+        if isinstance(vt.elementType, T.FloatType):
+            elem = np.float32
+        elif isinstance(vt.elementType, T.DoubleType):
+            elem = np.float64
+    if elem is not None:
+        id_type = probes.schema["query_id"].dataType
+        out_schema = T.StructType([
+            T.StructField("query_id", id_type),
+            T.StructField("neighbor_id", id_type),
+            T.StructField("cos", T.DoubleType()),
+        ])
+        # one tagged union instead of a cogroup — probes and the index
+        # routinely share lineage (queries drawn from the corpus), which
+        # trips the ambiguous-self-join analyzer on cogroup's dual groupBy
+        tagged = probes.select(
+            "cell", F.lit(0).alias("side"),
+            F.col("query_id").alias("id"), F.col("qv").alias("vec"),
+        ).unionByName(corpus_cells.select(
+            "cell", F.lit(1).alias("side"),
+            F.col("neighbor_id").alias("id"), F.col("cv").alias("vec"),
+        ))
+        cand = tagged.groupBy("cell").applyInPandas(
+            _cell_topk_builder(k, elem), schema=out_schema
+        )
+    else:
+        cand = (
+            probes.join(corpus_cells, "cell")
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("cos", cosine_sim_expr(F.col("qv"), F.col("cv")))
+            .select("query_id", "neighbor_id", "cos")
+        )
     return (
-        cand.withColumn("cos", cos)
-        .select("query_id", "neighbor_id", "cos")  # drop vectors pre-shuffle
+        cand
         .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)

@@ -115,6 +115,25 @@ def plan_pipeline_er_unite(spark, sf_dir):
     return md.unite(all_edges, small_graph_threshold=100_000).df
 
 
+def plan_ann_ivf_delta(spark, sf_dir):
+    """ivf_topk_delta against a prebuilt index — the ann_ivf_amortized
+    bench region and the re-rank stage of ann_ivf / the declared
+    ann_ivf_topk query."""
+    from pyspark.sql import functions as F
+
+    from nama_spark.operators.ann import (
+        ivf_assign,
+        ivf_fit_centroids,
+        ivf_topk_delta,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centers = ivf_fit_centroids(emb, n_cells=8).localCheckpoint()
+    assigned = ivf_assign(emb, centers).localCheckpoint()
+    queries = emb.where(F.col("vec_id") < 64)
+    return ivf_topk_delta(queries, centers, assigned, k=10, nprobe=7)
+
+
 PLANS = {
     "candidate_scoring": plan_candidate_scoring,
     "winnow_near_pairs": plan_winnow_near_pairs,
@@ -124,6 +143,7 @@ PLANS = {
     "embed_ivf": plan_embed_ivf,
     "exact_dedup": plan_exact_dedup,
     "pipeline_er_unite": plan_pipeline_er_unite,
+    "ann_ivf_delta": plan_ann_ivf_delta,
 }
 
 
