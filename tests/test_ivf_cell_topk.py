@@ -87,3 +87,33 @@ def test_cell_topk_empty_queries(spark):
     assigned = ivf_assign(emb, centers).localCheckpoint()
     empty = emb.where(F.lit(False))
     assert ivf_topk_delta(empty, centers, assigned, k=5, nprobe=2).count() == 0
+
+
+def _bruteforce_join_path(corpus, queries, k):
+    """cosine_topk_bruteforce's round-5 implementation, verbatim."""
+    from nama_spark.operators.ann import cosine_sim_expr
+
+    q = F.broadcast(queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")))
+    c = corpus.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    joined = c.crossJoin(q).where(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        joined.withColumn("cos", cosine_sim_expr(F.col("qv"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos", F.col("rn").alias("rank"))
+    )
+
+
+@pytest.mark.parametrize("vec_type", ["float", "double"])
+def test_bruteforce_scan_bitwise_equals_join_path(spark, vec_type):
+    from nama_spark.operators.ann import cosine_topk_bruteforce
+
+    emb = _mk_corpus(spark, vec_type, with_dups=True).localCheckpoint()
+    queries = emb.where(F.col("vec_id") < 6)
+    ref = {tuple(r) for r in _bruteforce_join_path(emb, queries, 5).collect()}
+    got = {tuple(r) for r in cosine_topk_bruteforce(emb, queries, k=5).collect()}
+    assert got == ref

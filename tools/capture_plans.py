@@ -134,6 +134,18 @@ def plan_ann_ivf_delta(spark, sf_dir):
     return ivf_topk_delta(queries, centers, assigned, k=10, nprobe=7)
 
 
+def plan_ann_bruteforce(spark, sf_dir):
+    """cosine_topk_bruteforce — the ann_topk bench region and the declared
+    ann_cosine_topk query's operator."""
+    from pyspark.sql import functions as F
+
+    from nama_spark.operators.ann import cosine_topk_bruteforce
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 64)
+    return cosine_topk_bruteforce(emb, queries, k=10)
+
+
 PLANS = {
     "candidate_scoring": plan_candidate_scoring,
     "winnow_near_pairs": plan_winnow_near_pairs,
@@ -144,6 +156,7 @@ PLANS = {
     "exact_dedup": plan_exact_dedup,
     "pipeline_er_unite": plan_pipeline_er_unite,
     "ann_ivf_delta": plan_ann_ivf_delta,
+    "ann_bruteforce": plan_ann_bruteforce,
 }
 
 
