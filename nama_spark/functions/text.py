@@ -43,7 +43,9 @@ def word_token_count(c: Column | str) -> Column:
 
 
 def stopword_ratio(c: Column | str, stopwords: list[str] | None = None) -> Column:
-    sw = F.array(*[F.lit(w) for w in (stopwords or ENGLISH_STOPWORDS)])
+    # single array Literal — see normalize.remove_stopwords (round 6):
+    # CreateArray(179 lit children) cost ~1.7 s build+compile per use
+    sw = F.lit(list(stopwords or ENGLISH_STOPWORDS))
     ws = _words(_col(c))
     n = F.size(ws)
     n_stop = F.size(F.filter(ws, lambda w: F.array_contains(sw, w)))
@@ -88,7 +90,7 @@ def lang_id(c: Column | str) -> Column:
     ws = _words(_col(c))
     scores = []
     for lang, markers in _LANG_MARKERS.items():
-        marker_arr = F.array(*[F.lit(m) for m in markers])
+        marker_arr = F.lit(list(markers))
         # single-arg lambda (a second arg would be treated as the index);
         # F.filter evaluates it eagerly, so the closure is safe in this loop
         n = F.size(F.filter(ws, lambda w: F.array_contains(marker_arr, w)))
