@@ -178,7 +178,6 @@ class TokenSimilarity:
         import math as _math
         from collections import Counter as _Counter
 
-        import pandas as _pd
         from pyspark.sql import types as T
 
         spark = self._strings.sparkSession
@@ -198,14 +197,7 @@ class TokenSimilarity:
                 T.StructField("tf", T.LongType()),
             ]
         )
-        # Arrow-path createDataFrame (guide §4.1): a pandas frame ships the
-        # ~strings × tokens-per-string rows as Arrow batches instead of
-        # pickled python tuples (the pickle path measured ~0.5 s at 150k
-        # rows); identical rows/schema either way.
-        self._tokens = spark.createDataFrame(
-            _pd.DataFrame(tok_rows, columns=["string", "token", "tf"]),
-            schema=tok_schema,
-        ).cache()
+        self._tokens = spark.createDataFrame(tok_rows, tok_schema).cache()
         w_rows = []
         for t, f in freq.items():
             d = f if self.reference_doc_counts else nstr[t]
@@ -228,15 +220,9 @@ class TokenSimilarity:
                 T.StructField("weight", T.DoubleType()),
             ]
         )
-        self._weights = spark.createDataFrame(
-            _pd.DataFrame(w_rows, columns=["token", "f", "d", "weight"]),
-            schema=w_schema,
-        ).cache()
-        # No eager cache-materialization jobs here (unlike the distributed
-        # fit): these frames are parallelized LOCAL data — a branch racing
-        # the cache population re-reads the in-plan Arrow batches, not a
-        # tokenize subtree — and the row count is already in hand.
-        self._n_token_rows = len(tok_rows)
+        self._weights = spark.createDataFrame(w_rows, w_schema).cache()
+        self._weights.count()
+        self._n_token_rows = self._tokens.count()
         # the score model is already in hand — broadcast it now instead of
         # re-collecting the two tables on the first pair_scores call
         wd = {t: w for (t, _f, _d, w) in w_rows}
